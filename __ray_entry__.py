@@ -20,8 +20,18 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline on /root/testdata/sf0.001 (driver checks rows>=0).
+
+    Derives the interleaved-document corpus (FIXTURES.md F1 rule) from the
+    driver's documents.parquet, then runs validate → assemble → sentencize
+    → ExtractorActor and returns the exploded (subj, pred, obj) triples
+    Dataset. Ray is already initialised by the driver.
+    """
+    from antnre_ray.pipelines.flagship import flagship_triples
+    from antnre_ray.sources.corpus import derive_interleaved
+
+    ds = derive_interleaved("/root/testdata/sf0.001/documents.parquet")
+    return flagship_triples(ds)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

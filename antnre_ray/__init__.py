@@ -1,0 +1,31 @@
+"""antnre_ray — a Ray-Data-native knowledge-graph construction engine.
+
+A brand-new engine (NOT a port) with the query/data-processing
+capabilities of the reference ``changzhisun/AntNRE`` (joint NER + RE →
+(subj, pred, obj) triples), re-expressed idiomatically on
+``ray.data.Dataset``: ``map_batches`` over zero-copy Arrow batches,
+actor pools for stateful model stages, groupby/sort for the wide steps,
+streaming execution throughout.
+
+Layout (SURVEY.md §2/§7 is the blueprint; reference checkout was empty,
+see SURVEY.md §0 — loci cited as BASELINE.json:N / upstream:UNVERIFIED):
+
+- ``sources``   — IO facade (Lance when importable, Parquet fallback) and
+                  the interleaved-document corpus deriver (FIXTURES.md F1).
+- ``functions`` — pure kernels: tokenization, normalization, stable
+                  hashing, minhash/simhash, text statistics, and the
+                  numpy model kernels (BiLSTM, CRF/Viterbi, biaffine)
+                  plus the seeded reference-spec checkpoint stand-in.
+- ``stages``    — Dataset → Dataset operators (validate, assemble,
+                  sentencize, extract, link, canonicalize, materialize,
+                  dedup, similarity, media, analyze).
+- ``pipelines`` — composed pipelines (flagship KG construction, the
+                  relational conformance library, eval scorer).
+- ``state``     — per-partition lineage manifest, resume, metrics.
+
+Library code NEVER calls ``ray.init``/``ray.shutdown`` — the driver,
+``bench.py`` and the pytest session fixture own the Ray session
+(__ray_entry__.py contract).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,54 @@
+"""Pipeline configuration.
+
+One dataclass, explicitly sized for scale: partition count (lineage
+granularity), salt fan-out for skewed aggregations, actor-pool sizes and
+batch sizes for the stateful stages. Defaults are tuned for the 32-CPU
+sandbox; at cluster scale only these numbers change, not the code.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+def _default_cpus() -> int:
+    # nproc lies inside the sandbox; sched_getaffinity is truthful.
+    try:
+        return len(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        return os.cpu_count() or 8
+
+
+@dataclass
+class PipelineConfig:
+    """Knobs for the flagship KG-construction pipeline (SURVEY.md §3.2)."""
+
+    input_path: str = ""
+    output_path: str = "/tmp/antkg_out"
+    # Lineage/partition granularity: partition_id = stable_hash(doc_id) % partitions.
+    partitions: int = 8
+    # Salt fan-out for the two-phase skew-defusing canonicalization (A18).
+    salt: int = 8
+    # Extractor actor pool (A15): sentences per forward batch, pool size.
+    # Autoscaling (min, max) so the pool fits whatever CPU budget the
+    # current Ray session actually has (a fixed int would deadlock when
+    # the session is smaller than the pool).
+    extract_batch_size: int = 512
+    extract_concurrency: int | tuple[int, int] = field(
+        default_factory=lambda: (1, max(2, _default_cpus() - 2))
+    )
+    # Linker actor pool (A16).
+    link_batch_size: int = 1024
+    link_concurrency: int | tuple[int, int] = (1, 4)
+    # Link-score threshold: below it, the mention falls through to
+    # canonicalization-assigned ids.
+    link_threshold: float = 0.85
+    # Cap on mentions per sentence fed to the O(K^2) pair generator (A12).
+    max_mentions_per_sentence: int = 10
+    # Bounded provenance: at most this many doc ids collected per edge (A19).
+    max_docs_per_edge: int = 16
+    # Deterministic seed for the reference-spec checkpoint stand-in.
+    seed: int = 42
+    # Shuffle width for joins / grouped aggregations at this data size.
+    shuffle_partitions: int = 32

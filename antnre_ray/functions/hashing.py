@@ -1,0 +1,112 @@
+"""Stable hashing utilities.
+
+Two tiers, chosen deliberately (SURVEY.md §4.3 determinism rules):
+
+- **Cross-run-stable** hashes (``stable_u64``, ``stable_hex``,
+  ``span_fingerprints``): blake2b-based, identical across processes,
+  Python versions and library versions. Used for everything persisted or
+  compared across runs — entity ids, partition assignment, lineage
+  fingerprints, golden fixtures. Python-loop cost is paid only on
+  id-sized strings (cheap) or once per row (span fingerprint), never per
+  token.
+- **Within-run vectorized** hashes (``polars_u64``): polars' ahash with a
+  fixed seed — deterministic within a pinned environment, NOT guaranteed
+  across polars versions. Used only where cross-run stability is not
+  required (salt assignment, minhash base hashes, dedup bucketing whose
+  outputs are compared semantically, not by hash value).
+
+Never use Python's builtin ``hash`` (per-process randomized).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable
+
+import numpy as np
+import pyarrow as pa
+
+_MERSENNE_61 = (1 << 61) - 1
+
+
+def stable_u64(value: str | bytes) -> int:
+    """Cross-run-stable 64-bit hash of a string/bytes."""
+    if isinstance(value, str):
+        value = value.encode("utf-8", "surrogatepass")
+    return int.from_bytes(hashlib.blake2b(value, digest_size=8).digest(), "little")
+
+
+def stable_hex(value: str | bytes, length: int = 16) -> str:
+    """Cross-run-stable hex digest prefix (entity ids, fingerprints)."""
+    if isinstance(value, str):
+        value = value.encode("utf-8", "surrogatepass")
+    return hashlib.blake2b(value, digest_size=(length + 1) // 2).hexdigest()[:length]
+
+
+def stable_u64_array(values: Iterable[str]) -> np.ndarray:
+    """Cross-run-stable u64 per string. Loop is C-level hashlib; fine for
+    id-sized strings (≈1M/s). Hot row-scale hashing that only needs
+    within-run stability should use :func:`polars_u64` instead."""
+    b2 = hashlib.blake2b
+    return np.fromiter(
+        (int.from_bytes(b2(v.encode("utf-8", "surrogatepass"), digest_size=8).digest(), "little") for v in values),
+        dtype=np.uint64,
+    )
+
+
+def polars_u64(arr: "pa.Array | pa.ChunkedArray", seed: int = 42) -> np.ndarray:
+    """Vectorized u64 hash of an Arrow string/binary array via polars.
+
+    Within-run deterministic (fixed seed); not guaranteed stable across
+    polars versions — do not persist these values across runs.
+    """
+    import polars as pl
+
+    s = pl.from_arrow(arr if isinstance(arr, (pa.Array, pa.ChunkedArray)) else pa.array(arr))
+    return s.hash(seed=seed).to_numpy().astype(np.uint64, copy=False)
+
+
+def minhash_permute(base: np.ndarray, num_perm: int, seed: int = 42) -> np.ndarray:
+    """k universal-hash permutations of u64 base hashes.
+
+    ``h_i(x) = (a_i * x + b_i) mod M61`` with seeded odd multipliers —
+    the standard minhash permutation family, vectorized: input ``[n]``
+    base hashes → ``[num_perm, n]`` permuted values.
+    """
+    rng = np.random.default_rng(seed)
+    a = (rng.integers(1, _MERSENNE_61, size=num_perm, dtype=np.uint64) | np.uint64(1)) % np.uint64(_MERSENNE_61)
+    b = rng.integers(0, _MERSENNE_61, size=num_perm, dtype=np.uint64)
+    x = (base % np.uint64(_MERSENNE_61)).astype(np.uint64)
+    # Use object->uint128 avoidance: compute in python-int-free numpy via
+    # splitting is overkill at these sizes; float64 would lose precision.
+    # Do modmul in uint64 with overflow-safe 32-bit split.
+    return _modmul_add(a[:, None], x[None, :], b[:, None])
+
+
+def _modmul_add(a: np.ndarray, x: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a*x + b) mod 2^61-1 without 128-bit ints: split x into hi/lo 32-bit."""
+    M = np.uint64(_MERSENNE_61)
+    lo = x & np.uint64(0xFFFFFFFF)
+    hi = x >> np.uint64(32)
+    # a*lo fits? a < 2^61, lo < 2^32 → product < 2^93, overflows. Reduce a mod M first, then split a too.
+    a = a % M
+    a_lo = a & np.uint64(0xFFFFFFFF)
+    a_hi = a >> np.uint64(32)
+    # a*x mod M = (a_lo*lo + 2^32*(a_lo*hi + a_hi*lo) + 2^64*a_hi*hi) mod M
+    # 2^32 mod M and 2^64 mod M are small constants.
+    P32 = np.uint64((1 << 32) % _MERSENNE_61)
+    P64 = np.uint64((1 << 64) % _MERSENNE_61)
+    t0 = (a_lo * lo) % M          # < 2^64, no overflow (each < 2^32)
+    t1 = ((a_lo * hi) % M * P32) % M
+    t2 = ((a_hi * lo) % M * P32) % M
+    t3 = ((a_hi * hi) % M * P64) % M
+    return (t0 + t1 + t2 + t3 + b % M) % M
+
+
+def sha256_of_sorted(items: Iterable[str]) -> str:
+    """Order-insensitive content fingerprint (lineage manifests, A21)."""
+    h = hashlib.sha256()
+    for it in sorted(items):
+        h.update(it.encode("utf-8", "surrogatepass"))
+        h.update(b"\x00")
+    return h.hexdigest()

@@ -1,0 +1,351 @@
+"""The normative model spec — seeded stand-in for the reference checkpoint.
+
+`/root/reference` was empty and torch is unavailable (SURVEY.md §0), so
+"the reference AntNRE checkpoint's emitted triples" are operationally
+defined by THIS module (SURVEY.md §7.4.2): a joint NER+RE model with the
+reference architecture (char-CNN + word embedding → BiLSTM → CRF span
+detector; span pooling + type embedding → biaffine relation classifier;
+BASELINE.json:6) whose weights come from one seeded RNG plus
+lexicon/trigger feature biases, so the checkpoint behaves like a trained
+model on the closed-vocabulary fixture corpus (FIXTURES.md F1/F2): it
+recovers planted entities and relation templates with high accuracy
+while still exercising every kernel on real float math.
+
+Both the engine's ExtractorActor and the golden-fixture generator import
+`get_model()` / `extract_sentences()` from here — the P/R≥0.95 gate then
+measures PIPELINE fidelity (batching, decode, provenance), the part this
+repo controls. If a real checkpoint ever appears, only weight loading
+changes.
+
+Everything here is deterministic: one `default_rng(seed)` consumed in a
+fixed documented order; no wall-clock; lowest-index argmax ties.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .model import bilstm_forward, biaffine_score, char_cnn, crf_viterbi, decode_bio
+
+# ---------------------------------------------------------------- inventory
+ENT_TYPES = ["Peop", "Org", "Loc", "Other"]  # CoNLL04 inventory
+TAGS = ["O"] + [f"{p}-{t}" for t in ENT_TYPES for p in ("B", "I")]  # K=9, O=0
+TAG_TO_ID = {t: i for i, t in enumerate(TAGS)}
+RELATIONS = ["NONE", "Work_For", "Live_In", "OrgBased_In", "Located_In", "Kill"]
+REL_TO_ID = {r: i for i, r in enumerate(RELATIONS)}
+
+PERSONS = [
+    "alice smith", "bob jones", "carol diaz", "david lee", "emma brown",
+    "frank moore", "grace kim", "henry adams", "irene adler", "jack ryan",
+]
+ORGS = [
+    "acme corp", "globex inc", "initech", "umbrella co", "stark industries",
+    "wayne enterprises", "hooli", "vandelay industries",
+]
+LOCS = [
+    "berlin", "paris", "london", "tokyo", "madrid",
+    "oslo", "cairo", "sydney", "lima", "dublin",
+]
+OTHERS = ["gizmotron", "widgetron"]
+
+SURFACES: dict[str, list[str]] = {"Peop": PERSONS, "Org": ORGS, "Loc": LOCS, "Other": OTHERS}
+
+# Relation templates: (template, subj slot type, obj slot type, predicate,
+# trigger word). Slot order in the string == (subj, obj).
+TEMPLATES = [
+    ("{s} works for {o} .", "Peop", "Org", "Work_For", "works"),
+    ("{s} lives in {o} .", "Peop", "Loc", "Live_In", "lives"),
+    ("{s} is based in {o} .", "Org", "Loc", "OrgBased_In", "based"),
+    ("{s} is located in {o} .", "Loc", "Loc", "Located_In", "located"),
+    ("{s} killed {o} .", "Peop", "Peop", "Kill", "killed"),
+]
+FILLERS = [
+    "the quick brown fox jumps over the lazy dog .",
+    "nothing notable happened today .",
+    "numbers rose slightly in the third quarter .",
+    "several committees reviewed the annual budget .",
+]
+
+TRIGGER_TO_REL = {
+    "works": "Work_For", "employed": "Work_For",
+    "lives": "Live_In", "resides": "Live_In",
+    "based": "OrgBased_In", "headquartered": "OrgBased_In",
+    "located": "Located_In",
+    "killed": "Kill", "murdered": "Kill", "shot": "Kill",
+}
+TYPE_PAIR_TO_REL = {
+    ("Peop", "Org"): "Work_For",
+    ("Peop", "Loc"): "Live_In",
+    ("Org", "Loc"): "OrgBased_In",
+    ("Loc", "Loc"): "Located_In",
+    ("Peop", "Peop"): "Kill",
+}
+
+# Model dimensions (small on purpose: throughput engine, not accuracy SOTA).
+WORD_DIM, CHAR_DIM, CHAR_OUT, HIDDEN, TYPE_DIM = 32, 8, 16, 32, 8
+NONE_BASE = 11.0  # NONE wins unless type-pair + trigger + direction agree
+GAZ_BIAS = 10.0  # emission bias toward the gazetteer tag
+O_BIAS = 4.0  # emission bias toward O for non-gazetteer tokens
+PAIR_BIAS = 6.0
+TRIGGER_BIAS = 6.0
+DIR_BIAS = 2.0  # subj-precedes-obj positional feature (+/- on non-NONE labels)
+
+
+def _build_vocab() -> dict[str, int]:
+    words: list[str] = []
+    seen = set()
+
+    def add(w: str) -> None:
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+
+    for lst in SURFACES.values():
+        for s in lst:
+            for w in s.split():
+                add(w)
+    for tmpl, *_ in TEMPLATES:
+        for w in tmpl.replace("{s}", "").replace("{o}", "").split():
+            add(w)
+    for f in FILLERS:
+        for w in f.split():
+            add(w)
+    for w in TRIGGER_TO_REL:
+        add(w)
+    # ids: 0=PAD, 1=UNK, then the closed vocabulary in insertion order.
+    return {w: i + 2 for i, w in enumerate(words)}
+
+
+def _build_gazetteer() -> dict[str, int]:
+    """word → tag id (B-type for first word of a surface, I-type for rest).
+
+    First insertion wins on conflicts — insertion order is fixed by the
+    SURFACES literal above, so this is deterministic.
+    """
+    gaz: dict[str, int] = {}
+    for etype, lst in SURFACES.items():
+        for s in lst:
+            parts = s.split()
+            gaz.setdefault(parts[0], TAG_TO_ID[f"B-{etype}"])
+            for w in parts[1:]:
+                gaz.setdefault(w, TAG_TO_ID[f"I-{etype}"])
+    return gaz
+
+
+@dataclass
+class ModelSpec:
+    vocab: dict[str, int]
+    gazetteer: dict[str, int]
+    word_emb: np.ndarray  # [V, WORD_DIM]
+    char_emb: np.ndarray  # [C, CHAR_DIM]
+    char_W: np.ndarray
+    char_b: np.ndarray
+    lstm: dict = field(default_factory=dict)
+    emit_W: np.ndarray = None  # [2h, K]
+    emit_b: np.ndarray = None  # [K]
+    trans: np.ndarray = None  # [K, K]
+    start: np.ndarray = None
+    end: np.ndarray = None
+    type_emb: np.ndarray = None  # [4, TYPE_DIM]
+    U: np.ndarray = None  # [R, d, d]
+    W_rel: np.ndarray = None  # [R, 2d]
+    b_rel: np.ndarray = None  # [R]
+    tp_bias: np.ndarray = None  # [4, 4, R] type-pair bias
+    trig_bias: np.ndarray = None  # [n_triggers?] — realized per sentence
+    seed: int = 42
+
+    @property
+    def span_dim(self) -> int:
+        return 2 * HIDDEN + TYPE_DIM
+
+
+_MODEL_CACHE: dict[int, ModelSpec] = {}
+N_CHARS = 130  # 0=PAD, 1=OOV, 2..129 = printable ASCII by ord
+
+
+def char_id(ch: str) -> int:
+    o = ord(ch)
+    return o - 30 if 32 <= o < 127 else 1
+
+
+def get_model(seed: int = 42) -> ModelSpec:
+    """Build (once per process) the seeded reference-spec checkpoint.
+
+    RNG consumption order is part of the spec — do not reorder draws.
+    """
+    if seed in _MODEL_CACHE:
+        return _MODEL_CACHE[seed]
+    rng = np.random.default_rng(seed)
+    vocab = _build_vocab()
+    gaz = _build_gazetteer()
+    V = len(vocab) + 2
+    K, R = len(TAGS), len(RELATIONS)
+    f32 = np.float32
+
+    def draw(*shape, scale=0.1):
+        return (rng.standard_normal(shape) * scale).astype(f32)
+
+    word_emb = draw(V, WORD_DIM, scale=0.5)
+    char_emb = draw(N_CHARS, CHAR_DIM, scale=0.5)
+    char_W = draw(3 * CHAR_DIM, CHAR_OUT)
+    char_b = np.zeros(CHAR_OUT, f32)
+    D = WORD_DIM + CHAR_OUT
+    lstm = {
+        "Wx_f": draw(D, 4 * HIDDEN), "Wh_f": draw(HIDDEN, 4 * HIDDEN), "b_f": np.zeros(4 * HIDDEN, f32),
+        "Wx_b": draw(D, 4 * HIDDEN), "Wh_b": draw(HIDDEN, 4 * HIDDEN), "b_b": np.zeros(4 * HIDDEN, f32),
+    }
+    emit_W = draw(2 * HIDDEN, K)
+    emit_b = np.zeros(K, f32)
+    # CRF transitions: small noise + hard BIO structural constraints
+    # (I-Y reachable only from B-Y / I-Y).
+    trans = draw(K, K, scale=0.05)
+    for to_t, to_name in enumerate(TAGS):
+        if to_name.startswith("I-"):
+            ty = to_name[2:]
+            for fr, fr_name in enumerate(TAGS):
+                if fr_name not in (f"B-{ty}", f"I-{ty}"):
+                    trans[fr, to_t] = -10000.0
+    start = draw(K, scale=0.05)
+    for i, name in enumerate(TAGS):
+        if name.startswith("I-"):
+            start[i] = -10000.0
+    end = draw(K, scale=0.05)
+    type_emb = draw(len(ENT_TYPES), TYPE_DIM, scale=0.5)
+    d = 2 * HIDDEN + TYPE_DIM
+    U = draw(R, d, d, scale=0.05)
+    W_rel = draw(R, 2 * d, scale=0.05)
+    b_rel = np.zeros(R, f32)
+    b_rel[REL_TO_ID["NONE"]] = NONE_BASE
+    tp_bias = np.zeros((len(ENT_TYPES), len(ENT_TYPES), R), f32)
+    for (ts, to), rel in TYPE_PAIR_TO_REL.items():
+        tp_bias[ENT_TYPES.index(ts), ENT_TYPES.index(to), REL_TO_ID[rel]] = PAIR_BIAS
+    spec = ModelSpec(
+        vocab=vocab, gazetteer=gaz, word_emb=word_emb, char_emb=char_emb,
+        char_W=char_W, char_b=char_b, lstm=lstm, emit_W=emit_W, emit_b=emit_b,
+        trans=trans, start=start, end=end, type_emb=type_emb, U=U,
+        W_rel=W_rel, b_rel=b_rel, tp_bias=tp_bias, seed=seed,
+    )
+    _MODEL_CACHE[seed] = spec
+    return spec
+
+
+# ------------------------------------------------------------ inference path
+
+def extract_sentences(
+    model: ModelSpec,
+    token_lists: list[list[str]],
+    max_mentions: int = 10,
+) -> list[tuple[list[tuple[int, int, str, float]], list[tuple[int, int, str, float]]]]:
+    """Joint NER+RE over a batch of tokenized sentences.
+
+    Returns, per sentence: ``(mentions, triples)`` where mentions are
+    ``(start, end, ent_type, score)`` half-open token spans and triples
+    are ``(subj_mention_idx, obj_mention_idx, predicate, score)``.
+
+    The whole batch goes through ONE padded forward pass (A6–A13 fused:
+    SURVEY.md A15 — one model, one forward), but per-sentence results are
+    batching-independent (masked recurrence + per-row matmuls).
+    """
+    B = len(token_lists)
+    if B == 0:
+        return []
+    lengths = np.array([max(len(t), 1) for t in token_lists], dtype=np.int32)
+    T = int(lengths.max())
+    V_unk = 1
+    word_ids = np.zeros((B, T), dtype=np.int32)
+    gaz_tag = np.full((B, T), -1, dtype=np.int32)
+    vocab, gaz = model.vocab, model.gazetteer
+    max_wlen = 1
+    for i, toks in enumerate(token_lists):
+        for j, tok in enumerate(toks):
+            lo = tok.lower()
+            word_ids[i, j] = vocab.get(lo, V_unk)
+            g = gaz.get(lo, -1)
+            gaz_tag[i, j] = g
+            if len(tok) > max_wlen:
+                max_wlen = len(tok)
+    # Char features for every real token at once.
+    L = min(max_wlen, 16)
+    flat_tokens = [tok for toks in token_lists for tok in toks]
+    n_tok = len(flat_tokens)
+    char_ids = np.zeros((max(n_tok, 1), L), dtype=np.int32)
+    for k, tok in enumerate(flat_tokens):
+        for p, ch in enumerate(tok[:L]):
+            char_ids[k, p] = char_id(ch)
+    char_feats_flat = char_cnn(char_ids, model.char_emb, model.char_W, model.char_b)
+    char_feats = np.zeros((B, T, CHAR_OUT), dtype=np.float32)
+    k = 0
+    for i, toks in enumerate(token_lists):
+        n = len(toks)
+        char_feats[i, :n] = char_feats_flat[k : k + n]
+        k += n
+    mask = (np.arange(T)[None, :] < lengths[:, None]).astype(np.float32)
+
+    X = np.concatenate([model.word_emb[word_ids], char_feats], axis=-1)
+    H = bilstm_forward(X, mask, model.lstm)  # [B, T, 2h]
+
+    emissions = H @ model.emit_W + model.emit_b  # [B, T, K]
+    # Lexicon feature column: gazetteer hits push their tag, misses push O.
+    has_gaz = gaz_tag >= 0
+    emissions[..., 0] += np.where(has_gaz, 0.0, O_BIAS)
+    rows, cols = np.nonzero(has_gaz)
+    emissions[rows, cols, gaz_tag[rows, cols]] += GAZ_BIAS
+    tags = crf_viterbi(emissions, lengths, model.trans, model.start, model.end)
+
+    # Per-sentence span decode + relation candidates, then one batched
+    # biaffine scoring over ALL pairs in the batch.
+    results: list[tuple[list, list]] = []
+    all_subj_vecs, all_obj_vecs, pair_bias_rows, pair_meta = [], [], [], []
+    sent_mentions: list[list[tuple[int, int, str, float]]] = []
+    for i, toks in enumerate(token_lists):
+        n = len(toks)
+        if n == 0:
+            sent_mentions.append([])
+            continue
+        spans = decode_bio(list(tags[i, :n]), TAGS)[:max_mentions]
+        ments = []
+        span_vecs = []
+        for (s, e, etype) in spans:
+            vec = np.concatenate([H[i, s:e].mean(axis=0), model.type_emb[ENT_TYPES.index(etype)]])
+            span_vecs.append(vec)
+            score = float(emissions[i, s:e, TAG_TO_ID[f"B-{etype}"]].mean())
+            ments.append((s, e, etype, score))
+        sent_mentions.append(ments)
+        # Trigger features: relation-indicative words present in the sentence.
+        trig_vec = np.zeros(len(RELATIONS), dtype=np.float32)
+        for tok in toks:
+            rel = TRIGGER_TO_REL.get(tok.lower())
+            if rel is not None:
+                trig_vec[REL_TO_ID[rel]] = TRIGGER_BIAS
+        for a in range(len(ments)):
+            for bdx in range(len(ments)):
+                if a == bdx:
+                    continue
+                ta = ENT_TYPES.index(ments[a][2])
+                tb = ENT_TYPES.index(ments[bdx][2])
+                all_subj_vecs.append(span_vecs[a])
+                all_obj_vecs.append(span_vecs[bdx])
+                # Positional direction feature on non-NONE labels.
+                dir_vec = np.full(len(RELATIONS), DIR_BIAS if ments[a][0] < ments[bdx][0] else -DIR_BIAS, dtype=np.float32)
+                dir_vec[REL_TO_ID["NONE"]] = 0.0
+                pair_bias_rows.append(model.tp_bias[ta, tb] + trig_vec + dir_vec)
+                pair_meta.append((i, a, bdx))
+    if all_subj_vecs:
+        S = np.stack(all_subj_vecs).astype(np.float32)
+        O = np.stack(all_obj_vecs).astype(np.float32)
+        scores = biaffine_score(S, O, model.U, model.W_rel, model.b_rel)
+        scores += np.stack(pair_bias_rows)
+        best = scores.argmax(axis=1)  # lowest-index ties
+        best_scores = scores[np.arange(len(best)), best]
+    else:
+        best = np.zeros(0, dtype=np.int64)
+        best_scores = np.zeros(0, dtype=np.float32)
+    triples_per_sent: list[list[tuple[int, int, str, float]]] = [[] for _ in range(B)]
+    for (i, a, bdx), r, sc in zip(pair_meta, best, best_scores):
+        if RELATIONS[r] != "NONE":
+            triples_per_sent[i].append((a, bdx, RELATIONS[r], float(sc)))
+    for i in range(B):
+        results.append((sent_mentions[i], triples_per_sent[i]))
+    return results

@@ -1,0 +1,250 @@
+"""Interleaved-document corpus: schema, synthesis, derivation (FIXTURES.md F1/F2).
+
+The engine's canonical input is the driver-pinned shape
+(BASELINE.json:15 input_hint):
+
+    doc_id : string
+    spans  : list<struct<kind:string, text:string, media_ref:string, offset:int32>>
+
+Two producers of that shape live here, both bit-deterministic (every
+row a pure function of ``doc_id``/seed via cross-run-stable hashes):
+
+- :func:`synthesize_documents` — pure-synthetic fixture corpus over the
+  closed reference-spec vocabulary, with gold annotations known by
+  construction (F2) and the edge rows F1 mandates (empty doc,
+  media-only doc, giant span, unicode).
+- :func:`derive_interleaved` — derives an interleaved corpus from the
+  driver's ``documents.parquet`` (doc_id:int64, text, …): splits the
+  source text into chunks, interleaves planted template sentences (so
+  extraction has signal at bench scale) and media spans. Runs as a
+  stateless ``map_batches`` over the pruned 2-column read.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.hashing import stable_u64
+from ..functions.reference_spec import SURFACES, TEMPLATES
+
+SPAN_STRUCT = pa.struct(
+    [
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("offset", pa.int32()),
+    ]
+)
+DOCUMENTS_SCHEMA = pa.schema(
+    [pa.field("doc_id", pa.string()), pa.field("spans", pa.list_(SPAN_STRUCT))]
+)
+
+# TEMPLATES entries are ("{s} … {o} .", subj_type, obj_type, pred, trigger);
+# pre-split token parts so gold token spans are known without re-tokenizing.
+_TEMPLATE_PARTS = []
+for _tmpl, _st, _ot, _pred, _trig in TEMPLATES:
+    _pre, _rest = _tmpl.split("{s}")
+    _mid, _post = _rest.split("{o}")
+    _TEMPLATE_PARTS.append(
+        (_pre.split(), _mid.split(), _post.split(), _st, _ot, _pred)
+    )
+
+_FILLERS = [
+    "the quick brown fox jumps over the lazy dog .",
+    "nothing notable happened today .",
+    "numbers rose slightly in the third quarter .",
+    "several committees reviewed the annual budget .",
+]
+
+
+def plant_sentence(u: int) -> tuple[str, list[tuple[int, int, str]], tuple[int, int, str]]:
+    """Deterministically instantiate a relation template from a u64 draw.
+
+    Returns ``(sentence_text, gold_entities, gold_relation)`` with
+    half-open token spans; gold_relation indexes into gold_entities.
+    """
+    pre, mid, post, st, ot, pred = _TEMPLATE_PARTS[u % len(_TEMPLATE_PARTS)]
+    subs = SURFACES[st]
+    obs = SURFACES[ot]
+    s_i = (u >> 8) % len(subs)
+    o_i = (u >> 16) % len(obs)
+    if st == ot and s_i == o_i:
+        o_i = (o_i + 1) % len(obs)
+    s_toks = subs[s_i].split()
+    o_toks = obs[o_i].split()
+    toks = pre + s_toks + mid + o_toks + post
+    s_start = len(pre)
+    s_end = s_start + len(s_toks)
+    o_start = s_end + len(mid)
+    o_end = o_start + len(o_toks)
+    ents = [(s_start, s_end, st), (o_start, o_end, ot)]
+    return " ".join(toks), ents, (0, 1, pred)
+
+
+def _spans_table(doc_ids: list[str], flat: dict, offsets: list[int]) -> pa.Table:
+    """Assemble the list<struct> spans column from flat builders."""
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(flat["kind"], pa.string()),
+            pa.array(flat["text"], pa.string()),
+            pa.array(flat["media_ref"], pa.string()),
+            pa.array(flat["offset"], pa.int32()),
+        ],
+        fields=list(SPAN_STRUCT),
+    )
+    spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+    return pa.Table.from_arrays([pa.array(doc_ids, pa.string()), spans], schema=DOCUMENTS_SCHEMA)
+
+
+def _append_span(flat: dict, kind: str, text: str, media_ref: str, offset: int) -> int:
+    flat["kind"].append(kind)
+    flat["text"].append(text)
+    flat["media_ref"].append(media_ref)
+    flat["offset"].append(offset)
+    return offset + (len(text) if kind == "text" else 1)
+
+
+def synthesize_documents(n_docs: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
+    """Pure-synthetic corpus + gold annotations (FIXTURES.md F1 tiny/small).
+
+    Gold schema (F2): doc_id, sent_id(=planted sentence ordinal),
+    tokens, entities list<struct<start,end,ent_type>>,
+    relations list<struct<subj_idx,obj_idx,pred>>.
+    """
+    doc_ids: list[str] = []
+    flat = {"kind": [], "text": [], "media_ref": [], "offset": []}
+    offsets = [0]
+    g_doc, g_sent, g_toks, g_ents, g_rels = [], [], [], [], []
+    for i in range(n_docs):
+        doc_id = f"doc-{i:08d}"
+        doc_ids.append(doc_id)
+        u = stable_u64(f"{seed}|doc|{doc_id}")
+        mode = u % 101
+        if mode == 0 and i > 0:  # empty-spans edge doc
+            offsets.append(len(flat["kind"]))
+            continue
+        off = 0
+        if mode == 1 and i > 0:  # media-only edge doc
+            off = _append_span(flat, "image", "", f"media://img/{i}_0", off)
+            off = _append_span(flat, "audio", "", f"media://aud/{i}_1", off)
+            offsets.append(len(flat["kind"]))
+            continue
+        n_sent = 2 + u % 5
+        sent_ordinal = 0
+        for k in range(n_sent):
+            v = stable_u64(f"{seed}|sent|{doc_id}|{k}")
+            if v % 3 == 0:  # filler sentence
+                text = _FILLERS[v % len(_FILLERS)]
+            else:  # planted relation sentence with known gold
+                text, ents, rel = plant_sentence(v)
+                g_doc.append(doc_id)
+                g_sent.append(sent_ordinal)
+                g_toks.append(text.split())
+                g_ents.append([{"start": s, "end": e, "ent_type": t} for s, e, t in ents])
+                g_rels.append([{"subj_idx": rel[0], "obj_idx": rel[1], "pred": rel[2]}])
+            if mode == 2 and k == 0:  # unicode edge doc (NFKC-normalizable)
+                text = text.replace("a", "ａ", 1)  # fullwidth a
+            off = _append_span(flat, "text", text + " ", "", off)
+            sent_ordinal += 1
+            if v % 10 < 3:  # interleave a media span
+                kind = "image" if v % 2 == 0 else "audio"
+                off = _append_span(flat, kind, "", f"media://{kind[:3]}/{i}_{k}", off)
+        if mode == 3:  # giant single text span (≥10 kchars)
+            off = _append_span(flat, "text", ("lorem ipsum dolor sit amet . " * 400), "", off)
+        offsets.append(len(flat["kind"]))
+    docs = _spans_table(doc_ids, flat, offsets)
+    gold = pa.table(
+        {
+            "doc_id": pa.array(g_doc, pa.string()),
+            "sent_id": pa.array(g_sent, pa.int32()),
+            "tokens": pa.array(g_toks, pa.list_(pa.string())),
+            "entities": pa.array(
+                g_ents,
+                pa.list_(pa.struct([("start", pa.int32()), ("end", pa.int32()), ("ent_type", pa.string())])),
+            ),
+            "relations": pa.array(
+                g_rels,
+                pa.list_(pa.struct([("subj_idx", pa.int32()), ("obj_idx", pa.int32()), ("pred", pa.string())])),
+            ),
+        }
+    )
+    return docs, gold
+
+
+def derive_batch(batch: pa.Table, seed: int = 42, repeat_tag: str = "") -> pa.Table:
+    """Derive interleaved documents from driver documents rows (F1 rule).
+
+    Pure function of (doc_id, text, seed): chunk the source text at
+    sentence boundaries into ≤3 text spans, interleave 1–3 planted
+    template sentences and media spans, with the F1 edge rows at fixed
+    hash residues. ``repeat_tag`` suffixes doc_id for bench replication.
+    """
+    from ..functions.tokenize import split_sentences
+
+    src_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    doc_ids: list[str] = []
+    flat = {"kind": [], "text": [], "media_ref": [], "offset": []}
+    offsets = [0]
+    for rid, text in zip(src_ids, texts):
+        doc_id = f"doc-{rid:08d}{repeat_tag}"
+        doc_ids.append(doc_id)
+        u = stable_u64(f"{seed}|derive|{doc_id}")
+        mode = u % 101
+        if mode == 0:
+            offsets.append(len(flat["kind"]))
+            continue
+        off = 0
+        if mode == 1:
+            off = _append_span(flat, "image", "", f"media://img/{doc_id}_0", off)
+            offsets.append(len(flat["kind"]))
+            continue
+        sents = [s for _, s in split_sentences(text or "")]
+        n_chunks = max(1, min(3, 1 + u % 3))
+        chunk_size = max(1, (len(sents) + n_chunks - 1) // n_chunks) if sents else 1
+        chunks = [" ".join(sents[i : i + chunk_size]) for i in range(0, len(sents), chunk_size)] or [""]
+        n_plant = 1 + (u >> 32) % 3
+        planted = [plant_sentence(stable_u64(f"{seed}|plant|{doc_id}|{k}"))[0] for k in range(n_plant)]
+        media_k = 0
+        for ci, chunk in enumerate(chunks):
+            if chunk:
+                off = _append_span(flat, "text", chunk + " ", "", off)
+            if ci < len(planted):
+                off = _append_span(flat, "text", planted[ci] + " ", "", off)
+            if stable_u64(f"{seed}|media|{doc_id}|{ci}") % 10 < 3:
+                kind = "image" if media_k % 2 == 0 else "audio"
+                off = _append_span(flat, kind, "", f"media://{kind[:3]}/{doc_id}_{media_k}", off)
+                media_k += 1
+        for k in range(len(chunks), n_plant):  # leftover planted sentences
+            off = _append_span(flat, "text", planted[k] + " ", "", off)
+        offsets.append(len(flat["kind"]))
+    return _spans_table(doc_ids, flat, offsets)
+
+
+def derive_interleaved(
+    documents_parquet: str, seed: int = 42, repeat: int = 1, **read_kwargs
+) -> ray.data.Dataset:
+    """Driver documents.parquet → interleaved-document Dataset (pruned read).
+
+    ``repeat > 1`` unions R derived copies with distinct doc_id suffixes
+    (bench corpus replication, BASELINE.md protocol).
+    """
+    base = ray.data.read_parquet(documents_parquet, columns=["doc_id", "text"], **read_kwargs)
+    parts = []
+    for r in range(repeat):
+        tag = f"#r{r}" if repeat > 1 else ""
+        parts.append(
+            base.map_batches(
+                derive_batch,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                fn_kwargs={"seed": seed, "repeat_tag": tag},
+            )
+        )
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds

@@ -1,0 +1,109 @@
+"""A15 — the stateful NER+RE extractor stage (actor pool).
+
+``ExtractorActor`` is the composite of SURVEY.md A6–A14 as ONE batched
+stage: vocab/char lookup → char-CNN → BiLSTM → CRF Viterbi → BIO span
+decode → span pooling → biaffine pair scoring → triple emission, all in
+one forward so the contextual states ``H`` never cross a stage boundary
+(SURVEY.md A14 note). The model (the seeded reference-spec checkpoint
+stand-in, functions/reference_spec.py) is loaded once per actor in
+``__init__`` — the canonical map_batches actor-pool pattern.
+
+sentences → extractions (one row per sentence, nested results):
+
+    doc_id, part_id, sent_id, sent_start,
+    mentions: list<struct<start,end,ent_type,surface,score>>,
+    triples:  list<struct<subj_idx,obj_idx,pred,score>>
+
+Nesting keeps provenance without re-running the model for mentions vs
+triples; downstream stages explode cheaply (stages/explode.py).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from ..config import PipelineConfig
+from ..functions.reference_spec import extract_sentences, get_model
+
+MENTION_STRUCT = pa.struct(
+    [
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("ent_type", pa.string()),
+        ("surface", pa.string()),
+        ("score", pa.float32()),
+    ]
+)
+TRIPLE_STRUCT = pa.struct(
+    [
+        ("subj_idx", pa.int32()),
+        ("obj_idx", pa.int32()),
+        ("pred", pa.string()),
+        ("score", pa.float32()),
+    ]
+)
+EXTRACTIONS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("part_id", pa.int32()),
+        ("sent_id", pa.int32()),
+        ("sent_start", pa.int32()),
+        ("mentions", pa.list_(MENTION_STRUCT)),
+        ("triples", pa.list_(TRIPLE_STRUCT)),
+    ]
+)
+
+
+class ExtractorActor:
+    """Stateful extractor: model weights live for the actor's lifetime."""
+
+    def __init__(self, seed: int = 42, max_mentions: int = 10):
+        self.model = get_model(seed)
+        self.max_mentions = max_mentions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        token_lists = batch.column("tokens").to_pylist()
+        texts = batch.column("text").to_pylist()
+        tok_offs = batch.column("tok_offsets").to_pylist()
+        results = extract_sentences(self.model, token_lists, self.max_mentions)
+        mentions_col, triples_col = [], []
+        for toks, text, offs, (ments, trips) in zip(token_lists, texts, tok_offs, results):
+            mrows = []
+            for (s, e, etype, score) in ments:
+                surface = text[offs[s] : offs[e - 1] + len(toks[e - 1])]
+                mrows.append(
+                    {"start": s, "end": e, "ent_type": etype, "surface": surface, "score": score}
+                )
+            mentions_col.append(mrows)
+            triples_col.append(
+                [
+                    {"subj_idx": a, "obj_idx": b, "pred": p, "score": sc}
+                    for (a, b, p, sc) in trips
+                ]
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "part_id": batch.column("part_id"),
+                "sent_id": batch.column("sent_id"),
+                "sent_start": batch.column("sent_start"),
+                "mentions": pa.array(mentions_col, pa.list_(MENTION_STRUCT)),
+                "triples": pa.array(triples_col, pa.list_(TRIPLE_STRUCT)),
+            },
+            schema=EXTRACTIONS_SCHEMA,
+        )
+
+
+def extract(ds: ray.data.Dataset, cfg: PipelineConfig | None = None) -> ray.data.Dataset:
+    cfg = cfg or PipelineConfig()
+    return ds.map_batches(
+        ExtractorActor,
+        fn_constructor_kwargs={"seed": cfg.seed, "max_mentions": cfg.max_mentions_per_sentence},
+        batch_size=cfg.extract_batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=cfg.extract_concurrency,
+        num_cpus=1,
+    )
