@@ -19,8 +19,11 @@ import ray.data
 
 from ..config import PipelineConfig
 from ..stages.assemble import assemble, assemble_batch
-from ..stages.explode import mentions_table, triples_batch, triples_table
+from ..stages.canonicalize import canonicalize, canonicalize_local
+from ..stages.explode import mentions_batch, mentions_table, triples_batch, triples_table
 from ..stages.extract import ExtractorActor, extract
+from ..stages.link import LinkerActor, build_linker_state, link
+from ..stages.materialize import materialize_graph, materialize_local
 from ..stages.sentencize import sentencize, sentencize_batch
 from ..stages.validate import validate, validate_batch
 
@@ -36,6 +39,11 @@ def extractions_from_documents(
     return extract(ds, cfg)
 
 
+def linked_extractions(ds: ray.data.Dataset, cfg: PipelineConfig | None = None) -> ray.data.Dataset:
+    """documents → extractions with alias/kNN-linked mentions (A2→A16)."""
+    return link(extractions_from_documents(ds, cfg), cfg)
+
+
 def flagship_triples(ds: ray.data.Dataset, cfg: PipelineConfig | None = None) -> ray.data.Dataset:
     """documents Dataset → exploded triples Dataset."""
     return triples_table(extractions_from_documents(ds, cfg))
@@ -43,6 +51,38 @@ def flagship_triples(ds: ray.data.Dataset, cfg: PipelineConfig | None = None) ->
 
 def flagship_mentions(ds: ray.data.Dataset, cfg: PipelineConfig | None = None) -> ray.data.Dataset:
     return mentions_table(extractions_from_documents(ds, cfg))
+
+
+def flagship_graph(
+    ds: ray.data.Dataset, cfg: PipelineConfig | None = None
+) -> dict[str, ray.data.Dataset]:
+    """The full flagship: documents → {triples, entities, adjacency}.
+
+    One extraction+linking stream feeds both wide consumers; the stream
+    stays lazy until each output is consumed/written.
+    """
+    cfg = cfg or PipelineConfig()
+    linked = linked_extractions(ds, cfg)
+    triples = triples_table(linked)
+    mentions = mentions_table(linked)
+    entities = canonicalize(mentions, cfg)
+    adjacency = materialize_graph(triples, cfg)
+    return {"triples": triples, "mentions": mentions, "entities": entities, "adjacency": adjacency}
+
+
+# ------------------------------------------------------ no-Ray reference path
+
+def reference_graph(docs: pa.Table, cfg: PipelineConfig | None = None) -> dict[str, pa.Table]:
+    """Single-process twin of :func:`flagship_graph` (goldens/tests)."""
+    cfg = cfg or PipelineConfig()
+    ext = reference_extractions(docs, cfg)
+    linker = LinkerActor(build_linker_state(), threshold=cfg.link_threshold)
+    linked = linker(ext)
+    triples = triples_batch(linked)
+    mentions = mentions_batch(linked)
+    entities = canonicalize_local(mentions, salt=cfg.salt)
+    adjacency = materialize_local(triples, max_docs=cfg.max_docs_per_edge)
+    return {"triples": triples, "mentions": mentions, "entities": entities, "adjacency": adjacency}
 
 
 # ------------------------------------------------------ no-Ray reference path

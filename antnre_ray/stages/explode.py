@@ -27,8 +27,10 @@ def mentions_batch(batch: pa.Table) -> pa.Table:
         "part_id": batch.column("part_id").take(parent),
         "sent_id": batch.column("sent_id").take(parent),
     }
-    for f in ("start", "end", "ent_type", "surface", "score"):
-        cols[f] = flat.field(f)
+    present = {f.name for f in flat.type}
+    for f in ("start", "end", "ent_type", "surface", "score", "entity_id", "link_score"):
+        if f in present:
+            cols[f] = flat.field(f)
     return pa.table(cols)
 
 
@@ -53,10 +55,10 @@ def triples_batch(batch: pa.Table) -> pa.Table:
     obj = mflat.take(obj_abs)
 
     def _span_struct(s: pa.StructArray) -> pa.StructArray:
-        return pa.StructArray.from_arrays(
-            [s.field("surface"), s.field("ent_type"), s.field("start"), s.field("end")],
-            names=["surface", "ent_type", "start", "end"],
-        )
+        names = ["surface", "ent_type", "start", "end"]
+        if "entity_id" in {f.name for f in s.type}:
+            names += ["entity_id", "link_score"]
+        return pa.StructArray.from_arrays([s.field(n) for n in names], names=names)
 
     return pa.table(
         {

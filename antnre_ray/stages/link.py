@@ -1,0 +1,175 @@
+"""A16 — entity linking: actor-held alias dictionary + embedding kNN.
+
+Per mention: exact lookup of the NORMALIZED surface in an alias
+dictionary (type-checked); on miss, cosine nearest-neighbor of the
+surface's char-n-gram embedding against the entity embedding matrix,
+accepted above a threshold (BASELINE.json:6 "actor-held alias
+dictionary + embedding nearest-neighbor scoring").
+
+Mentions that neither path links get a locally-computable canonical id
+``c:<hash(norm_key|type)>`` — the same id A18's canonicalization
+assigns — so downstream graph materialization needs NO join against the
+entities table: every batch resolves its own node ids. That removes an
+all-to-all shuffle from the hot path at 100 TB (SURVEY.md §2A A16/A18).
+
+Broadcast pattern: the linker state (alias dict + embedding matrix) is
+built once on the driver, ``ray.put`` once, and each actor ``ray.get``s
+the ref in ``__init__`` (zero-copy shared-memory read per node) — never
+re-shipped per batch. Plain objects are also accepted so the no-Ray
+reference path and unit tests work without a cluster.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..config import PipelineConfig
+from ..functions.embed import embed_string, embed_strings
+from ..functions.hashing import stable_hex
+from ..functions.normalize import normalize_surfaces
+from ..functions.reference_spec import SURFACES
+from .extract import EXTRACTIONS_SCHEMA
+
+LINKED_MENTION_STRUCT = pa.struct(
+    [
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("ent_type", pa.string()),
+        ("surface", pa.string()),
+        ("score", pa.float32()),
+        ("entity_id", pa.string()),
+        ("link_score", pa.float32()),
+    ]
+)
+
+
+@dataclass
+class LinkerState:
+    """Alias dict + entity embedding index (FIXTURES.md F3)."""
+
+    alias: dict[str, tuple[str, str, float]]  # norm_alias -> (entity_id, ent_type, prior)
+    entity_ids: list[str]
+    entity_types: list[str]
+    emb: np.ndarray  # [E, dim] unit rows
+
+
+def canonical_id(norm_key: str, ent_type: str) -> str:
+    """The join-free fallback node id; A18 assigns the identical id."""
+    return "c:" + stable_hex(f"{norm_key}|{ent_type}")
+
+
+def build_linker_state() -> LinkerState:
+    """Deterministic KB from the reference-spec surface inventory: one
+    entity per (type, surface), aliases = surface + case/punct variants."""
+    alias: dict[str, tuple[str, str, float]] = {}
+    ids: list[str] = []
+    types: list[str] = []
+    forms: list[str] = []
+    for etype, surfaces in SURFACES.items():
+        for s in surfaces:
+            eid = "e:" + stable_hex(f"{etype}|{s}")
+            ids.append(eid)
+            types.append(etype)
+            forms.append(s)
+            for variant in (s, s.title(), s.upper(), s.replace(" ", ", ")):
+                norm = _norm_one(variant)
+                alias.setdefault(norm, (eid, etype, 1.0))
+    return LinkerState(alias=alias, entity_ids=ids, entity_types=types, emb=embed_strings(forms))
+
+
+def _norm_one(s: str) -> str:
+    return normalize_surfaces(pa.array([s]))[0].as_py()
+
+
+class LinkerActor:
+    """Stateful linker: KB loaded once per actor; per-surface result cache
+    (head surfaces dominate real corpora, so the hit rate is high)."""
+
+    def __init__(self, state, threshold: float = 0.85):
+        if isinstance(state, ray.ObjectRef):
+            state = ray.get(state)
+        self.state: LinkerState = state
+        self.threshold = threshold
+        self._cache: dict[tuple[str, str], tuple[str, float]] = {}
+
+    def _link_one(self, norm: str, etype: str) -> tuple[str, float]:
+        key = (norm, etype)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        st = self.state
+        out: tuple[str, float]
+        a = st.alias.get(norm)
+        if a is not None and a[1] == etype:
+            out = (a[0], float(a[2]))
+        else:
+            q = embed_string(norm)
+            sims = st.emb @ q
+            best = int(np.argmax(sims)) if len(sims) else -1
+            if best >= 0 and float(sims[best]) >= self.threshold and st.entity_types[best] == etype:
+                out = (st.entity_ids[best], float(sims[best]))
+            else:
+                out = (canonical_id(norm, etype), 0.0)
+        if len(self._cache) < 200_000:
+            self._cache[key] = out
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ments = batch.column("mentions")
+        if isinstance(ments, pa.ChunkedArray):
+            ments = ments.combine_chunks()
+        flat = ments.flatten()
+        surfaces = flat.field("surface")
+        types = flat.field("ent_type").to_pylist()
+        norms = normalize_surfaces(surfaces).to_pylist()
+        eids: list[str] = []
+        scores: list[float] = []
+        for norm, etype in zip(norms, types):
+            eid, sc = self._link_one(norm, etype)
+            eids.append(eid)
+            scores.append(sc)
+        linked_flat = pa.StructArray.from_arrays(
+            [
+                flat.field("start"),
+                flat.field("end"),
+                flat.field("ent_type"),
+                flat.field("surface"),
+                flat.field("score"),
+                pa.array(eids, pa.string()),
+                pa.array(scores, pa.float32()),
+            ],
+            fields=list(LINKED_MENTION_STRUCT),
+        )
+        linked = pa.ListArray.from_arrays(ments.offsets, linked_flat)
+        idx = batch.schema.get_field_index("mentions")
+        return batch.set_column(idx, "mentions", linked)
+
+
+def link(
+    ds: ray.data.Dataset,
+    cfg: PipelineConfig | None = None,
+    state_ref=None,
+) -> ray.data.Dataset:
+    """extractions → extractions with linked mentions (actor pool).
+
+    ``state_ref`` should be a ``ray.put`` ObjectRef of a LinkerState so
+    the KB ships once into the object store, not once per task.
+    """
+    cfg = cfg or PipelineConfig()
+    if state_ref is None:
+        state_ref = ray.put(build_linker_state())
+    return ds.map_batches(
+        LinkerActor,
+        fn_constructor_kwargs={"state": state_ref, "threshold": cfg.link_threshold},
+        batch_size=cfg.link_batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=cfg.link_concurrency,
+        num_cpus=1,
+    )
