@@ -1,0 +1,51 @@
+"""KG-pipeline queries for the driver harness: the flagship stages over
+the interleaved corpus derived from each sf_dir's documents.parquet.
+
+No SQL oracles — joint NER+RE extraction is not SQL-expressible — so the
+driver records rows-only checks; determinism and golden-equality are
+covered by tests/test_flagship_golden.py instead."""
+
+from __future__ import annotations
+
+import ray.data
+
+from ..config import PipelineConfig
+from ..sources.corpus import derive_interleaved
+from .flagship import (
+    extractions_from_documents,
+    flagship_graph,
+    flagship_triples,
+    linked_extractions,
+)
+from .registry import register
+
+
+def _corpus(sf_dir: str) -> ray.data.Dataset:
+    return derive_interleaved(f"{sf_dir}/documents.parquet")
+
+
+@register("kg_extractions", None)
+def kg_extractions(sf_dir: str) -> ray.data.Dataset:
+    return extractions_from_documents(_corpus(sf_dir))
+
+
+@register("kg_triples", None)
+def kg_triples(sf_dir: str) -> ray.data.Dataset:
+    return flagship_triples(_corpus(sf_dir))
+
+
+@register("kg_linked_triples", None)
+def kg_linked_triples(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.explode import triples_table
+
+    return triples_table(linked_extractions(_corpus(sf_dir)))
+
+
+@register("kg_entities", None)
+def kg_entities(sf_dir: str) -> ray.data.Dataset:
+    return flagship_graph(_corpus(sf_dir))["entities"]
+
+
+@register("kg_adjacency", None)
+def kg_adjacency(sf_dir: str) -> ray.data.Dataset:
+    return flagship_graph(_corpus(sf_dir))["adjacency"]

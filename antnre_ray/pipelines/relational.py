@@ -1,0 +1,869 @@
+"""B-operator library: the relational core, each op as a Ray Data query
+with a DuckDB oracle (SURVEY.md §2B; driver contract __ray_entry__.py).
+
+Every entry in ``QUERIES`` maps name → (callable(sf_dir) → Dataset/Table,
+oracle SQL or None). Column names in the Ray result and the SQL aliases
+match EXACTLY (the driver's compare sorts columns by name before
+hashing). Conventions:
+
+- reads always prune columns (``read_parquet(columns=[...])``);
+- stateless transforms are pure-Arrow ``map_batches`` (zero-copy);
+- large⋈large joins use ``Dataset.join`` (hash shuffle);
+- small sides broadcast via ``ray.put`` once, ``ray.get`` per task from
+  node-local shared memory — never a shuffle;
+- grouped aggregates pre-combine per batch before the groupby where the
+  reduction allows it;
+- floats that would compare bit-wise against DuckDB are either computed
+  by the same IEEE expression or excluded from the output (ranks
+  instead of scores).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from .registry import QUERIES, register  # noqa: F401  (shared registry)
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _read_small(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
+    """Driver-side read of a dimension table destined for broadcast."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _join_partitions() -> int:
+    """Shuffle width for Dataset.join, sized to the live cluster: join
+    aggregators are actors needing a CPU each — oversubscribing the
+    session (e.g. 32 partitions on 8 CPUs) serializes them and multiplies
+    wall time ~30x (measured). Scale with the cluster, floor 4."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(4, min(64, cpus))
+
+
+def _round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
+    p = 10.0 ** nd
+    return np.copysign(np.trunc(np.abs(np.asarray(x, dtype=np.float64)) * p + 0.5), x) / p
+
+
+def _round_cols(ds: ray.data.Dataset, digits: dict[str, int]) -> ray.data.Dataset:
+    """Round float aggregate outputs (both the Ray result and the SQL
+    oracle round identically): distributed float sums are order-dependent
+    in the last ulps, so unrounded sums can never hash-match an oracle.
+    Replicates DuckDB's ROUND bit-for-bit: round(|x|·10^nd + 0.5) away
+    from zero, then one correctly-rounded division by 10^nd (pc.round's
+    own scaling differs in the last ulp, so it is NOT used)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        for col, nd in digits.items():
+            i = b.schema.get_field_index(col)
+            x = b.column(col).to_numpy(zero_copy_only=False)
+            b = b.set_column(i, col, pa.array(_round_half_away(x, nd), pa.float64()))
+        return b
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------- B4/B8 projection
+
+@register(
+    "b04_project_compute",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) AS revenue,
+              l_quantity * 2.0 AS double_qty
+       FROM lineitem""",
+)
+def b04_project_compute(sf_dir: str) -> ray.data.Dataset:
+    def fn(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_linenumber": b.column("l_linenumber"),
+                "revenue": rev,
+                "double_qty": pc.multiply(b.column("l_quantity"), pa.scalar(2.0)),
+            }
+        )
+
+    return _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity"]
+    ).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------- B5 filter
+
+@register(
+    "b05_filter",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+       FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'""",
+)
+def b05_filter(sf_dir: str) -> ray.data.Dataset:
+    def fn(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater(b.column("l_quantity"), 45), pc.equal(b.column("l_returnflag"), "R"))
+        return b.filter(m)
+
+    return _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ------------------------------------------------------ B6 string functions
+
+@register(
+    "b06_string_funcs",
+    """SELECT c_custkey, lower(c_name) AS name_lower,
+              substring(c_name, 1, 9) AS name_prefix,
+              length(c_name) AS name_len,
+              (c_mktsegment LIKE '%ING%') AS seg_ing
+       FROM customer""",
+)
+def b06_string_funcs(sf_dir: str) -> ray.data.Dataset:
+    def fn(b: pa.Table) -> pa.Table:
+        name = b.column("c_name")
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "name_lower": pc.utf8_lower(name),
+                "name_prefix": pc.utf8_slice_codeunits(name, 0, 9),
+                "name_len": pc.cast(pc.utf8_length(name), pa.int64()),
+                "seg_ing": pc.match_substring(b.column("c_mktsegment"), "ING"),
+            }
+        )
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# -------------------------------------------------------- B7 date functions
+
+@register(
+    "b07_date_funcs",
+    """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS order_year,
+              CAST(date_part('month', o_orderdate) AS BIGINT) AS order_month,
+              count(*) AS n_orders,
+              ROUND(sum(o_totalprice), 2) AS sum_price
+       FROM orders GROUP BY order_year, order_month""",
+)
+def b07_date_funcs(sf_dir: str) -> ray.data.Dataset:
+    def fn(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        t = pa.table(
+            {
+                "order_year": pc.cast(pc.year(d), pa.int64()),
+                "order_month": pc.cast(pc.month(d), pa.int64()),
+                "o_totalprice": b.column("o_totalprice"),
+            }
+        )
+        # per-batch combiner before the shuffle
+        g = t.group_by(["order_year", "order_month"]).aggregate([([], "count_all"), ("o_totalprice", "sum")])
+        return g.rename_columns(["order_year", "order_month", "n_orders", "sum_price"])
+
+    pre = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = pre.groupby(["order_year", "order_month"]).aggregate(
+        Sum("n_orders", alias_name="n_orders"), Sum("sum_price", alias_name="sum_price")
+    )
+    return _round_cols(out, {"sum_price": 2})
+
+
+# ------------------------------------------------------------- B9 JSON
+
+@register(
+    "b09_json_extract",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+       FROM events""",
+)
+def b09_json_extract(sf_dir: str) -> ray.data.Dataset:
+    def fn(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        k = pl.from_arrow(b.column("props")).str.json_path_match("$.k").cast(pl.Int64)
+        return pa.table({"event_id": b.column("event_id"), "k_val": k.to_arrow()})
+
+    return _read(sf_dir, "events", ["event_id", "props"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ----------------------------------------------------------- B10 list ops
+
+@register(
+    "b10_list_funcs",
+    """SELECT vec_id, len(embedding) AS emb_len,
+              CAST(embedding[1] AS DOUBLE) AS first_dim
+       FROM embeddings""",
+)
+def b10_list_funcs(sf_dir: str) -> ray.data.Dataset:
+    def fn(b: pa.Table) -> pa.Table:
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        first = emb.flatten().take(emb.offsets.slice(0, len(emb)))
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "emb_len": pc.cast(pc.list_value_length(emb), pa.int64()),
+                "first_dim": pc.cast(first, pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ------------------------------------------------------- B11 hash join
+
+@register(
+    "b11_hash_join",
+    """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus,
+              l_extendedprice, o_totalprice
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+)
+def b11_hash_join(sf_dir: str) -> ray.data.Dataset:
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
+    j = li.join(orders, join_type="inner", num_partitions=_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",))
+    return j.select_columns(
+        ["l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus", "l_extendedprice", "o_totalprice"]
+    )
+
+
+# -------------------------------------------------- B12 broadcast join
+
+class _BroadcastLookup:
+    """Small-side hash lookup held once per actor (ray.put broadcast).
+
+    Inner-joins each batch against the broadcast table: probe
+    ``probe_key`` in the batch against ``small_key`` in the small table,
+    appending ``value_cols``. The small side ships into the object store
+    ONCE and is read zero-copy per node — never re-shipped per batch.
+    """
+
+    def __init__(self, small_ref, probe_key: str, value_cols: list[str], small_key: str | None = None):
+        small: pa.Table = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) else small_ref
+        self.probe_key = probe_key
+        self.value_cols = value_cols
+        keys = small.column(small_key or probe_key).to_pylist()
+        self.lut = {k: i for i, k in enumerate(keys)}
+        self.values = {c: small.column(c).to_pylist() for c in value_cols}
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        idx = [self.lut.get(k, -1) for k in b.column(self.probe_key).to_pylist()]
+        keep = pa.array([i >= 0 for i in idx])
+        b = b.filter(keep)
+        idx = [i for i in idx if i >= 0]
+        out = {c: b.column(c) for c in b.column_names}
+        for c in self.value_cols:
+            vals = self.values[c]
+            out[c] = pa.array([vals[i] for i in idx])
+        return pa.table(out)
+
+
+@register(
+    "b12_broadcast_join",
+    """SELECT c_custkey, c_name, n_name, r_name
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey""",
+)
+def b12_broadcast_join(sf_dir: str) -> ray.data.Dataset:
+    nation = _read_small(sf_dir, "nation")
+    region = _read_small(sf_dir, "region")
+    # Pre-join the two tiny dims driver-side, broadcast the result once.
+    nr = nation.join(region, keys="n_regionkey", right_keys="r_regionkey")
+    nr_ref = ray.put(nr.select(["n_nationkey", "n_name", "r_name"]))
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    ds = ds.map_batches(
+        _BroadcastLookup,
+        fn_constructor_kwargs={
+            "small_ref": nr_ref,
+            "probe_key": "c_nationkey",
+            "small_key": "n_nationkey",
+            "value_cols": ["n_name", "r_name"],
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return ds.select_columns(["c_custkey", "c_name", "n_name", "r_name"])
+
+
+# ------------------------------------------------- B13 semi / anti join
+
+@register(
+    "b13_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def b13_anti_join(sf_dir: str) -> ray.data.Dataset:
+    custkeys = _read_small(sf_dir, "orders", ["o_custkey"])
+    key_ref = ray.put(set(custkeys.column("o_custkey").to_pylist()))
+
+    def fn(b: pa.Table, ref=key_ref) -> pa.Table:
+        keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        mask = pa.array([k not in keys for k in b.column("c_custkey").to_pylist()])
+        return b.filter(mask)
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+@register(
+    "b13_semi_join",
+    """SELECT s_suppkey, s_name FROM supplier
+       WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)""",
+)
+def b13_semi_join(sf_dir: str) -> ray.data.Dataset:
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    wanted = nation.filter(pc.equal(nation.column("n_regionkey"), 0))
+    keys = pa.array(sorted(wanted.column("n_nationkey").to_pylist()), pa.int32())
+
+    def fn(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b.column("s_nationkey"), value_set=keys)
+        return b.filter(m).select(["s_suppkey", "s_name"])
+
+    return _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ------------------------------------------------------ B14 as-of join
+
+@register(
+    "b14_asof_join",
+    """SELECT e.event_id, e.user_id, o.o_orderdate AS matched_date
+       FROM events e ASOF JOIN orders o
+         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+)
+def b14_asof_join(sf_dir: str) -> ray.data.Dataset:
+    """As-of join, a composition Ray Data lacks natively: tag both sides,
+    union, co-shuffle by key, per-key sorted merge inside map_groups.
+    Partitioning assumption: one key's rows fit one reducer (true for
+    per-user event streams; salt by time-range if a key ever outgrows it).
+    """
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(b.column("user_id"), pa.int64()),
+                "t": b.column("ts"),
+                "event_id": b.column("event_id"),
+                "is_event": pa.array([True] * b.num_rows),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(b.column("o_custkey"), pa.int64()),
+                "t": pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
+                "event_id": pa.array([0] * b.num_rows, pa.int64()),
+                "is_event": pa.array([False] * b.num_rows),
+            }
+        )
+
+    both = events.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = np.array(group.column("t").to_pylist(), dtype="datetime64[us]")
+        is_ev = np.array(group.column("is_event").to_pylist())
+        # Pinned tie-break: at equal timestamps orders sort BEFORE events,
+        # matching the oracle's inclusive `ts >= o_orderdate`.
+        order = np.lexsort((is_ev, t))
+        ev_ids = np.array(group.column("event_id").to_pylist())[order]
+        t, is_ev = t[order], is_ev[order]
+        key = group.column("key")[0].as_py()
+        out_eid, out_date = [], []
+        last_order_t = None
+        for i in range(len(t)):
+            if not is_ev[i]:
+                last_order_t = t[i]
+            elif last_order_t is not None:
+                out_eid.append(int(ev_ids[i]))
+                out_date.append(last_order_t)
+        return pa.table(
+            {
+                "event_id": pa.array(out_eid, pa.int64()),
+                "user_id": pa.array([key] * len(out_eid), pa.int64()),
+                "matched_date": pa.array(out_date, pa.timestamp("us")),
+            }
+        )
+
+    return both.groupby("key").map_groups(merge, batch_format="pyarrow")
+
+
+# --------------------------------------------------- B15 global aggregate
+
+@register(
+    "b15_global_agg",
+    """SELECT count(*) AS n_rows, ROUND(sum(l_quantity), 2) AS sum_qty,
+              min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+              ROUND(avg(l_extendedprice), 4) AS avg_price
+       FROM lineitem""",
+)
+def b15_global_agg(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_shipdate", "l_extendedprice"])
+    res = ds.aggregate(
+        Count(alias_name="n_rows"),
+        Sum("l_quantity", alias_name="sum_qty"),
+        Min("l_shipdate", alias_name="min_ship"),
+        Max("l_shipdate", alias_name="max_ship"),
+        Mean("l_extendedprice", alias_name="avg_price"),
+    )
+    res["sum_qty"] = float(_round_half_away(np.array([res["sum_qty"]]), 2)[0])
+    res["avg_price"] = float(_round_half_away(np.array([res["avg_price"]]), 4)[0])
+    return pa.Table.from_pylist([res])
+
+
+# ---------------------------------------------- B16 grouped agg (TPC-H Q1)
+
+@register(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              ROUND(sum(l_quantity), 2) AS sum_qty,
+              ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+              ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q01_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    cutoff = pa.scalar(np.datetime64("1998-09-02T00:00:00", "us"))
+
+    def pre(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b.column("l_shipdate"), cutoff))
+        disc = pc.multiply(b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "l_quantity": b.column("l_quantity"),
+                "l_extendedprice": b.column("l_extendedprice"),
+                "disc_price": disc,
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "count_order"]
+        )
+
+    pre_ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    out = pre_ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+    return _round_cols(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2})
+
+
+# ------------------------------------------------------------ B17 distinct
+
+@register(
+    "b17_distinct",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def b17_distinct(sf_dir: str) -> ray.data.Dataset:
+    def pre(b: pa.Table) -> pa.Table:
+        return b.group_by(["o_orderstatus", "o_orderpriority"]).aggregate([])
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"]).map_batches(
+        pre, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.groupby(["o_orderstatus", "o_orderpriority"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------- B19/B20 sort/topk
+
+@register(
+    "b19_sort",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC",
+)
+def b19_sort(sf_dir: str) -> ray.data.Dataset:
+    return _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).sort("o_totalprice", descending=True)
+
+
+@register(
+    "b20_topk",
+    """SELECT c_custkey, c_acctbal FROM customer
+       ORDER BY c_acctbal DESC, c_custkey LIMIT 10""",
+)
+def b20_topk(sf_dir: str) -> ray.data.Dataset:
+    return (
+        _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+        .sort(["c_acctbal", "c_custkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+# ------------------------------------------------------------- B21 sample
+
+@register("b21_sample", None)  # seeded sample: rows-only check
+def b21_sample(sf_dir: str) -> ray.data.Dataset:
+    return _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]).random_sample(0.1, seed=42)
+
+
+# -------------------------------------------------------------- B22 union
+
+@register(
+    "b22_union",
+    """SELECT c_custkey AS key, 'high' AS bucket FROM customer WHERE c_acctbal > 9000
+       UNION ALL
+       SELECT c_custkey AS key, 'low' AS bucket FROM customer WHERE c_acctbal < -500""",
+)
+def b22_union(sf_dir: str) -> ray.data.Dataset:
+    base = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def hi(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("c_acctbal"), 9000))
+        return pa.table({"key": b.column("c_custkey"), "bucket": pa.array(["high"] * b.num_rows)})
+
+    def lo(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("c_acctbal"), -500))
+        return pa.table({"key": b.column("c_custkey"), "bucket": pa.array(["low"] * b.num_rows)})
+
+    return base.map_batches(hi, batch_format="pyarrow").union(base.map_batches(lo, batch_format="pyarrow"))
+
+
+# --------------------------------------------------- B23 intersect / except
+
+@register(
+    "b23_intersect",
+    """SELECT n_nationkey AS nationkey FROM nation
+       WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+         AND n_nationkey IN (SELECT s_nationkey FROM supplier)""",
+)
+def b23_intersect(sf_dir: str) -> pa.Table:
+    cust = set(_read_small(sf_dir, "customer", ["c_nationkey"]).column("c_nationkey").to_pylist())
+    supp = set(_read_small(sf_dir, "supplier", ["s_nationkey"]).column("s_nationkey").to_pylist())
+    nat = _read_small(sf_dir, "nation", ["n_nationkey"]).column("n_nationkey").to_pylist()
+    keep = sorted(k for k in nat if k in cust and k in supp)
+    return pa.table({"nationkey": pa.array(keep, pa.int32())})
+
+
+# ----------------------------------------------------- B24 exact dedup
+
+@register(
+    "b24_exact_dedup",
+    """SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text""",
+)
+def b24_exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Exact near-identity dedup: hash-partition by content, keep the
+    first (lowest doc_id) representative per distinct text."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        g = b.group_by(["text"]).aggregate([("doc_id", "min")])
+        return g.rename_columns(["text", "doc_id"])
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        pre, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+    return out.select_columns(["doc_id", "text"])
+
+
+# --------------------------------------------- B26 tumbling window aggregate
+
+@register(
+    "b26_window_agg",
+    """SELECT user_id, date_trunc('hour', ts) AS window_start,
+              count(*) AS n_events, ROUND(sum(value), 4) AS sum_value
+       FROM events GROUP BY user_id, window_start""",
+)
+def b26_window_agg(sf_dir: str) -> ray.data.Dataset:
+    def pre(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "window_start": pc.floor_temporal(b.column("ts"), unit="hour"),
+                "value": b.column("value"),
+            }
+        )
+        g = t.group_by(["user_id", "window_start"]).aggregate([([], "count_all"), ("value", "sum")])
+        return g.rename_columns(["user_id", "window_start", "n_events", "sum_value"])
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        pre, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = ds.groupby(["user_id", "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
+    )
+    return _round_cols(out, {"sum_value": 4})
+
+
+# ------------------------------------------------------- B27 sessionization
+
+@register(
+    "b27_sessionize",
+    """WITH gaps AS (
+         SELECT user_id, ts,
+                CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       OR lag(ts) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ),
+       sess AS (
+         SELECT user_id, ts,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         FROM gaps
+       )
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+       FROM sess GROUP BY user_id, session_id""",
+)
+def b27_sessionize(sf_dir: str) -> ray.data.Dataset:
+    """Gap-based sessionization (30 min): order-sensitive only WITHIN a
+    user group, which map_groups provides after the key shuffle."""
+    gap = np.timedelta64(30, "m")
+
+    def sessions(group: pa.Table) -> pa.Table:
+        ts = np.array(group.column("ts").to_pylist(), dtype="datetime64[us]")
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        new = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new[1:] = (ts[1:] - ts[:-1]) > gap
+        sid = np.cumsum(new) - 1
+        uid = group.column("user_id")[0].as_py()
+        starts, ends, counts, sids = [], [], [], []
+        for s in np.unique(sid):
+            m = sid == s
+            sids.append(int(s))
+            counts.append(int(m.sum()))
+            starts.append(ts[m].min())
+            ends.append(ts[m].max())
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * len(sids), pa.int64()),
+                "session_id": pa.array(sids, pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+                "session_start": pa.array(starts, pa.timestamp("us")),
+                "session_end": pa.array(ends, pa.timestamp("us")),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------------------------ B28 kNN
+
+@register(
+    "b28_knn",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+       scored AS (
+         SELECT q.query_id, e.vec_id AS neighbor_id,
+                list_cosine_similarity(q.qe, e.embedding) AS cos
+         FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id
+       )
+       SELECT query_id, neighbor_id,
+              CAST(row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       FROM scored QUALIFY rank <= 5""",
+)
+def b28_knn(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-k: broadcast the query matrix, one numpy
+    matmul per batch, per-batch top-k partials, exact driver-side merge.
+    Rank ties break on neighbor_id (pinned in both Ray and SQL)."""
+    emb_tbl = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qmask = pc.less(emb_tbl.column("vec_id"), 3)
+    q = emb_tbl.filter(qmask)
+    q_ids = q.column("vec_id").to_pylist()
+    Q = np.array(q.column("embedding").to_pylist(), dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, Qn))
+
+    def score(b: pa.Table, ref=q_ref) -> pa.Table:
+        ids, Qn = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        X = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        cos = Xn @ Qn.T  # [n, q]
+        vec_ids = np.asarray(b.column("vec_id").to_pylist())
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(ids):
+            c = cos[:, qi]
+            mask = vec_ids != qid
+            cand = np.nonzero(mask)[0]
+            top = cand[np.lexsort((vec_ids[cand], -c[cand]))][:5]
+            out_q += [qid] * len(top)
+            out_n += vec_ids[top].tolist()
+            out_c += c[top].tolist()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    )
+    allp = pa.concat_tables([ray.get(r) for r in partials])
+    rows = []
+    d = allp.to_pydict()
+    by_q: dict[int, list[tuple[float, int]]] = {}
+    for qid, nid, cos in zip(d["query_id"], d["neighbor_id"], d["cos"]):
+        by_q.setdefault(qid, []).append((cos, nid))
+    for qid in sorted(by_q):
+        cands = sorted(by_q[qid], key=lambda t: (-t[0], t[1]))[:5]
+        for rank, (_, nid) in enumerate(cands, start=1):
+            rows.append({"query_id": qid, "neighbor_id": nid, "rank": rank})
+    return pa.Table.from_pylist(rows)
+
+
+# ------------------------------------------------------- B29 repartition
+
+@register(
+    "b29_repartition",
+    "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+)
+def b29_repartition(sf_dir: str) -> ray.data.Dataset:
+    ds = _read(sf_dir, "lineitem", ["l_returnflag"]).repartition(8)
+
+    def pre(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_returnflag"]).aggregate([([], "count_all")]).rename_columns(["l_returnflag", "n"])
+
+    return ds.map_batches(pre, batch_format="pyarrow").groupby("l_returnflag").aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
+# ----------------------------------------------- TPC-H Q3 (multi-join + agg)
+
+@register(
+    "q03_shipping_priority",
+    """SELECT l_orderkey,
+              ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              o_orderdate
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def q03_shipping_priority(sf_dir: str) -> ray.data.Dataset:
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = set(
+        cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING")).column("c_custkey").to_pylist()
+    )
+    bkeys_ref = ray.put(building)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filt_orders(b: pa.Table, ref=bkeys_ref) -> pa.Table:
+        keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        mask = pa.array([k in keys for k in b.column("o_custkey").to_pylist()])
+        return b.filter(mask).select(["o_orderkey", "o_orderdate"])
+
+    orders_f = orders.map_batches(filt_orders, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    j = li.join(orders_f, join_type="inner", num_partitions=_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pre(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        t = pa.table(
+            {"l_orderkey": b.column("l_orderkey"), "o_orderdate": b.column("o_orderdate"), "revenue": rev}
+        )
+        return (
+            t.group_by(["l_orderkey", "o_orderdate"]).aggregate([("revenue", "sum")])
+            .rename_columns(["l_orderkey", "o_orderdate", "revenue"])
+        )
+
+    agg = (
+        j.map_batches(pre, batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    agg = _round_cols(agg, {"revenue": 2})
+    return agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10).select_columns(
+        ["l_orderkey", "revenue", "o_orderdate"]
+    )
+
+
+# ------------------------------------------- TPC-H Q5-ish (6-way join + agg)
+
+@register(
+    "q05_local_supplier",
+    """SELECT n_name, ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation   ON s_nationkey = n_nationkey
+       GROUP BY n_name""",
+)
+def q05_local_supplier(sf_dir: str) -> ray.data.Dataset:
+    # Broadcast the small dims: supplier→nation, customer→nation.
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp_nat = dict(zip(supp.column("s_suppkey").to_pylist(), supp.column("s_nationkey").to_pylist()))
+    nat_name = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
+    cust_nat = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()))
+    dims_ref = ray.put((supp_nat, nat_name, cust_nat))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    j = li.join(orders, join_type="inner", num_partitions=_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pre(b: pa.Table, ref=dims_ref) -> pa.Table:
+        supp_nat, nat_name, cust_nat = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        suppkeys = b.column("l_suppkey").to_pylist()
+        custkeys = b.column("o_custkey").to_pylist()
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        rev_by_nation: dict[str, float] = {}
+        for sk, ck, p, dsc in zip(suppkeys, custkeys, price, disc):
+            sn = supp_nat.get(sk)
+            if sn is None or cust_nat.get(ck) != sn:
+                continue
+            name = nat_name[sn]
+            rev_by_nation[name] = rev_by_nation.get(name, 0.0) + p * (1.0 - dsc)
+        return pa.table(
+            {
+                "n_name": pa.array(list(rev_by_nation.keys()), pa.string()),
+                "revenue": pa.array(list(rev_by_nation.values()), pa.float64()),
+            }
+        )
+
+    out = (
+        j.map_batches(pre, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    return _round_cols(out, {"revenue": 2})
