@@ -1,0 +1,158 @@
+"""Training-data-pipeline queries: dedup suite, similarity search, text
+analysis, multimodal plumbing — registered alongside the relational ops.
+
+Near-dup queries run over a corpus with PLANTED duplicates (a mutated
+copy of ~1 in 3 documents, deterministic), so the results are non-trivial
+at every scale factor; tests assert recall on the planted pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.hashing import stable_u64
+from ..sources.corpus import derive_interleaved
+from ..stages.analyze import text_analysis, text_stats
+from ..stages.dedup import (
+    drop_list,
+    embedding_dedup_pairs,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+from ..stages.media import media_features, media_refs
+from ..stages.similarity import ann_lsh_topk
+from .registry import register
+
+DUP_OFFSET = 10_000_000
+
+
+def _mutate_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic near-dup generator: for docs with hash%3==0, emit a
+    copy (doc_id + DUP_OFFSET) with every 25th word replaced — a ~0.7–0.8
+    shingle-Jaccard twin (each swap kills 3 word-3-gram shingles, so a
+    denser mutation would drop J below the LSH band sweet spot)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    o_id, o_text = [], []
+    for did, text in zip(doc_ids, texts):
+        if stable_u64(f"dup|{did}") % 3 != 0:
+            continue
+        words = (text or "").split()
+        for i in range(3, len(words), 25):
+            words[i] = "xqz"
+        o_id.append(did + DUP_OFFSET)
+        o_text.append(" ".join(words))
+    return pa.table({"doc_id": pa.array(o_id, pa.int64()), "text": pa.array(o_text, pa.string())})
+
+
+def documents_with_dups(sf_dir: str) -> ray.data.Dataset:
+    base = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    dups = base.map_batches(_mutate_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return base.union(dups)
+
+
+def planted_dup_ids(sf_dir: str) -> set[int]:
+    """Ground truth for recall tests: source ids that got a mutated copy."""
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column("doc_id").to_pylist()
+    return {i for i in ids if stable_u64(f"dup|{i}") % 3 == 0}
+
+
+@register("dedup_minhash_pairs", None)
+def dedup_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    return minhash_dedup_pairs(documents_with_dups(sf_dir), threshold=0.5)
+
+
+@register("dedup_ngram_jaccard_pairs", None)
+def dedup_ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
+    return ngram_jaccard_pairs(documents_with_dups(sf_dir), threshold=0.5)
+
+
+@register("dedup_simhash_pairs", None)
+def dedup_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    return simhash_dedup_pairs(documents_with_dups(sf_dir), max_hamming=6)
+
+
+@register("dedup_drop_list", None)
+def dedup_drop_list(sf_dir: str) -> ray.data.Dataset:
+    return drop_list(minhash_dedup_pairs(documents_with_dups(sf_dir), threshold=0.5))
+
+
+def _embeddings_with_dups(sf_dir: str) -> ray.data.Dataset:
+    base = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def mutate(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_pylist()
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        X = emb.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, -1)
+        keep = [i for i, v in enumerate(ids) if stable_u64(f"edup|{v}") % 4 == 0]
+        if not keep:
+            return pa.table({"vec_id": pa.array([], pa.int64()), "embedding": pa.array([], emb.type)})
+        Xk = X[keep].astype(np.float32)
+        rng = np.random.default_rng(7)
+        Xk = Xk + 0.01 * rng.standard_normal(Xk.shape).astype(np.float32)
+        out_ids = [ids[i] + DUP_OFFSET for i in keep]
+        return pa.table(
+            {
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": pa.array([row.tolist() for row in Xk], emb.type),
+            }
+        )
+
+    return base.union(base.map_batches(mutate, batch_format="pyarrow", zero_copy_batch=True))
+
+
+@register("dedup_embedding_pairs", None)
+def dedup_embedding_pairs(sf_dir: str) -> ray.data.Dataset:
+    return embedding_dedup_pairs(_embeddings_with_dups(sf_dir), threshold=0.98)
+
+
+@register(
+    "text_stats",
+    """SELECT doc_id,
+              length(text) AS n_chars,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens,
+              length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct,
+              length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+              length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+              CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                        / length(text) END AS alpha_ratio
+       FROM documents""",
+)
+def text_stats_query(sf_dir: str) -> ray.data.Dataset:
+    return text_stats(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
+@register("text_analysis", None)
+def text_analysis_query(sf_dir: str) -> ray.data.Dataset:
+    return text_analysis(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
+@register("sim_ann_lsh", None)
+def sim_ann_lsh(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = tbl.slice(0, 3)
+    Q = np.array(q.column("embedding").to_pylist(), dtype=np.float64)
+    qids = q.column("vec_id").to_pylist()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_lsh_topk(ds, Q, qids, k=5)
+
+
+@register("media_refs", None)
+def media_refs_query(sf_dir: str) -> ray.data.Dataset:
+    return media_refs(derive_interleaved(f"{sf_dir}/documents.parquet"))
+
+
+@register("media_features", None)
+def media_features_query(sf_dir: str) -> ray.data.Dataset:
+    return media_features(media_refs(derive_interleaved(f"{sf_dir}/documents.parquet")))

