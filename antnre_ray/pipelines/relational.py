@@ -43,15 +43,17 @@ def _read_small(sf_dir: str, table: str, columns: list[str] | None = None) -> pa
 
 
 def _join_partitions() -> int:
-    """Shuffle width for Dataset.join, sized to the live cluster: join
-    aggregators are actors needing a CPU each — oversubscribing the
-    session (e.g. 32 partitions on 8 CPUs) serializes them and multiplies
-    wall time ~30x (measured). Scale with the cluster, floor 4."""
+    """Shuffle width for Dataset.join, sized to HALF the live cluster:
+    join aggregators are actors that hold a CPU each while the map side
+    feeds them, so aggregators == CPUs starves the producers (measured:
+    600k-row join 3.3s at 8 partitions vs 29s at 32, on 32 CPUs). At
+    multi-node scale width should also grow with data volume via
+    partition_size_hint; CPU/2 is the single-node sweet spot."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(4, min(64, cpus))
+    return max(4, min(64, cpus // 2))
 
 
 def _round_half_away(x: np.ndarray, nd: int) -> np.ndarray:

@@ -224,27 +224,60 @@ def derive_batch(batch: pa.Table, seed: int = 42, repeat_tag: str = "") -> pa.Ta
     return _spans_table(doc_ids, flat, offsets)
 
 
+def derived_doc_ids(
+    documents_parquet: str, repeat: int = 1, partitions: int = 8
+) -> "pa.Table":
+    """(doc_id, part_id) of the derived corpus WITHOUT deriving it.
+
+    The F1 derivation rule names rows purely from the source doc_id
+    (``doc-%08d[#rR]``), so lineage fingerprints can come from a
+    doc_id-column-only read — pruning the fingerprint pass from a full
+    corpus derivation to a metadata-sized scan (SURVEY.md: prune at the
+    read). Must stay in lockstep with :func:`derive_batch` naming.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import stable_u64_array
+
+    src = pq.read_table(documents_parquet, columns=["doc_id"]).column("doc_id").to_pylist()
+    ids: list[str] = []
+    for r in range(repeat):
+        tag = f"#r{r}" if repeat > 1 else ""
+        ids.extend(f"doc-{rid:08d}{tag}" for rid in src)
+    part = (stable_u64_array(ids) % np.uint64(max(partitions, 1))).astype("int32")
+    return pa.table({"doc_id": pa.array(ids, pa.string()), "part_id": pa.array(part, pa.int32())})
+
+
+def _derive_repeat_batch(batch: pa.Table, seed: int, repeat: int) -> pa.Table:
+    """Derive all ``repeat`` replicas of a batch in one UDF call.
+
+    A repeat-wide ``union`` of map branches anti-scaled badly (a 16-way
+    union re-plans the shared read per branch and floods the scheduler);
+    one flat-map producing R× rows keeps the plan a straight line.
+    """
+    if repeat <= 1:
+        return derive_batch(batch, seed=seed)
+    outs = [
+        derive_batch(batch, seed=seed, repeat_tag=f"#r{r}") for r in range(repeat)
+    ]
+    return pa.concat_tables(outs)
+
+
 def derive_interleaved(
     documents_parquet: str, seed: int = 42, repeat: int = 1, **read_kwargs
 ) -> ray.data.Dataset:
     """Driver documents.parquet → interleaved-document Dataset (pruned read).
 
-    ``repeat > 1`` unions R derived copies with distinct doc_id suffixes
-    (bench corpus replication, BASELINE.md protocol).
+    ``repeat > 1`` emits R derived copies with distinct doc_id suffixes
+    (bench corpus replication, BASELINE.md protocol) from a single
+    flat-map — no union fan-in.
     """
     base = ray.data.read_parquet(documents_parquet, columns=["doc_id", "text"], **read_kwargs)
-    parts = []
-    for r in range(repeat):
-        tag = f"#r{r}" if repeat > 1 else ""
-        parts.append(
-            base.map_batches(
-                derive_batch,
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-                fn_kwargs={"seed": seed, "repeat_tag": tag},
-            )
-        )
-    ds = parts[0]
-    for p in parts[1:]:
-        ds = ds.union(p)
-    return ds
+    return base.map_batches(
+        _derive_repeat_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,
+        fn_kwargs={"seed": seed, "repeat": repeat},
+    )

@@ -62,12 +62,17 @@ class ExtractorActor:
     def __init__(self, seed: int = 42, max_mentions: int = 10):
         self.model = get_model(seed)
         self.max_mentions = max_mentions
+        # Per-token char-CNN feature cache: lives as long as the actor,
+        # so head tokens are embedded once per actor, not once per batch.
+        self.feat_cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         token_lists = batch.column("tokens").to_pylist()
         texts = batch.column("text").to_pylist()
         tok_offs = batch.column("tok_offsets").to_pylist()
-        results = extract_sentences(self.model, token_lists, self.max_mentions)
+        results = extract_sentences(
+            self.model, token_lists, self.max_mentions, feat_cache=self.feat_cache
+        )
         mentions_col, triples_col = [], []
         for toks, text, offs, (ments, trips) in zip(token_lists, texts, tok_offs, results):
             mrows = []
