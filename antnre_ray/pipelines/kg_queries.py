@@ -49,3 +49,35 @@ def kg_entities(sf_dir: str) -> ray.data.Dataset:
 @register("kg_adjacency", None)
 def kg_adjacency(sf_dir: str) -> ray.data.Dataset:
     return flagship_graph(_corpus(sf_dir))["adjacency"]
+
+
+@register("kg_eval_prf", None)
+def kg_eval_prf(sf_dir: str):
+    """A20 corpus-scale eval: surface-level micro P/R/F1 of the Ray
+    pipeline's triples against the gold planted by the corpus deriver
+    (the P/R≥0.95 gate, BASELINE.json:2). One metrics row."""
+    import pyarrow as pa
+    import ray
+
+    from ..sources.corpus import derived_gold_triples
+
+    pred_ds = flagship_triples(_corpus(sf_dir))
+    pred = pa.concat_tables(ray.get(pred_ds.to_arrow_refs()), promote_options="default")
+    pred_keys = {
+        (r["doc_id"], r["subj"]["surface"], r["pred"], r["obj"]["surface"])
+        for r in pred.to_pylist()
+    }
+    gold_tbl = derived_gold_triples(f"{sf_dir}/documents.parquet")
+    gold_keys = {
+        (d, s, p, o)
+        for d, s, p, o in zip(
+            gold_tbl.column("doc_id").to_pylist(),
+            gold_tbl.column("subj_surface").to_pylist(),
+            gold_tbl.column("pred").to_pylist(),
+            gold_tbl.column("obj_surface").to_pylist(),
+        )
+    }
+    from .evaluate import prf
+
+    m = prf(pred_keys, gold_keys)
+    return pa.table({k: pa.array([v], pa.float64()) for k, v in m.items()})

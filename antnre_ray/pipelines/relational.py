@@ -503,6 +503,29 @@ def b17_distinct(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# ------------------------------------------------- B18 approx distinct (KMV)
+
+@register("b18_approx_distinct", None)  # approximate → rows-only; tolerance
+def b18_approx_distinct(sf_dir: str) -> pa.Table:  # tested vs exact in tests/
+    """KMV distinct-count sketch over l_partkey: per-batch k-minimum
+    hashes (tiny partials) merged driver-side — the scale shape for
+    approx_count_distinct (±4.6% at k=512)."""
+    from ..functions.sketch import kmv_estimate, kmv_merge, kmv_partial
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk = kmv_partial(b.column("l_partkey").combine_chunks() if isinstance(b.column("l_partkey"), pa.ChunkedArray) else b.column("l_partkey"))
+        return pa.table({"sketch": pa.array([sk.view(np.int64).tolist()], pa.list_(pa.int64()))})
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_partkey"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    sketches = [np.asarray(p["sketch"], dtype=np.int64).view(np.uint64) for p in parts]
+    est = kmv_estimate(kmv_merge(sketches))
+    return pa.table({"approx_distinct_partkeys": pa.array([int(round(est))], pa.int64())})
+
+
 # --------------------------------------------------------- B19/B20 sort/topk
 
 @register(
@@ -869,3 +892,118 @@ def q05_local_supplier(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
     return _round_cols(out, {"revenue": 2})
+
+
+# ---------------------------------------------- TPC-H Q6-like (filter + agg)
+
+@register(
+    "q06_revenue_forecast",
+    """SELECT ROUND(sum(l_extendedprice * l_discount), 2) AS revenue,
+              count(*) AS n_rows
+       FROM lineitem
+       WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+)
+def q06_revenue_forecast(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_discount", "l_quantity"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(b.column("l_discount"), 0.05),
+                pc.less_equal(b.column("l_discount"), 0.07),
+            ),
+            pc.less(b.column("l_quantity"), 24),
+        )
+        b = b.filter(m)
+        rev = pc.multiply(b.column("l_extendedprice"), b.column("l_discount"))
+        return pa.table(
+            {
+                "revenue": pa.array([pc.sum(rev).as_py() or 0.0], pa.float64()),
+                "n_rows": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    rev = float(_round_half_away(np.array([sum(p["revenue"] for p in parts)]), 2)[0])
+    return pa.table(
+        {"revenue": pa.array([rev], pa.float64()), "n_rows": pa.array([sum(p["n_rows"] for p in parts)], pa.int64())}
+    )
+
+
+# ------------------------------------- TPC-H Q10-like (returned-item report)
+
+@register(
+    "q10_returned_items",
+    """SELECT c_custkey, c_name,
+              ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE l_returnflag = 'R'
+       GROUP BY c_custkey, c_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def q10_returned_items(sf_dir: str) -> ray.data.Dataset:
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
+
+    def filt(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        rev = pc.multiply(b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "revenue": rev})
+
+    li_f = li.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = li_f.join(orders, join_type="inner", num_partitions=_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",))
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_name"])
+    names = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist()))
+    names_ref = ray.put(names)
+
+    def pre(b: pa.Table, ref=names_ref) -> pa.Table:
+        names = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        t = pa.table({"c_custkey": b.column("o_custkey"), "revenue": b.column("revenue")})
+        g = t.group_by(["c_custkey"]).aggregate([("revenue", "sum")]).rename_columns(["c_custkey", "revenue"])
+        return g.append_column(
+            "c_name", pa.array([names.get(k, "") for k in g.column("c_custkey").to_pylist()], pa.string())
+        )
+
+    agg = (
+        j.map_batches(pre, batch_format="pyarrow")
+        .groupby(["c_custkey", "c_name"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    agg = _round_cols(agg, {"revenue": 2})
+    return agg.sort(["revenue", "c_custkey"], descending=[True, False]).limit(20).select_columns(
+        ["c_custkey", "c_name", "revenue"]
+    )
+
+
+# ------------------------------------------------------ B8 math functions
+
+@register(
+    "b08_math_funcs",
+    """SELECT p_partkey,
+              ROUND(p_retailprice, 1) AS price_r1,
+              abs(p_size - 25) AS size_dev,
+              p_size % 7 AS size_mod,
+              CAST(floor(sqrt(CAST(p_size AS DOUBLE))) AS BIGINT) AS size_sqrt_floor
+       FROM part""",
+)
+def b08_math_funcs(sf_dir: str) -> ray.data.Dataset:
+    def fn(b: pa.Table) -> pa.Table:
+        size = b.column("p_size")
+        price = b.column("p_retailprice").to_numpy(zero_copy_only=False)
+        size_np = size.to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "p_partkey": b.column("p_partkey"),
+                "price_r1": pa.array(_round_half_away(price, 1), pa.float64()),
+                "size_dev": pc.cast(pc.abs(pc.subtract(size, 25)), pa.int32()),
+                "size_mod": pc.cast(
+                    pc.subtract(size, pc.multiply(pc.divide(size, 7), 7)), pa.int32()
+                ),
+                "size_sqrt_floor": pa.array(np.floor(np.sqrt(size_np)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -249,6 +249,48 @@ def derived_doc_ids(
     return pa.table({"doc_id": pa.array(ids, pa.string()), "part_id": pa.array(part, pa.int32())})
 
 
+def derived_gold_triples(
+    documents_parquet: str, seed: int = 42, repeat: int = 1
+) -> pa.Table:
+    """Surface-level gold triples planted by :func:`derive_batch`.
+
+    Mirrors the deriver's planting decisions exactly (same hash draws),
+    returning (doc_id, subj_surface, pred, obj_surface) — the ground
+    truth for corpus-scale P/R evaluation (A20). Surface-level keys are
+    used because planted sentences may merge with unpunctuated source
+    chunks, shifting token offsets but never surfaces.
+    """
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(documents_parquet, columns=["doc_id"]).column("doc_id").to_pylist()
+    o_doc, o_s, o_p, o_o = [], [], [], []
+    for r in range(repeat):
+        tag = f"#r{r}" if repeat > 1 else ""
+        for rid in src:
+            doc_id = f"doc-{rid:08d}{tag}"
+            u = stable_u64(f"{seed}|derive|{doc_id}")
+            if u % 101 in (0, 1):  # empty / media-only doc: nothing planted
+                continue
+            n_plant = 1 + (u >> 32) % 3
+            for k in range(n_plant):
+                text, ents, (si, oi, pred) = plant_sentence(stable_u64(f"{seed}|plant|{doc_id}|{k}"))
+                toks = text.split()
+                s_s, s_e, _ = ents[si]
+                o_s_, o_e, _ = ents[oi]
+                o_doc.append(doc_id)
+                o_s.append(" ".join(toks[s_s:s_e]))
+                o_p.append(pred)
+                o_o.append(" ".join(toks[o_s_:o_e]))
+    return pa.table(
+        {
+            "doc_id": pa.array(o_doc, pa.string()),
+            "subj_surface": pa.array(o_s, pa.string()),
+            "pred": pa.array(o_p, pa.string()),
+            "obj_surface": pa.array(o_o, pa.string()),
+        }
+    )
+
+
 def _derive_repeat_batch(batch: pa.Table, seed: int, repeat: int) -> pa.Table:
     """Derive all ``repeat`` replicas of a batch in one UDF call.
 

@@ -1,0 +1,104 @@
+"""Property/invariant tests (SURVEY.md §5.2): span-sequence preservation
+on random corpora, partition/salt invariance of the wide stages, sketch
+accuracy, sorted outputs — seed-driven (hypothesis-style, deterministic)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from antnre_ray.sources.corpus import synthesize_documents
+from antnre_ray.stages.validate import span_fingerprints
+
+
+@pytest.mark.parametrize("seed", [7, 99, 1234])
+def test_span_invariant_random_corpora(seed):
+    """For every surviving row the spans sequence is preserved on
+    (kind, text, media_ref, order) through A2→A3 (BASELINE.json:14)."""
+    from antnre_ray.stages.assemble import assemble_batch
+    from antnre_ray.stages.validate import validate_batch
+
+    docs, _ = synthesize_documents(48, seed=seed)
+    out = assemble_batch(validate_batch(docs))
+    assert span_fingerprints(out.column("spans")) == span_fingerprints(docs.column("spans"))
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_extraction_independent_of_batch_slicing(seed):
+    """Slicing the sentence stream differently must not change the
+    emitted triple set (the 8-vs-32-cpu output-equality property)."""
+    from antnre_ray.pipelines.flagship import reference_extractions
+    from antnre_ray.stages.assemble import assemble_batch
+    from antnre_ray.stages.extract import ExtractorActor
+    from antnre_ray.stages.sentencize import sentencize_batch
+    from antnre_ray.stages.validate import validate_batch
+
+    docs, _ = synthesize_documents(32, seed=seed)
+    whole = reference_extractions(docs)
+    sent = sentencize_batch(assemble_batch(validate_batch(docs)))
+    actor = ExtractorActor()
+    parts = [actor(sent.slice(i, 17)) for i in range(0, sent.num_rows, 17)]
+    sliced = pa.concat_tables(parts)
+
+    def keys(t):
+        out = []
+        for r in t.to_pylist():
+            for tr in r["triples"]:
+                out.append((r["doc_id"], r["sent_id"], tr["subj_idx"], tr["obj_idx"], tr["pred"]))
+        return sorted(out)
+
+    assert keys(whole) == keys(sliced)
+
+
+def test_canonicalize_independent_of_input_order():
+    from antnre_ray.stages.canonicalize import canonicalize_local
+
+    rows = [("d", "Loc", f"City {i % 7}", f"c:{i % 7}") for i in range(100)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "ent_type": pa.array([r[1] for r in rows]),
+            "surface": pa.array([r[2] for r in rows]),
+            "entity_id": pa.array([r[3] for r in rows]),
+        }
+    )
+    fwd = canonicalize_local(t)
+    rev = canonicalize_local(t.take(pa.array(list(reversed(range(100))))))
+    assert sorted(map(str, fwd.to_pylist())) == sorted(map(str, rev.to_pylist()))
+
+
+def test_kmv_sketch_accuracy():
+    from antnre_ray.functions.sketch import kmv_estimate, kmv_merge, kmv_partial
+
+    rng = np.random.default_rng(0)
+    values = pa.array([f"v{int(x)}" for x in rng.integers(0, 50_000, size=200_000)])
+    # split into 8 "blocks", sketch each, merge
+    n = len(values)
+    partials = [kmv_partial(values.slice(i * n // 8, n // 8)) for i in range(8)]
+    est = kmv_estimate(kmv_merge(partials))
+    exact = len(set(values.to_pylist()))
+    assert abs(est - exact) / exact < 0.10, (est, exact)
+    # small-cardinality path is exact
+    small = pa.array([f"s{i}" for i in range(100)])
+    assert kmv_estimate(kmv_merge([kmv_partial(small)])) == 100.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_b19_sort_order_is_correct(sf001):
+    import ray
+
+    from antnre_ray.pipelines.relational import b19_sort
+
+    tbl = pa.concat_tables(ray.get(b19_sort(sf001).to_arrow_refs()), promote_options="default")
+    prices = tbl.column("o_totalprice").to_pylist()
+    assert prices == sorted(prices, reverse=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kg_eval_prf_gate(sf001):
+    """The P/R≥0.95 gate on the derived corpus (BASELINE.json:2)."""
+    from antnre_ray.pipelines.kg_queries import kg_eval_prf
+
+    m = kg_eval_prf(sf001).to_pylist()[0]
+    assert m["precision"] >= 0.95 and m["recall"] >= 0.95, m
