@@ -39,17 +39,22 @@ def lstm_forward(
     sentence's states never depend on the padding (and the reverse pass
     correctly starts at each sentence's own last token).
     """
-    B, T, _ = X.shape
+    B, T, D = X.shape
     h = Wh.shape[0]
     H = np.zeros((B, T, h), dtype=np.float32)
     ht = np.zeros((B, h), dtype=np.float32)
     ct = np.zeros((B, h), dtype=np.float32)
+    # Input contribution for ALL steps in one gemm (the per-step loop then
+    # only does the [B,h]@[h,4h] recurrent matmul). Row-wise results are
+    # unchanged: each (b,t) row of Xp depends only on X[b,t].
+    Xp = (X.reshape(B * T, D) @ Wx).reshape(B, T, 4 * h) + b
     steps = range(T - 1, -1, -1) if reverse else range(T)
     for t in steps:
-        g = X[:, t, :] @ Wx + ht @ Wh + b  # [B, 4h]
-        i = sigmoid(g[:, :h])
-        f = sigmoid(g[:, h : 2 * h])
-        o = sigmoid(g[:, 2 * h : 3 * h])
+        g = Xp[:, t, :] + ht @ Wh  # [B, 4h]
+        ifo = sigmoid(g[:, : 3 * h])
+        i = ifo[:, :h]
+        f = ifo[:, h : 2 * h]
+        o = ifo[:, 2 * h :]
         c_hat = np.tanh(g[:, 3 * h :])
         c_new = f * ct + i * c_hat
         h_new = o * np.tanh(c_new)

@@ -289,7 +289,24 @@ def extract_sentences(
     if feat_cache is None:
         feat_cache = {}
     lower_lists = [[t.lower() for t in toks] for toks in token_lists]
-    _token_features(model, {t for toks in lower_lists for t in toks}, feat_cache)
+    uniq = {t for toks in lower_lists for t in toks}
+    _token_features(model, uniq, feat_cache)
+
+    # Batch-local feature matrix: one gather per bucket instead of three
+    # numpy row-assignments per token. Local id 0 is the zero pad row.
+    local: dict[str, int] = {}
+    wid_l, gaz_l, cf_l = [1], [-1], [np.zeros(CHAR_OUT, np.float32)]
+    for tok in uniq:
+        wid, g, cf = feat_cache[tok]
+        local[tok] = len(wid_l)
+        wid_l.append(wid)
+        gaz_l.append(g)
+        cf_l.append(cf)
+    Wfeat = np.concatenate(
+        [model.word_emb[np.asarray(wid_l)], np.stack(cf_l)], axis=1
+    ).astype(np.float32)
+    Wfeat[0] = 0.0  # pad row
+    gaz_arr = np.asarray(gaz_l, dtype=np.int32)
 
     lengths_all = np.array([max(len(t), 1) for t in token_lists], dtype=np.int32)
     order = np.argsort(lengths_all, kind="stable")
@@ -297,20 +314,18 @@ def extract_sentences(
     sent_mentions: list[list[tuple[int, int, str, float]]] = [[] for _ in range(B)]
     all_subj_vecs, all_obj_vecs, pair_bias_rows, pair_meta = [], [], [], []
 
-    D = WORD_DIM + CHAR_OUT
     for c0 in range(0, B, BUCKET):
         idxs = order[c0 : c0 + BUCKET]
         lengths = lengths_all[idxs]
         T = int(lengths.max())
         nb = len(idxs)
-        X = np.zeros((nb, T, D), dtype=np.float32)
-        gaz_tag = np.full((nb, T), -1, dtype=np.int32)
+        ids_mat = np.zeros((nb, T), dtype=np.int32)
         for bi, i in enumerate(idxs):
+            row = ids_mat[bi]
             for j, tok in enumerate(lower_lists[i]):
-                wid, g, cf = feat_cache[tok]
-                X[bi, j, :WORD_DIM] = model.word_emb[wid]
-                X[bi, j, WORD_DIM:] = cf
-                gaz_tag[bi, j] = g
+                row[j] = local[tok]
+        X = Wfeat[ids_mat]  # [nb, T, D]
+        gaz_tag = gaz_arr[ids_mat]  # pad rows → -1
         mask = (np.arange(T)[None, :] < lengths[:, None]).astype(np.float32)
         H = bilstm_forward(X, mask, model.lstm)  # [nb, T, 2h]
         emissions = H @ model.emit_W + model.emit_b  # [nb, T, K]
