@@ -81,8 +81,6 @@ def flagship_graph(
     return {"triples": triples, "mentions": mentions, "entities": entities, "adjacency": adjacency}
 
 
-# ------------------------------------------------------ no-Ray reference path
-
 def reference_graph(docs: pa.Table, cfg: PipelineConfig | None = None) -> dict[str, pa.Table]:
     """Single-process twin of :func:`flagship_graph` (goldens/tests)."""
     cfg = cfg or PipelineConfig()

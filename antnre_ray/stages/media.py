@@ -76,6 +76,8 @@ class MediaFeatureActor:
         u = stable_u64(ref)
         if kind == "image":
             w, h = 64 + u % 512, 64 + (u >> 16) % 512
+        elif kind == "video":  # "width" = frame count, "height" = fps
+            w, h = 24 + (u >> 8) % 240, 24
         else:  # audio: "width" = sample rate, "height" = seconds
             w, h = 16000, 1 + (u >> 16) % 120
         rng = np.random.default_rng(u % (2**32))
@@ -121,4 +123,53 @@ def media_features(ds: ray.data.Dataset, decoder: str = "fake", batch_size: int 
         zero_copy_batch=True,
         concurrency=(1, 4),
         num_cpus=1,
+    )
+
+
+def frame_sample_batch(batch: pa.Table, every_n: int = 24, max_frames: int = 8) -> pa.Table:
+    """Video frame sampling (1→N flat-map): one row per sampled frame.
+
+    For each video row (as produced by :class:`MediaFeatureActor`, where
+    width = frame count), emit frames 0, every_n, 2·every_n, … capped at
+    ``max_frames``, each with a deterministic per-frame feature (fake
+    decode; a real deployment decodes the frame here). Non-video rows
+    pass through zero frames.
+    """
+    kinds = batch.column("kind").to_pylist()
+    refs = batch.column("media_ref").to_pylist()
+    docs = batch.column("doc_id").to_pylist()
+    widths = batch.column("width").to_pylist()
+    o_doc, o_ref, o_idx, o_feat = [], [], [], []
+    for doc, kind, ref, nframes in zip(docs, kinds, refs, widths):
+        if kind != "video":
+            continue
+        for fi in list(range(0, int(nframes), every_n))[:max_frames]:
+            u = stable_u64(f"{ref}#frame{fi}")
+            rng = np.random.default_rng(u % (2**32))
+            f = rng.standard_normal(MEDIA_FEATURE_DIM).astype(np.float32)
+            f /= max(float(np.linalg.norm(f)), 1e-12)
+            o_doc.append(doc)
+            o_ref.append(ref)
+            o_idx.append(fi)
+            o_feat.append(f)
+    feat_arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.concatenate(o_feat) if o_feat else np.zeros(0, np.float32), pa.float32()),
+        MEDIA_FEATURE_DIM,
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(o_doc, pa.string()),
+            "media_ref": pa.array(o_ref, pa.string()),
+            "frame_idx": pa.array(o_idx, pa.int32()),
+            "feature": feat_arr,
+        }
+    )
+
+
+def frame_samples(ds: ray.data.Dataset, every_n: int = 24, max_frames: int = 8) -> ray.data.Dataset:
+    return ds.map_batches(
+        frame_sample_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"every_n": every_n, "max_frames": max_frames},
     )

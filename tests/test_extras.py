@@ -201,3 +201,44 @@ def test_media_plumbing(sf001):
     # Gated real decoder raises clearly.
     with pytest.raises(NotImplementedError):
         MediaFeatureActor(decoder="pil")
+
+
+def test_media_video_frame_sampling():
+    from antnre_ray.stages.media import MediaFeatureActor, frame_sample_batch
+
+    actor = MediaFeatureActor()
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["d1", "d1", "d2"]),
+            "span_idx": pa.array([0, 1, 0], pa.int32()),
+            "kind": pa.array(["video", "image", "video"]),
+            "media_ref": pa.array(["media://vid/a", "media://img/b", "media://vid/c"]),
+        }
+    )
+    feats = actor(batch)
+    vid = feats.filter(pa.compute.equal(feats.column("kind"), "video"))
+    assert all(w >= 24 for w in vid.column("width").to_pylist())
+    frames = frame_sample_batch(feats, every_n=24, max_frames=4)
+    assert frames.num_rows > 0
+    assert set(frames.column("media_ref").to_pylist()) <= {"media://vid/a", "media://vid/c"}
+    # deterministic: same input → same frames/features
+    again = frame_sample_batch(feats, every_n=24, max_frames=4)
+    assert frames.equals(again)
+
+
+def test_io_facade_roundtrip(tmp_path):
+    import ray
+    import ray.data
+
+    from antnre_ray.sources.io import HAVE_LANCE, read_table, write_table
+
+    assert not HAVE_LANCE  # sandbox: parquet fallback is the tested path
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64()), "b": pa.array(["x", "y", "z"])})
+    ds = ray.data.from_arrow(t)
+    path = str(tmp_path / "t")
+    write_table(ds, path)
+    back = pa.concat_tables(ray.get(read_table(path).to_arrow_refs()), promote_options="default")
+    assert sorted(back.to_pylist(), key=str) == sorted(t.to_pylist(), key=str)
+    # column pruning at the read
+    only_a = pa.concat_tables(ray.get(read_table(path, columns=["a"]).to_arrow_refs()))
+    assert only_a.column_names == ["a"]
