@@ -51,6 +51,27 @@ def kg_adjacency(sf_dir: str) -> ray.data.Dataset:
     return flagship_graph(_corpus(sf_dir))["adjacency"]
 
 
+@register("kg_top_entities", None)
+def kg_top_entities(sf_dir: str) -> ray.data.Dataset:
+    """Graph analytics over the materialized adjacency: out-degree and
+    total edge weight per source node, top 20 — the groupby runs over
+    the (already edge-aggregated) adjacency, not the raw triples."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    adj = flagship_graph(_corpus(sf_dir))["adjacency"]
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column("src"), "weight": b.column("weight")})
+
+    deg = (
+        adj.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("src")
+        .aggregate(Count(alias_name="out_degree"), Sum("weight", alias_name="total_weight"))
+    )
+    return deg.sort(["total_weight", "src"], descending=[True, False]).limit(20)
+
+
 @register("kg_eval_prf", None)
 def kg_eval_prf(sf_dir: str):
     """A20 corpus-scale eval: surface-level micro P/R/F1 of the Ray

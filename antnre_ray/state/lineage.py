@@ -169,6 +169,13 @@ def run_flagship_resumable(
     """
     cfg = cfg or PipelineConfig()
     os.makedirs(out_dir, exist_ok=True)
+    # Sweep tmp dirs a crashed previous run may have left (never referenced
+    # by the manifest, so removal is always safe).
+    for root, dirs, _files in os.walk(out_dir):
+        for d in list(dirs):
+            if ".tmp." in d:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                dirs.remove(d)
     manifest = Manifest(out_dir)
     from ..stages.validate import validate
 
