@@ -1007,3 +1007,87 @@ def b08_math_funcs(sf_dir: str) -> ray.data.Dataset:
     return _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ------------------------------------------- B26b sliding-window aggregate
+
+@register(
+    "b26b_sliding_window",
+    """WITH halves AS (
+         SELECT user_id, value, date_trunc('hour', ts) AS h,
+                CASE WHEN date_part('minute', ts) >= 30 THEN 1 ELSE 0 END AS half
+         FROM events
+       ),
+       starts AS (
+         SELECT user_id, value,
+                h + half * INTERVAL 30 MINUTE AS w FROM halves
+         UNION ALL
+         SELECT user_id, value,
+                h + half * INTERVAL 30 MINUTE - INTERVAL 30 MINUTE AS w FROM halves
+       )
+       SELECT user_id, w AS window_start,
+              count(*) AS n_events, ROUND(sum(value), 4) AS sum_value
+       FROM starts GROUP BY user_id, window_start""",
+)
+def b26b_sliding_window(sf_dir: str) -> ray.data.Dataset:
+    """Sliding 1h window, 30min stride: each event lands in the two
+    windows covering it, expressed as a 1→2 flat-map before the grouped
+    aggregate — the batch shape of sliding windows (no watermark
+    machinery needed for batch KG construction, SURVEY.md §2B note)."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        ts = b.column("ts")
+        half_start = pc.floor_temporal(ts, multiple=30, unit="minute")
+        w1 = half_start
+        w0 = pc.subtract(half_start, pa.scalar(np.timedelta64(30 * 60 * 1_000_000, "us")))
+        t = pa.table(
+            {
+                "user_id": pa.concat_arrays([b.column("user_id").combine_chunks()] * 2)
+                if isinstance(b.column("user_id"), pa.ChunkedArray)
+                else pa.concat_arrays([b.column("user_id")] * 2),
+                "window_start": pa.concat_arrays(
+                    [w1.combine_chunks() if isinstance(w1, pa.ChunkedArray) else w1,
+                     w0.combine_chunks() if isinstance(w0, pa.ChunkedArray) else w0]
+                ),
+                "value": pa.concat_arrays([b.column("value").combine_chunks()] * 2)
+                if isinstance(b.column("value"), pa.ChunkedArray)
+                else pa.concat_arrays([b.column("value")] * 2),
+            }
+        )
+        g = t.group_by(["user_id", "window_start"]).aggregate([([], "count_all"), ("value", "sum")])
+        return g.rename_columns(["user_id", "window_start", "n_events", "sum_value"])
+
+    out = (
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+    )
+    return _round_cols(out, {"sum_value": 4})
+
+
+# ------------------------------------------------------- B6b regex extract
+
+@register(
+    "b06b_regex_extract",
+    """SELECT event_id,
+              regexp_extract(props, '"k":\\s*(\\d+)', 1) AS k_str,
+              regexp_matches(props, '^\\{') AS is_obj
+       FROM events""",
+)
+def b06b_regex_extract(sf_dir: str) -> ray.data.Dataset:
+    def fn(b: pa.Table) -> pa.Table:
+        props = b.column("props")
+        k = pc.extract_regex(props, pattern=r'"k":\s*(?P<k>\d+)')
+        k_str = pc.if_else(pc.is_valid(k), pc.struct_field(k, "k"), pa.scalar("", pa.string()))
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "k_str": k_str,
+                "is_obj": pc.match_substring_regex(props, r"^\{"),
+            }
+        )
+
+    return _read(sf_dir, "events", ["event_id", "props"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
