@@ -1091,3 +1091,60 @@ def b06b_regex_extract(sf_dir: str) -> ray.data.Dataset:
     return _read(sf_dir, "events", ["event_id", "props"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# --------------------------------------------- B15b exact quantiles
+
+@register(
+    "b15b_quantiles",
+    """SELECT quantile_cont(l_quantity, 0.5) AS median_qty,
+              quantile_cont(l_quantity, 0.9) AS p90_qty,
+              CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE) AS p25_disc
+       FROM lineitem""",
+)
+def b15b_quantiles(sf_dir: str) -> pa.Table:
+    """Exact distributed quantiles via a value histogram: groupby(value)
+    → counts (tiny when the domain is bounded), then order statistics
+    from cumulative counts with duckdb's interpolation semantics
+    (quantile_cont: linear between floor/ceil order stats at q·(n−1);
+    quantile_disc: the order stat at ceil(q·n)−1)."""
+
+    def hist(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_quantity"]).aggregate([([], "count_all")])
+        return g.rename_columns(["val", "cnt"])
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_quantity"])
+        .map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("val")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    vals = np.array([p["val"] for p in parts], dtype=np.float64)
+    cnts = np.array([p["cnt"] for p in parts], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+
+    def order_stat(i: int) -> float:  # 0-based
+        return float(vals[np.searchsorted(cum, i + 1)])
+
+    def q_cont(q: float) -> float:
+        pos = q * (n - 1)
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        if lo == hi:
+            return order_stat(lo)
+        frac = pos - lo
+        return order_stat(lo) * (1 - frac) + order_stat(hi) * frac
+
+    def q_disc(q: float) -> float:
+        return order_stat(max(int(np.ceil(q * n)) - 1, 0))
+
+    return pa.table(
+        {
+            "median_qty": pa.array([q_cont(0.5)], pa.float64()),
+            "p90_qty": pa.array([q_cont(0.9)], pa.float64()),
+            "p25_disc": pa.array([q_disc(0.25)], pa.float64()),
+        }
+    )
