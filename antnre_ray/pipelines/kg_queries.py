@@ -72,6 +72,56 @@ def kg_top_entities(sf_dir: str) -> ray.data.Dataset:
     return deg.sort(["total_weight", "src"], descending=[True, False]).limit(20)
 
 
+@register("kg_two_hop", None)
+def kg_two_hop(sf_dir: str) -> ray.data.Dataset:
+    """Two-hop reachability over the materialized graph: adjacency
+    self-joined on dst=src (hash shuffle join), path weight = product of
+    edge weights, aggregated per (src, dst) pair. Top 20 by weight."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    adj = flagship_graph(_corpus(sf_dir))["adjacency"]
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": b.column("src"), "dst": b.column("dst"), "weight": b.column("weight")}
+        )
+
+    edges = adj.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    try:
+        import ray as _ray
+
+        nparts = max(4, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    except Exception:
+        nparts = 8
+    two = edges.join(
+        edges,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("dst",),
+        right_on=("src",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+    def combine(b: pa.Table) -> pa.Table:
+        cols = {c: b.column(c) for c in b.column_names}
+        src = cols.get("src", cols.get("src_a"))
+        dst = cols.get("dst_b", cols.get("dst"))
+        w = pc.multiply(cols.get("weight_a", cols.get("weight")), cols["weight_b"])
+        t = pa.table({"src": src, "dst": dst, "path_weight": pc.cast(w, pa.int64())})
+        g = t.group_by(["src", "dst"]).aggregate([("path_weight", "sum")])
+        return g.rename_columns(["src", "dst", "path_weight"])
+
+    out = (
+        two.map_batches(combine, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("path_weight", alias_name="path_weight"))
+    )
+    return out.sort(["path_weight", "src", "dst"], descending=[True, False, False]).limit(20)
+
+
 @register("kg_eval_prf", None)
 def kg_eval_prf(sf_dir: str):
     """A20 corpus-scale eval: surface-level micro P/R/F1 of the Ray
