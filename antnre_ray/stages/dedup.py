@@ -12,9 +12,8 @@ the 16 band rows; the exact-Jaccard variant carries the text instead.
 At 100 TB with large documents the text-carrying variant should switch
 to a candidates→semi-join-back plan (pairs are tiny); the signature
 variant scales as-is. Buckets are capped (default 64 docs) so a
-degenerate key (e.g. empty docs) cannot go quadratic — capped buckets
-are counted in the output's `truncated` accounting rather than silently
-dropped.
+degenerate key (e.g. empty docs) cannot go quadratic; truncation is
+DETERMINISTIC (lowest doc ids kept) and logged — no silent caps.
 """
 
 from __future__ import annotations
@@ -37,6 +36,23 @@ from ..functions.minhash import (
 )
 
 MAX_BUCKET = 64
+
+_logger = None
+
+
+def _log_truncation(which: str, size: int) -> None:
+    """No silent caps: oversized LSH buckets are truncated (to the
+    lowest-id members, deterministically) and the drop is logged."""
+    global _logger
+    if _logger is None:
+        import logging
+
+        _logger = logging.getLogger(__name__)
+    _logger.warning(
+        "%s bucket of %d docs truncated to %d lowest ids (degenerate key; "
+        "consider more bands/planes or a pre-filter)", which, size, MAX_BUCKET
+    )
+
 
 
 def _pairs_schema(extra: str) -> pa.Schema:
@@ -70,13 +86,17 @@ def _bucket_pairs_minhash(group: pa.Table, threshold: float = 0.7) -> pa.Table:
     n = group.num_rows
     if n < 2:
         return pa.Table.from_pylist([], schema=_pairs_schema("est_jaccard"))
-    group = group.slice(0, MAX_BUCKET)
     doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
     sig = group.column("sig")
     if isinstance(sig, pa.ChunkedArray):
         sig = sig.combine_chunks()
     sigs = sig.flatten().to_numpy(zero_copy_only=False).reshape(len(doc_ids), NUM_PERM)
-    order = np.argsort(doc_ids, kind="stable")
+    # Deterministic truncation: order by doc_id BEFORE capping, so the
+    # kept subset of an oversized bucket is stable across runs; log what
+    # was dropped (no silent caps).
+    order = np.argsort(doc_ids, kind="stable")[:MAX_BUCKET]
+    if n > MAX_BUCKET:
+        _log_truncation("minhash", n)
     doc_ids, sigs = doc_ids[order], sigs[order]
     a_out, b_out, est_out = [], [], []
     m = len(doc_ids)
@@ -134,10 +154,11 @@ def _text_band_rows(batch: pa.Table, k: int = 3, seed: int = 42) -> pa.Table:
 def _bucket_pairs_jaccard(group: pa.Table, threshold: float = 0.6, k: int = 3) -> pa.Table:
     if group.num_rows < 2:
         return pa.Table.from_pylist([], schema=_pairs_schema("jaccard"))
-    group = group.slice(0, MAX_BUCKET)
     doc_ids = group.column("doc_id").to_pylist()
     texts = group.column("text").to_pylist()
-    order = np.argsort(doc_ids, kind="stable")
+    if len(doc_ids) > MAX_BUCKET:
+        _log_truncation("ngram-jaccard", len(doc_ids))
+    order = np.argsort(doc_ids, kind="stable")[:MAX_BUCKET]
     a_out, b_out, j_out = [], [], []
     for x in range(len(order) - 1):
         for y in range(x + 1, len(order)):
@@ -192,10 +213,11 @@ def simhash_rows(batch: pa.Table, seed: int = 42) -> pa.Table:
 def _bucket_pairs_simhash(group: pa.Table, max_hamming: int = 3) -> pa.Table:
     if group.num_rows < 2:
         return pa.Table.from_pylist([], schema=_pairs_schema("hamming"))
-    group = group.slice(0, MAX_BUCKET)
     doc_ids = np.asarray(group.column("doc_id").to_pylist())
     sigs = np.asarray(group.column("sig").to_pylist()).view(np.uint64)
-    order = np.argsort(doc_ids, kind="stable")
+    if len(doc_ids) > MAX_BUCKET:
+        _log_truncation("simhash", len(doc_ids))
+    order = np.argsort(doc_ids, kind="stable")[:MAX_BUCKET]
     doc_ids, sigs = doc_ids[order], sigs[order]
     a_out, b_out, h_out = [], [], []
     for i in range(len(doc_ids) - 1):
@@ -270,14 +292,15 @@ def _bucket_pairs_cosine(group: pa.Table, threshold: float = 0.95) -> pa.Table:
         return pa.Table.from_pylist(
             [], schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("cosine", pa.float64())])
         )
-    group = group.slice(0, MAX_BUCKET * 4)
     ids = np.asarray(group.column("vec_id").to_pylist())
     vec = group.column("vec")
     if isinstance(vec, pa.ChunkedArray):
         vec = vec.combine_chunks()
     dim = vec.type.list_size
     X = vec.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), dim)
-    order = np.argsort(ids, kind="stable")
+    if len(ids) > MAX_BUCKET * 4:
+        _log_truncation("embedding-cosine", len(ids))
+    order = np.argsort(ids, kind="stable")[: MAX_BUCKET * 4]
     ids, X = ids[order], X[order]
     cos = X @ X.T
     a_out, b_out, c_out = [], [], []
