@@ -29,3 +29,30 @@ Library code NEVER calls ``ray.init``/``ray.shutdown`` — the driver,
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy public API (avoids importing Ray at package import time):
+
+    ``flagship_graph``, ``flagship_triples``, ``Pipeline``, ``Step``,
+    ``PipelineConfig``, ``run_flagship_resumable``, ``derive_interleaved``.
+    """
+    from importlib import import_module
+
+    api = {
+        "flagship_graph": ("antnre_ray.pipelines.flagship", "flagship_graph"),
+        "flagship_triples": ("antnre_ray.pipelines.flagship", "flagship_triples"),
+        "reference_graph": ("antnre_ray.pipelines.flagship", "reference_graph"),
+        "Pipeline": ("antnre_ray.pipelines.api", "Pipeline"),
+        "Step": ("antnre_ray.pipelines.api", "Step"),
+        "flagship_pipeline": ("antnre_ray.pipelines.api", "flagship_pipeline"),
+        "PipelineConfig": ("antnre_ray.config", "PipelineConfig"),
+        "run_flagship_resumable": ("antnre_ray.state.lineage", "run_flagship_resumable"),
+        "run_report": ("antnre_ray.state.metrics", "run_report"),
+        "derive_interleaved": ("antnre_ray.sources.corpus", "derive_interleaved"),
+        "synthesize_documents": ("antnre_ray.sources.corpus", "synthesize_documents"),
+    }
+    if name in api:
+        mod, attr = api[name]
+        return getattr(import_module(mod), attr)
+    raise AttributeError(f"module 'antnre_ray' has no attribute {name!r}")

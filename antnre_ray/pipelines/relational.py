@@ -56,6 +56,14 @@ def _join_partitions() -> int:
     return max(4, min(64, cpus // 2))
 
 
+
+def _collect(ds: "ray.data.Dataset") -> pa.Table:
+    """Materialize a SMALL Dataset result to one Arrow table, dropping
+    the zero-column empty blocks map_groups can emit (a naive
+    concat_tables on the consumer side would reject them)."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
+    return pa.concat_tables(tables, promote_options="default")
+
 def _round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
     p = 10.0 ** nd
     return np.copysign(np.trunc(np.abs(np.asarray(x, dtype=np.float64)) * p + 0.5), x) / p
@@ -498,8 +506,10 @@ def b17_distinct(sf_dir: str) -> ray.data.Dataset:
     ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"]).map_batches(
         pre, batch_format="pyarrow", zero_copy_batch=True
     )
-    return ds.groupby(["o_orderstatus", "o_orderpriority"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    return _collect(
+        ds.groupby(["o_orderstatus", "o_orderpriority"]).map_groups(
+            lambda g: g.slice(0, 1), batch_format="pyarrow"
+        )
     )
 
 
@@ -1148,3 +1158,40 @@ def b15b_quantiles(sf_dir: str) -> pa.Table:
             "p25_disc": pa.array([q_disc(0.25)], pa.float64()),
         }
     )
+
+
+# --------------------------------------------- B16b ordered string_agg
+
+@register(
+    "b16b_string_agg",
+    """SELECT o_orderstatus,
+              string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+              count(*) AS n
+       FROM orders GROUP BY o_orderstatus""",
+)
+def b16b_string_agg(sf_dir: str) -> ray.data.Dataset:
+    """Collect-type aggregate: per group, the ordered distinct values
+    joined into one string. Pre-distinct per batch caps shuffle volume;
+    the final merge sorts, so output is order-deterministic."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        g = b.group_by(["o_orderstatus", "o_orderpriority"]).aggregate([([], "count_all")])
+        return g.rename_columns(["o_orderstatus", "o_orderpriority", "n"])
+
+    pre_ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"]).map_batches(
+        pre, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        status = group.column("o_orderstatus")[0].as_py()
+        prios = sorted(set(group.column("o_orderpriority").to_pylist()))
+        n = sum(group.column("n").to_pylist())
+        return pa.table(
+            {
+                "o_orderstatus": pa.array([status], pa.string()),
+                "priorities": pa.array([",".join(prios)], pa.string()),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    return _collect(pre_ds.groupby("o_orderstatus").map_groups(finalize, batch_format="pyarrow"))
