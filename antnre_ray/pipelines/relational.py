@@ -1195,3 +1195,66 @@ def b16b_string_agg(sf_dir: str) -> ray.data.Dataset:
         )
 
     return _collect(pre_ds.groupby("o_orderstatus").map_groups(finalize, batch_format="pyarrow"))
+
+
+# ------------------------------------ TPC-H Q14-like (promo revenue share)
+
+@register(
+    "q14_promo_revenue",
+    """SELECT ROUND(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                     THEN l_extendedprice * (1 - l_discount)
+                                     ELSE 0 END), 2) AS promo_revenue,
+              ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+              count(*) AS n_rows
+       FROM lineitem JOIN part ON l_partkey = p_partkey""",
+)
+def q14_promo_revenue(sf_dir: str) -> pa.Table:
+    """Broadcast join (part is small) + conditional aggregate: the promo
+    flag ships as a ray.put bitmap keyed by partkey; each batch reduces
+    to two partial sums, merged driver-side."""
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_type"])
+    pk = np.asarray(part.column("p_partkey").to_pylist(), dtype=np.int64)
+    is_promo = np.array(
+        [t.startswith("PROMO") for t in part.column("p_type").to_pylist()], dtype=bool
+    )
+    # Dense bitmaps indexed by partkey — O(1) vectorized probe per batch.
+    maxk = int(pk.max())
+    known = np.zeros(maxk + 2, dtype=bool)
+    promo_bm = np.zeros(maxk + 2, dtype=bool)
+    known[pk] = True
+    promo_bm[pk[is_promo]] = True
+    ref = ray.put((known, promo_bm))
+
+    def partial(b: pa.Table, ref=ref) -> pa.Table:
+        known, promo_bm = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        k = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        rev = pc.multiply(
+            b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))
+        ).to_numpy(zero_copy_only=False)
+        k_clip = np.clip(k, 0, len(known) - 1)
+        valid = known[k_clip] & (k == k_clip)
+        total = float(rev[valid].sum())
+        promo_sum = float(rev[valid & promo_bm[k_clip]].sum())
+        n = int(valid.sum())
+        return pa.table(
+            {
+                "promo": pa.array([promo_sum], pa.float64()),
+                "total": pa.array([total], pa.float64()),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    promo_rev = float(_round_half_away(np.array([100.0 * sum(p["promo"] for p in parts)]), 2)[0])
+    total_rev = float(_round_half_away(np.array([sum(p["total"] for p in parts)]), 2)[0])
+    return pa.table(
+        {
+            "promo_revenue": pa.array([promo_rev], pa.float64()),
+            "total_revenue": pa.array([total_rev], pa.float64()),
+            "n_rows": pa.array([sum(p["n"] for p in parts)], pa.int64()),
+        }
+    )

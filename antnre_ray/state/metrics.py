@@ -33,6 +33,28 @@ def run_report(out_dir: str) -> dict:
     if graph:
         report["triples"] = graph[0].triple_count
         report.update(json.loads(graph[0].metrics_json))
+    # Link hit-rate (A16 health): fraction of mentions resolved through
+    # the alias dict / kNN (e: ids) vs canonical fallback (c: ids),
+    # sampled from the first extract shard per partition.
+    extract_dir = os.path.join(out_dir, "extract")
+    if os.path.isdir(extract_dir):
+        linked = total = 0
+        for part in sorted(os.listdir(extract_dir)):
+            pdir = os.path.join(extract_dir, part)
+            if not os.path.isdir(pdir):
+                continue
+            files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+            if not files:
+                continue
+            t = pq.read_table(os.path.join(pdir, files[0]), columns=["mentions"])
+            col = t.column("mentions").combine_chunks()
+            flat = col.flatten()
+            if len(flat):
+                ids = flat.field("entity_id").to_pylist()
+                linked += sum(1 for i in ids if i.startswith("e:"))
+                total += len(ids)
+        if total:
+            report["link_hit_rate"] = round(linked / total, 4)
     ents_dir = os.path.join(out_dir, "entities")
     if os.path.isdir(ents_dir):
         counts = []
