@@ -1258,3 +1258,89 @@ def q14_promo_revenue(sf_dir: str) -> pa.Table:
             "n_rows": pa.array([sum(p["n"] for p in parts)], pa.int64()),
         }
     )
+
+
+# ------------------------------- TPC-H Q4-like (order priority checking)
+
+@register(
+    "q04_order_priority",
+    """SELECT o_orderpriority, count(*) AS n_late_orders
+       FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+       GROUP BY o_orderpriority""",
+)
+def q04_order_priority(sf_dir: str) -> ray.data.Dataset:
+    """Large-large semi-join as max-aggregate + join: per order the max
+    lineitem shipdate (pre-reduced per batch → small groupby), joined to
+    orders, EXISTS ⇔ max_ship > o_orderdate."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_orderkey"]).aggregate([("l_shipdate", "max")])
+        return g.rename_columns(["l_orderkey", "max_ship"])
+
+    li_max = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Max("max_ship", alias_name="max_ship"))
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = orders.join(
+        li_max, join_type="inner", num_partitions=_join_partitions(), on=("o_orderkey",), right_on=("l_orderkey",)
+    )
+
+    def late(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("max_ship"), b.column("o_orderdate")))
+        g = b.group_by(["o_orderpriority"]).aggregate([([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "n_late_orders"])
+
+    return (
+        j.map_batches(late, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_late_orders", alias_name="n_late_orders"))
+    )
+
+
+# ----------------------------------------- documents facet counts
+
+@register(
+    "b16c_docs_by_source",
+    """SELECT source, lang, count(*) AS n_docs,
+              ROUND(avg(n_chars), 2) AS avg_chars,
+              max(n_chars) AS max_chars
+       FROM documents GROUP BY source, lang""",
+)
+def b16c_docs_by_source(sf_dir: str) -> ray.data.Dataset:
+    def pre(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "lang"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum"), ("n_chars", "max")]
+        )
+        return g.rename_columns(["source", "lang", "n_docs", "sum_chars", "max_chars"])
+
+    agg = (
+        _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+            Max("max_chars", alias_name="max_chars"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        avg = b.column("sum_chars").to_numpy(zero_copy_only=False) / np.maximum(
+            b.column("n_docs").to_numpy(zero_copy_only=False), 1
+        )
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "lang": b.column("lang"),
+                "n_docs": b.column("n_docs"),
+                "avg_chars": pa.array(_round_half_away(avg, 2), pa.float64()),
+                "max_chars": b.column("max_chars"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
