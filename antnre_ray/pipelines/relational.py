@@ -1344,3 +1344,127 @@ def b16c_docs_by_source(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------------------- B23b except
+
+@register(
+    "b23b_except",
+    """SELECT n_nationkey AS nationkey FROM nation
+       WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+         AND n_nationkey NOT IN (SELECT s_nationkey FROM supplier)""",
+)
+def b23b_except(sf_dir: str) -> pa.Table:
+    """EXCEPT via broadcast key sets (small sides; the co-partition
+    variant covers large sides, SURVEY.md B13/B23)."""
+    cust = set(_read_small(sf_dir, "customer", ["c_nationkey"]).column("c_nationkey").to_pylist())
+    supp = set(_read_small(sf_dir, "supplier", ["s_nationkey"]).column("s_nationkey").to_pylist())
+    nat = _read_small(sf_dir, "nation", ["n_nationkey"]).column("n_nationkey").to_pylist()
+    keep = sorted(k for k in nat if k in cust and k not in supp)
+    return pa.table({"nationkey": pa.array(keep, pa.int32())})
+
+
+# ------------------------------------------------- window rank per group
+
+@register(
+    "b27b_topk_per_user",
+    """SELECT user_id, event_id, value,
+              CAST(row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+       FROM events QUALIFY rnk <= 3""",
+)
+def b27b_topk_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Windowed rank: top-3 events by value per user. Ordering lives
+    ONLY inside each group (map_groups after the key shuffle); ties
+    pinned by event_id in both engines."""
+
+    def topk(group: pa.Table) -> pa.Table:
+        vals = np.asarray(group.column("value").to_pylist())
+        eids = np.asarray(group.column("event_id").to_pylist())
+        order = np.lexsort((eids, -vals))[:3]
+        uid = group.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * len(order), pa.int64()),
+                "event_id": pa.array(eids[order], pa.int64()),
+                "value": pa.array(vals[order], pa.float64()),
+                "rnk": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_id", "value"])
+        .groupby("user_id")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------- B10b explode / unnest
+
+@register(
+    "b10b_explode_tokens",
+    """SELECT doc_id, u.tok AS token
+       FROM documents, unnest(string_split(trim(text), ' ')) AS u(tok)
+       WHERE doc_id < 20 AND u.tok != ''""",
+)
+def b10b_explode_tokens(sf_dir: str) -> ray.data.Dataset:
+    """List explode (1→N flat-map): whitespace tokens of the first 20
+    docs, one row per token — the Ray shape of SQL unnest."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("doc_id"), 20))
+        toks = pc.split_pattern(pc.utf8_trim_whitespace(b.column("text")), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks)
+        t = pa.table(
+            {"doc_id": b.column("doc_id").take(parent), "token": toks.flatten()}
+        )
+        return t.filter(pc.invert(pc.equal(t.column("token"), "")))
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ------------------------------------------------------- B4b null semantics
+
+@register(
+    "b04b_null_semantics",
+    """SELECT count(*) AS n_rows,
+              count(NULLIF(l_discount, 0.0)) AS n_nonzero_disc,
+              count(*) - count(NULLIF(l_discount, 0.0)) AS n_zero_disc,
+              ROUND(sum(COALESCE(NULLIF(l_discount, 0.0), 0.0)), 4) AS sum_disc
+       FROM lineitem""",
+)
+def b04b_null_semantics(sf_dir: str) -> pa.Table:
+    """NULLIF/COALESCE/count-ignores-null parity: nulls introduced by
+    NULLIF(l_discount, 0), counted and coalesced back."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc = b.column("l_discount")
+        nulled = pc.if_else(pc.equal(disc, 0.0), pa.scalar(None, pa.float64()), disc)
+        return pa.table(
+            {
+                "n_rows": pa.array([b.num_rows], pa.int64()),
+                "n_nonzero": pa.array([len(nulled) - nulled.null_count], pa.int64()),
+                "sum_disc": pa.array([pc.sum(pc.coalesce(nulled, pa.scalar(0.0))).as_py() or 0.0], pa.float64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_discount"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    n_rows = sum(p["n_rows"] for p in parts)
+    n_nonzero = sum(p["n_nonzero"] for p in parts)
+    sum_disc = float(_round_half_away(np.array([sum(p["sum_disc"] for p in parts)]), 4)[0])
+    return pa.table(
+        {
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "n_nonzero_disc": pa.array([n_nonzero], pa.int64()),
+            "n_zero_disc": pa.array([n_rows - n_nonzero], pa.int64()),
+            "sum_disc": pa.array([sum_disc], pa.float64()),
+        }
+    )
