@@ -100,10 +100,16 @@ def simhash_signatures(texts: list[str], seed: int = 42) -> np.ndarray:
     h = polars_u64(pa.array(flat), seed=seed)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
     signed = bits * 2 - 1  # [n_words, 64] in {-1, +1}
-    sums = np.add.reduceat(signed, offsets[:-1].clip(max=max(len(flat) - 1, 0)), axis=0)
-    # reduceat quirk: empty segments copy the next row — zero them out.
-    empty = np.diff(offsets) == 0
-    sums[empty] = 0
+    # Mirror minhash_signatures: reduceat ONLY at the starts of nonempty
+    # docs (each segment then ends exactly at the next nonempty start /
+    # the array end), leaving empty docs zero. Clipping ALL offsets
+    # instead would silently chop the final word off a doc followed by an
+    # empty one, making signatures batch-composition-dependent.
+    counts = np.diff(offsets)
+    nonempty = np.nonzero(counts > 0)[0]
+    sums = np.zeros((n, 64), dtype=np.int64)
+    if len(nonempty):
+        sums[nonempty] = np.add.reduceat(signed, offsets[nonempty], axis=0)
     fingerbits = (sums > 0).astype(np.uint64)
     return (fingerbits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
 

@@ -81,6 +81,10 @@ def char_cnn(
     """Width-3 char convolution + ReLU + max-over-time → [N, c_out].
 
     Vectorized over every token in the batch at once (N = total tokens).
+    Requires ``emb[0] == 0`` (PAD row): windows adjacent to a token's end
+    then see the same zeros whether the boundary is the explicit edge pad
+    or in-matrix PAD cells, so a token's feature is independent of the
+    char-matrix width it was batched into.
     """
     N, L = char_ids.shape
     E = emb[char_ids]  # [N, L, dc]

@@ -189,6 +189,12 @@ def get_model(seed: int = 42) -> ModelSpec:
 
     word_emb = draw(V, WORD_DIM, scale=0.5)
     char_emb = draw(N_CHARS, CHAR_DIM, scale=0.5)
+    # PAD char (id 0) must embed to ZEROS: conv windows at a token's edge
+    # see either the explicit zero edge-pad or PAD cells, and if those
+    # disagree a token's char feature depends on the char-matrix width of
+    # the batch it was computed in — i.e. on co-batched tokens — breaking
+    # the bit-stable-across-partitionings rule (SURVEY.md §7.4.1).
+    char_emb[0] = 0.0
     char_W = draw(3 * CHAR_DIM, CHAR_OUT)
     char_b = np.zeros(CHAR_OUT, f32)
     D = WORD_DIM + CHAR_OUT

@@ -269,19 +269,21 @@ class _BroadcastLookup:
         small: pa.Table = ray.get(small_ref) if isinstance(small_ref, ray.ObjectRef) else small_ref
         self.probe_key = probe_key
         self.value_cols = value_cols
-        keys = small.column(small_key or probe_key).to_pylist()
-        self.lut = {k: i for i, k in enumerate(keys)}
-        self.values = {c: small.column(c).to_pylist() for c in value_cols}
+        self.keys = small.column(small_key or probe_key).combine_chunks()
+        self.values = {c: small.column(c).combine_chunks() for c in value_cols}
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        idx = [self.lut.get(k, -1) for k in b.column(self.probe_key).to_pylist()]
-        keep = pa.array([i >= 0 for i in idx])
+        # One vectorized hash probe per batch (Arrow kernel) — no Python
+        # row loop. index_in returns null for misses → filter both sides.
+        idx = pc.index_in(b.column(self.probe_key), value_set=self.keys)
+        if isinstance(idx, pa.ChunkedArray):
+            idx = idx.combine_chunks()
+        keep = idx.is_valid()
         b = b.filter(keep)
-        idx = [i for i in idx if i >= 0]
+        idx = idx.filter(keep)
         out = {c: b.column(c) for c in b.column_names}
         for c in self.value_cols:
-            vals = self.values[c]
-            out[c] = pa.array([vals[i] for i in idx])
+            out[c] = self.values[c].take(idx)
         return pa.table(out)
 
 
@@ -321,18 +323,26 @@ def b12_broadcast_join(sf_dir: str) -> ray.data.Dataset:
     """SELECT c_custkey, c_name FROM customer
        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
 )
-def b13_anti_join(sf_dir: str) -> ray.data.Dataset:
+def b13_anti_join(sf_dir: str) -> pa.Table:
+    """Broadcast anti join (orders' custkeys ship once via ray.put, each
+    batch probes with one vectorized is_in). Collected to a schema-pinned
+    Table: the result can legitimately be 0 rows, and an empty untyped
+    block would lose the (int64, string) schema on the driver side."""
     custkeys = _read_small(sf_dir, "orders", ["o_custkey"])
-    key_ref = ray.put(set(custkeys.column("o_custkey").to_pylist()))
+    key_ref = ray.put(pc.unique(custkeys.column("o_custkey").combine_chunks()))
 
     def fn(b: pa.Table, ref=key_ref) -> pa.Table:
         keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        mask = pa.array([k not in keys for k in b.column("c_custkey").to_pylist()])
-        return b.filter(mask)
+        return b.filter(pc.invert(pc.is_in(b.column("c_custkey"), value_set=keys)))
 
-    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+    schema = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())])
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    if not tables:
+        return schema.empty_table()
+    return pa.concat_tables([t.cast(schema) for t in tables])
 
 
 @register(
@@ -396,27 +406,23 @@ def b14_asof_join(sf_dir: str) -> ray.data.Dataset:
     )
 
     def merge(group: pa.Table) -> pa.Table:
-        t = np.array(group.column("t").to_pylist(), dtype="datetime64[us]")
-        is_ev = np.array(group.column("is_event").to_pylist())
-        # Pinned tie-break: at equal timestamps orders sort BEFORE events,
-        # matching the oracle's inclusive `ts >= o_orderdate`.
-        order = np.lexsort((is_ev, t))
-        ev_ids = np.array(group.column("event_id").to_pylist())[order]
-        t, is_ev = t[order], is_ev[order]
+        t = group.column("t").combine_chunks().to_numpy(zero_copy_only=False)
+        is_ev = group.column("is_event").combine_chunks().to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
         key = group.column("key")[0].as_py()
-        out_eid, out_date = [], []
-        last_order_t = None
-        for i in range(len(t)):
-            if not is_ev[i]:
-                last_order_t = t[i]
-            elif last_order_t is not None:
-                out_eid.append(int(ev_ids[i]))
-                out_date.append(last_order_t)
+        # Vectorized as-of: for each event, the latest order time <= ts.
+        # searchsorted side="right" makes the match INCLUSIVE at equal
+        # timestamps, matching the oracle's `ts >= o_orderdate`.
+        order_t = np.sort(t[~is_ev])
+        ev_t = t[is_ev]
+        idx = np.searchsorted(order_t, ev_t, side="right") - 1
+        keep = idx >= 0
+        matched = order_t[idx[keep]]
         return pa.table(
             {
-                "event_id": pa.array(out_eid, pa.int64()),
-                "user_id": pa.array([key] * len(out_eid), pa.int64()),
-                "matched_date": pa.array(out_date, pa.timestamp("us")),
+                "event_id": pa.array(eid[is_ev][keep], pa.int64()),
+                "user_id": pa.array(np.full(int(keep.sum()), key, dtype=np.int64), pa.int64()),
+                "matched_date": pa.array(matched.astype("datetime64[us]"), pa.timestamp("us")),
             }
         )
 
@@ -590,6 +596,25 @@ def b22_union(sf_dir: str) -> ray.data.Dataset:
 
 # --------------------------------------------------- B23 intersect / except
 
+def _distinct_vals(sf_dir: str, table: str, col: str) -> set:
+    """Distributed distinct of one column: per-batch combiner (group_by)
+    caps shuffle volume, then a grouped count whose output is one row per
+    distinct value — only the (tiny) distinct set reaches the driver.
+    Scale-safe for low-cardinality keys regardless of table size."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        return b.group_by([col]).aggregate([]).rename_columns([col])
+
+    rows = (
+        _read(sf_dir, table, [col])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(col)
+        .aggregate(Count(alias_name="_n"))
+        .take_all()
+    )
+    return {r[col] for r in rows}
+
+
 @register(
     "b23_intersect",
     """SELECT n_nationkey AS nationkey FROM nation
@@ -597,8 +622,8 @@ def b22_union(sf_dir: str) -> ray.data.Dataset:
          AND n_nationkey IN (SELECT s_nationkey FROM supplier)""",
 )
 def b23_intersect(sf_dir: str) -> pa.Table:
-    cust = set(_read_small(sf_dir, "customer", ["c_nationkey"]).column("c_nationkey").to_pylist())
-    supp = set(_read_small(sf_dir, "supplier", ["s_nationkey"]).column("s_nationkey").to_pylist())
+    cust = _distinct_vals(sf_dir, "customer", "c_nationkey")
+    supp = _distinct_vals(sf_dir, "supplier", "s_nationkey")
     nat = _read_small(sf_dir, "nation", ["n_nationkey"]).column("n_nationkey").to_pylist()
     keep = sorted(k for k in nat if k in cust and k in supp)
     return pa.table({"nationkey": pa.array(keep, pa.int32())})
@@ -659,7 +684,7 @@ def b26_window_agg(sf_dir: str) -> ray.data.Dataset:
 @register(
     "b27_sessionize",
     """WITH gaps AS (
-         SELECT user_id, ts,
+         SELECT user_id, ts, event_id,
                 CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                        OR lag(ts) OVER w IS NULL
                      THEN 1 ELSE 0 END AS is_new
@@ -667,7 +692,7 @@ def b26_window_agg(sf_dir: str) -> ray.data.Dataset:
        ),
        sess AS (
          SELECT user_id, ts,
-                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING) - 1 AS session_id
          FROM gaps
        )
@@ -813,8 +838,10 @@ def b29_repartition(sf_dir: str) -> ray.data.Dataset:
 )
 def q03_shipping_priority(sf_dir: str) -> ray.data.Dataset:
     cust = _read_small(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    building = set(
-        cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING")).column("c_custkey").to_pylist()
+    building = (
+        cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+        .column("c_custkey")
+        .combine_chunks()
     )
     bkeys_ref = ray.put(building)
 
@@ -822,7 +849,7 @@ def q03_shipping_priority(sf_dir: str) -> ray.data.Dataset:
 
     def filt_orders(b: pa.Table, ref=bkeys_ref) -> pa.Table:
         keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        mask = pa.array([k in keys for k in b.column("o_custkey").to_pylist()])
+        mask = pc.is_in(b.column("o_custkey"), value_set=keys)
         return b.filter(mask).select(["o_orderkey", "o_orderdate"])
 
     orders_f = orders.map_batches(filt_orders, batch_format="pyarrow")
@@ -845,9 +872,17 @@ def q03_shipping_priority(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
     agg = _round_cols(agg, {"revenue": 2})
-    return agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10).select_columns(
+    out = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10).select_columns(
         ["l_orderkey", "revenue", "o_orderdate"]
     )
+
+    def pin_ts(b: pa.Table) -> pa.Table:
+        # Ray's shuffle path can downcast timestamp[us] keys to [s];
+        # re-pin the parquet source unit so schemas compare exactly.
+        i = b.schema.get_field_index("o_orderdate")
+        return b.set_column(i, "o_orderdate", pc.cast(b.column("o_orderdate"), pa.timestamp("us")))
+
+    return out.map_batches(pin_ts, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ------------------------------------------- TPC-H Q5-ish (6-way join + agg)
@@ -863,36 +898,50 @@ def q03_shipping_priority(sf_dir: str) -> ray.data.Dataset:
        GROUP BY n_name""",
 )
 def q05_local_supplier(sf_dir: str) -> ray.data.Dataset:
-    # Broadcast the small dims: supplier→nation, customer→nation.
+    # Broadcast the small dims: supplier→nation, customer→nation, as
+    # parallel key/value arrays probed with one vectorized index_in per
+    # batch (no Python row loop on the joined fact table).
     supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
     cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    supp_nat = dict(zip(supp.column("s_suppkey").to_pylist(), supp.column("s_nationkey").to_pylist()))
-    nat_name = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
-    cust_nat = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()))
-    dims_ref = ray.put((supp_nat, nat_name, cust_nat))
+    nk = nation.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nat_names = np.empty(int(nk.max()) + 1, dtype=object)
+    nat_names[nk] = np.asarray(nation.column("n_name").to_pylist(), dtype=object)
+    dims_ref = ray.put(
+        (
+            supp.column("s_suppkey").combine_chunks(),
+            supp.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64),
+            cust.column("c_custkey").combine_chunks(),
+            cust.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64),
+            nat_names,
+        )
+    )
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
     j = li.join(orders, join_type="inner", num_partitions=_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",))
 
     def pre(b: pa.Table, ref=dims_ref) -> pa.Table:
-        supp_nat, nat_name, cust_nat = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        suppkeys = b.column("l_suppkey").to_pylist()
-        custkeys = b.column("o_custkey").to_pylist()
+        supp_keys, supp_nat, cust_keys, cust_nat, nat_names = (
+            ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        )
+        sk = pc.fill_null(pc.index_in(b.column("l_suppkey"), value_set=supp_keys), -1)
+        ck = pc.fill_null(pc.index_in(b.column("o_custkey"), value_set=cust_keys), -1)
+        sk = sk.to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = ck.to_numpy(zero_copy_only=False).astype(np.int64)
+        valid = (sk >= 0) & (ck >= 0)
+        sn = supp_nat[np.where(valid, sk, 0)]
+        m = valid & (sn == cust_nat[np.where(valid, ck, 0)])
         price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = b.column("l_discount").to_numpy(zero_copy_only=False)
-        rev_by_nation: dict[str, float] = {}
-        for sk, ck, p, dsc in zip(suppkeys, custkeys, price, disc):
-            sn = supp_nat.get(sk)
-            if sn is None or cust_nat.get(ck) != sn:
-                continue
-            name = nat_name[sn]
-            rev_by_nation[name] = rev_by_nation.get(name, 0.0) + p * (1.0 - dsc)
+        rev = price[m] * (1.0 - disc[m])
+        sums = np.bincount(sn[m], weights=rev, minlength=len(nat_names))
+        counts = np.bincount(sn[m], minlength=len(nat_names))
+        hit = np.nonzero(counts > 0)[0]
         return pa.table(
             {
-                "n_name": pa.array(list(rev_by_nation.keys()), pa.string()),
-                "revenue": pa.array(list(rev_by_nation.values()), pa.float64()),
+                "n_name": pa.array(nat_names[hit].tolist(), pa.string()),
+                "revenue": pa.array(sums[hit], pa.float64()),
             }
         )
 
@@ -1355,10 +1404,11 @@ def b16c_docs_by_source(sf_dir: str) -> ray.data.Dataset:
          AND n_nationkey NOT IN (SELECT s_nationkey FROM supplier)""",
 )
 def b23b_except(sf_dir: str) -> pa.Table:
-    """EXCEPT via broadcast key sets (small sides; the co-partition
-    variant covers large sides, SURVEY.md B13/B23)."""
-    cust = set(_read_small(sf_dir, "customer", ["c_nationkey"]).column("c_nationkey").to_pylist())
-    supp = set(_read_small(sf_dir, "supplier", ["s_nationkey"]).column("s_nationkey").to_pylist())
+    """EXCEPT via Dataset-side distincts (customer/supplier can be huge;
+    only the distinct nationkey sets — bounded by |nation| — reach the
+    driver, where the tiny nation side resolves membership)."""
+    cust = _distinct_vals(sf_dir, "customer", "c_nationkey")
+    supp = _distinct_vals(sf_dir, "supplier", "s_nationkey")
     nat = _read_small(sf_dir, "nation", ["n_nationkey"]).column("n_nationkey").to_pylist()
     keep = sorted(k for k in nat if k in cust and k not in supp)
     return pa.table({"nationkey": pa.array(keep, pa.int32())})

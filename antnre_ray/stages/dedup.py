@@ -135,61 +135,82 @@ def minhash_dedup_pairs(
 
 # ------------------------------------- exact n-gram Jaccard verified variant
 
-def _text_band_rows(batch: pa.Table, k: int = 3, seed: int = 42) -> pa.Table:
-    texts = batch.column("text").to_pylist()
-    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    sigs = minhash_signatures(texts, k=k, seed=seed)
-    keys = band_keys(sigs)
-    n = len(texts)
-    return pa.table(
+def _verify_jaccard(batch: pa.Table, threshold: float = 0.6, k: int = 3) -> pa.Table:
+    """Exact word-k-gram Jaccard per candidate row (text_a, text_b)."""
+    texts_a = batch.column("text_a").to_pylist()
+    texts_b = batch.column("text_b").to_pylist()
+    j = np.array([exact_jaccard(a, b, k=k) for a, b in zip(texts_a, texts_b)], dtype=np.float64)
+    t = pa.table(
         {
-            "band": pa.array(np.tile(np.arange(BANDS, dtype=np.int32), n), pa.int32()),
-            "key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
-            "doc_id": pa.array(np.repeat(doc_ids, BANDS), pa.int64()),
-            "text": pa.array([t for t in texts for _ in range(BANDS)], pa.string()),
+            "doc_a": batch.column("doc_a"),
+            "doc_b": batch.column("doc_b"),
+            "jaccard": pa.array(j, pa.float64()),
         }
     )
-
-
-def _bucket_pairs_jaccard(group: pa.Table, threshold: float = 0.6, k: int = 3) -> pa.Table:
-    if group.num_rows < 2:
-        return pa.Table.from_pylist([], schema=_pairs_schema("jaccard"))
-    doc_ids = group.column("doc_id").to_pylist()
-    texts = group.column("text").to_pylist()
-    if len(doc_ids) > MAX_BUCKET:
-        _log_truncation("ngram-jaccard", len(doc_ids))
-    order = np.argsort(doc_ids, kind="stable")[:MAX_BUCKET]
-    a_out, b_out, j_out = [], [], []
-    for x in range(len(order) - 1):
-        for y in range(x + 1, len(order)):
-            ia, ib = order[x], order[y]
-            if doc_ids[ia] == doc_ids[ib]:
-                continue
-            j = exact_jaccard(texts[ia], texts[ib], k=k)
-            if j >= threshold:
-                a_out.append(doc_ids[ia])
-                b_out.append(doc_ids[ib])
-                j_out.append(j)
-    return pa.table(
-        {
-            "doc_a": pa.array(a_out, pa.int64()),
-            "doc_b": pa.array(b_out, pa.int64()),
-            "jaccard": pa.array(j_out, pa.float64()),
-        }
-    )
+    return t.filter(pa.array(j >= threshold))
 
 
 def ngram_jaccard_pairs(
     docs: ray.data.Dataset, threshold: float = 0.6, k: int = 3, seed: int = 42
 ) -> ray.data.Dataset:
-    """MinHash-LSH candidates verified by EXACT word-k-gram Jaccard."""
+    """MinHash-LSH candidates verified by EXACT word-k-gram Jaccard.
+
+    Candidates→verify plan: only (doc_id, signature) band rows go through
+    the wide band shuffle — document text never does (the previous plan
+    duplicated the full text into all 16 band rows, a 16× amplification
+    through the exchange). The candidate pair list, tiny relative to the
+    corpus, then hash-joins the text back (doc_a side, doc_b side) for
+    the exact check. Bucket membership and truncation are identical to
+    the signature variant (same sigs → same band keys), so the pair set
+    matches the old plan exactly.
+    """
+    import ray as _ray
+
+    try:
+        nparts = max(4, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    except Exception:
+        nparts = 8
     bands = docs.map_batches(
-        _text_band_rows, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"k": k, "seed": seed}
+        minhash_band_rows, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"k": k, "seed": seed}
     )
-    pairs = bands.groupby(["band", "key"]).map_groups(
-        _bucket_pairs_jaccard, batch_format="pyarrow", fn_kwargs={"threshold": threshold, "k": k}
+    # threshold=0.0 keeps EVERY colliding pair as a candidate; the exact
+    # verification below is the only filter (matches the old text plan).
+    cands = bands.groupby(["band", "key"]).map_groups(
+        _bucket_pairs_minhash, batch_format="pyarrow", fn_kwargs={"threshold": 0.0}
     )
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("jaccard", alias_name="jaccard"))
+    cands = (
+        cands.groupby(["doc_a", "doc_b"])
+        .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+    def _take_a(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_a": b.column("doc_a"), "doc_b": b.column("doc_b"), "text_a": b.column("text")}
+        )
+
+    def _take_b(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": b.column("doc_a"),
+                "doc_b": b.column("doc_b"),
+                "text_a": b.column("text_a"),
+                "text_b": b.column("text"),
+            }
+        )
+
+    j1 = cands.join(
+        docs, join_type="inner", num_partitions=nparts, on=("doc_a",), right_on=("doc_id",)
+    ).map_batches(_take_a, batch_format="pyarrow", zero_copy_batch=True)
+    j2 = j1.join(
+        docs, join_type="inner", num_partitions=nparts, on=("doc_b",), right_on=("doc_id",)
+    ).map_batches(_take_b, batch_format="pyarrow", zero_copy_batch=True)
+    return j2.map_batches(
+        _verify_jaccard,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"threshold": threshold, "k": k},
+    )
 
 
 # ------------------------------------------------------------------ SimHash
@@ -243,7 +264,9 @@ def simhash_dedup_pairs(docs: ray.data.Dataset, max_hamming: int = 3, seed: int 
     pairs = rows.groupby(["chunk", "key"]).map_groups(
         _bucket_pairs_simhash, batch_format="pyarrow", fn_kwargs={"max_hamming": max_hamming}
     )
-    # keep the min hamming per pair (Max of negated → use Max on -h)
+    # Distinct pairs: hamming of a fixed (a, b) pair is identical in every
+    # chunk-bucket it collides in, so any per-pair reducer (Max here) is
+    # just dedup — Max == Min for this column.
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("hamming", alias_name="hamming"))
 
 
