@@ -38,6 +38,12 @@ class PipelineConfig:
     extract_concurrency: int | tuple[int, int] = field(
         default_factory=lambda: (1, max(2, _default_cpus() - 2))
     )
+    # GPUs per extractor actor (north-star "GPU actor pools"): 0 in this
+    # CPU-only sandbox; on a GPU cluster set e.g. 1 (or a fraction for
+    # MPS sharing) and Ray schedules the pool onto GPU nodes. The numpy
+    # kernels are the CPU reference; a torch/CUDA checkpoint would slot
+    # in at ExtractorActor.__init__ without touching the pipeline shape.
+    extract_num_gpus: float = 0.0
     # Linker actor pool (A16).
     link_batch_size: int = 1024
     link_concurrency: int | tuple[int, int] = (1, 4)

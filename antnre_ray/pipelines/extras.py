@@ -136,16 +136,39 @@ def text_analysis_query(sf_dir: str) -> ray.data.Dataset:
     return text_analysis(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
-@register("sim_ann_lsh", None)
-def sim_ann_lsh(sf_dir: str) -> pa.Table:
+def _ann_queries(sf_dir: str):
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q = tbl.slice(0, 3)
     Q = np.array(q.column("embedding").to_pylist(), dtype=np.float64)
-    qids = q.column("vec_id").to_pylist()
+    return Q, q.column("vec_id").to_pylist()
+
+
+@register("sim_ann_lsh", None)
+def sim_ann_lsh(sf_dir: str) -> pa.Table:
+    Q, qids = _ann_queries(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ann_lsh_topk(ds, Q, qids, k=5)
+
+
+@register("sim_ann_indexed", None)
+def sim_ann_indexed(sf_dir: str) -> pa.Table:
+    """Repeated-query ANN path: build (once, idempotent) a persisted
+    bucket-partitioned index under /tmp, then answer the query set by
+    reading ONLY the hit-bucket directories — same results as the scan
+    plan (tests assert equality), without re-scanning the table per
+    call."""
+    import hashlib
+
+    from ..stages.similarity import build_ann_index, query_ann_index
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    index_path = f"/tmp/antnre_ann_index/{tag}"
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    build_ann_index(ds, index_path)
+    Q, qids = _ann_queries(sf_dir)
+    return query_ann_index(index_path, Q, qids, k=5)
 
 
 @register("media_refs", None)

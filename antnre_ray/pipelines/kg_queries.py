@@ -3,7 +3,16 @@ the interleaved corpus derived from each sf_dir's documents.parquet.
 
 No SQL oracles — joint NER+RE extraction is not SQL-expressible — so the
 driver records rows-only checks; determinism and golden-equality are
-covered by tests/test_flagship_golden.py instead."""
+covered by tests/test_flagship_golden.py instead.
+
+The kg_* family shares ONE extraction per sf_dir within a process: the
+driver's correctness sweep calls several graph queries back-to-back, and
+without memoization each would re-run the full extract chain (~5 full
+extraction runs per sweep measured in round 1). The linked-extraction
+Dataset is materialized once per sf_dir (tiny at harness scale) and
+every downstream query derives from it — also the documented fix for
+Ray's re-execute-upstream-per-consumer behavior.
+"""
 
 from __future__ import annotations
 
@@ -11,12 +20,7 @@ import ray.data
 
 from ..config import PipelineConfig
 from ..sources.corpus import derive_interleaved
-from .flagship import (
-    extractions_from_documents,
-    flagship_graph,
-    flagship_triples,
-    linked_extractions,
-)
+from .flagship import extractions_from_documents, linked_extractions
 from .registry import register
 
 
@@ -24,31 +28,71 @@ def _corpus(sf_dir: str) -> ray.data.Dataset:
     return derive_interleaved(f"{sf_dir}/documents.parquet")
 
 
+_EXT_CACHE: dict[str, ray.data.Dataset] = {}
+_LINKED_CACHE: dict[str, ray.data.Dataset] = {}
+
+
+def _ext(sf_dir: str) -> ray.data.Dataset:
+    """Memoized, materialized extractions Dataset (A2→A15) per sf_dir."""
+    if sf_dir not in _EXT_CACHE:
+        _EXT_CACHE[sf_dir] = extractions_from_documents(_corpus(sf_dir)).materialize()
+    return _EXT_CACHE[sf_dir]
+
+
+def _linked(sf_dir: str) -> ray.data.Dataset:
+    """Memoized linked extractions (A2→A16), built on the cached A15."""
+    if sf_dir not in _LINKED_CACHE:
+        from ..stages.link import link
+
+        _LINKED_CACHE[sf_dir] = link(_ext(sf_dir), PipelineConfig()).materialize()
+    return _LINKED_CACHE[sf_dir]
+
+
+def _graph(sf_dir: str) -> dict[str, ray.data.Dataset]:
+    """flagship_graph over the cached linked extractions."""
+    from ..stages.canonicalize import canonicalize
+    from ..stages.explode import mentions_table, triples_table
+    from ..stages.materialize import materialize_graph
+
+    cfg = PipelineConfig()
+    linked = _linked(sf_dir)
+    triples = triples_table(linked)
+    mentions = mentions_table(linked)
+    return {
+        "triples": triples,
+        "mentions": mentions,
+        "entities": canonicalize(mentions, cfg),
+        "adjacency": materialize_graph(triples, cfg),
+    }
+
+
 @register("kg_extractions", None)
 def kg_extractions(sf_dir: str) -> ray.data.Dataset:
-    return extractions_from_documents(_corpus(sf_dir))
+    return _ext(sf_dir)
 
 
 @register("kg_triples", None)
 def kg_triples(sf_dir: str) -> ray.data.Dataset:
-    return flagship_triples(_corpus(sf_dir))
+    from ..stages.explode import triples_table
+
+    return triples_table(_ext(sf_dir))
 
 
 @register("kg_linked_triples", None)
 def kg_linked_triples(sf_dir: str) -> ray.data.Dataset:
     from ..stages.explode import triples_table
 
-    return triples_table(linked_extractions(_corpus(sf_dir)))
+    return triples_table(_linked(sf_dir))
 
 
 @register("kg_entities", None)
 def kg_entities(sf_dir: str) -> ray.data.Dataset:
-    return flagship_graph(_corpus(sf_dir))["entities"]
+    return _graph(sf_dir)["entities"]
 
 
 @register("kg_adjacency", None)
 def kg_adjacency(sf_dir: str) -> ray.data.Dataset:
-    return flagship_graph(_corpus(sf_dir))["adjacency"]
+    return _graph(sf_dir)["adjacency"]
 
 
 @register("kg_top_entities", None)
@@ -59,7 +103,7 @@ def kg_top_entities(sf_dir: str) -> ray.data.Dataset:
     import pyarrow as pa
     from ray.data.aggregate import Count, Sum
 
-    adj = flagship_graph(_corpus(sf_dir))["adjacency"]
+    adj = _graph(sf_dir)["adjacency"]
 
     def project(b: pa.Table) -> pa.Table:
         return pa.table({"src": b.column("src"), "weight": b.column("weight")})
@@ -81,7 +125,7 @@ def kg_two_hop(sf_dir: str) -> ray.data.Dataset:
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    adj = flagship_graph(_corpus(sf_dir))["adjacency"]
+    adj = _graph(sf_dir)["adjacency"]
 
     def project(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -124,31 +168,82 @@ def kg_two_hop(sf_dir: str) -> ray.data.Dataset:
 
 @register("kg_eval_prf", None)
 def kg_eval_prf(sf_dir: str):
-    """A20 corpus-scale eval: surface-level micro P/R/F1 of the Ray
-    pipeline's triples against the gold planted by the corpus deriver
-    (the P/R≥0.95 gate, BASELINE.json:2). One metrics row."""
+    """A20 corpus-scale eval, DISTRIBUTED form (SURVEY.md A20): pred and
+    gold triples are tagged and co-shuffled on the surface key
+    (doc_id, subj, pred, obj); a grouped aggregate counts each side per
+    distinct key; per-batch partials reduce to TP/FP/FN — only a handful
+    of count rows ever reach the driver (the round-1 version collected
+    every predicted triple into a Python set, a scale-killer)."""
     import pyarrow as pa
-    import ray
+    from ray.data.aggregate import Sum
 
-    from ..sources.corpus import derived_gold_triples
+    from ..sources.corpus import derived_gold_dataset
+    from ..stages.explode import triples_table
 
-    pred_ds = flagship_triples(_corpus(sf_dir))
-    pred = pa.concat_tables(ray.get(pred_ds.to_arrow_refs()), promote_options="default")
-    pred_keys = {
-        (r["doc_id"], r["subj"]["surface"], r["pred"], r["obj"]["surface"])
-        for r in pred.to_pylist()
-    }
-    gold_tbl = derived_gold_triples(f"{sf_dir}/documents.parquet")
-    gold_keys = {
-        (d, s, p, o)
-        for d, s, p, o in zip(
-            gold_tbl.column("doc_id").to_pylist(),
-            gold_tbl.column("subj_surface").to_pylist(),
-            gold_tbl.column("pred").to_pylist(),
-            gold_tbl.column("obj_surface").to_pylist(),
+    def pred_keys(b: pa.Table) -> pa.Table:
+        subj = b.column("subj")
+        obj = b.column("obj")
+        if isinstance(subj, pa.ChunkedArray):
+            subj = subj.combine_chunks()
+        if isinstance(obj, pa.ChunkedArray):
+            obj = obj.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "subj": subj.field("surface"),
+                "pred": b.column("pred"),
+                "obj": obj.field("surface"),
+                "n_pred": pa.array([1] * b.num_rows, pa.int64()),
+                "n_gold": pa.array([0] * b.num_rows, pa.int64()),
+            }
         )
-    }
-    from .evaluate import prf
 
-    m = prf(pred_keys, gold_keys)
-    return pa.table({k: pa.array([v], pa.float64()) for k, v in m.items()})
+    def gold_keys(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "subj": b.column("subj_surface"),
+                "pred": b.column("pred"),
+                "obj": b.column("obj_surface"),
+                "n_pred": pa.array([0] * b.num_rows, pa.int64()),
+                "n_gold": pa.array([1] * b.num_rows, pa.int64()),
+            }
+        )
+
+    pred = triples_table(_ext(sf_dir)).map_batches(
+        pred_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    gold = derived_gold_dataset(f"{sf_dir}/documents.parquet").map_batches(
+        gold_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = (
+        pred.union(gold)
+        .groupby(["doc_id", "subj", "pred", "obj"])
+        .aggregate(Sum("n_pred", alias_name="n_pred"), Sum("n_gold", alias_name="n_gold"))
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        has_p = pc.greater(b.column("n_pred"), 0)
+        has_g = pc.greater(b.column("n_gold"), 0)
+        tp = pc.sum(pc.and_(has_p, has_g)).as_py() or 0
+        fp = pc.sum(pc.and_(has_p, pc.invert(has_g))).as_py() or 0
+        fn = pc.sum(pc.and_(has_g, pc.invert(has_p))).as_py() or 0
+        return pa.table(
+            {
+                "tp": pa.array([tp], pa.int64()),
+                "fp": pa.array([fp], pa.int64()),
+                "fn": pa.array([fn], pa.int64()),
+            }
+        )
+
+    parts = counts.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    tp = sum(p["tp"] for p in parts)
+    fp = sum(p["fp"] for p in parts)
+    fn = sum(p["fn"] for p in parts)
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    m = {"precision": p, "recall": r, "f1": f1, "tp": tp, "fp": fp, "fn": fn}
+    return pa.table({k: pa.array([float(v)], pa.float64()) for k, v in m.items()})

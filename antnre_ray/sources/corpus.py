@@ -249,20 +249,12 @@ def derived_doc_ids(
     return pa.table({"doc_id": pa.array(ids, pa.string()), "part_id": pa.array(part, pa.int32())})
 
 
-def derived_gold_triples(
-    documents_parquet: str, seed: int = 42, repeat: int = 1
-) -> pa.Table:
-    """Surface-level gold triples planted by :func:`derive_batch`.
-
-    Mirrors the deriver's planting decisions exactly (same hash draws),
-    returning (doc_id, subj_surface, pred, obj_surface) — the ground
-    truth for corpus-scale P/R evaluation (A20). Surface-level keys are
-    used because planted sentences may merge with unpunctuated source
-    chunks, shifting token offsets but never surfaces.
-    """
-    import pyarrow.parquet as pq
-
-    src = pq.read_table(documents_parquet, columns=["doc_id"]).column("doc_id").to_pylist()
+def derived_gold_batch(batch: pa.Table, seed: int = 42, repeat: int = 1) -> pa.Table:
+    """Gold triples planted by :func:`derive_batch`, for ONE batch of
+    driver document rows (doc_id column only) — the distributed form of
+    :func:`derived_gold_triples`, runnable as a stateless map_batches
+    over the pruned 1-column read."""
+    src = batch.column("doc_id").to_pylist()
     o_doc, o_s, o_p, o_o = [], [], [], []
     for r in range(repeat):
         tag = f"#r{r}" if repeat > 1 else ""
@@ -288,6 +280,36 @@ def derived_gold_triples(
             "pred": pa.array(o_p, pa.string()),
             "obj_surface": pa.array(o_o, pa.string()),
         }
+    )
+
+
+def derived_gold_triples(
+    documents_parquet: str, seed: int = 42, repeat: int = 1
+) -> pa.Table:
+    """Surface-level gold triples planted by :func:`derive_batch`.
+
+    Mirrors the deriver's planting decisions exactly (same hash draws),
+    returning (doc_id, subj_surface, pred, obj_surface) — the ground
+    truth for corpus-scale P/R evaluation (A20). Surface-level keys are
+    used because planted sentences may merge with unpunctuated source
+    chunks, shifting token offsets but never surfaces.
+    """
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(documents_parquet, columns=["doc_id"])
+    return derived_gold_batch(src, seed=seed, repeat=repeat)
+
+
+def derived_gold_dataset(
+    documents_parquet: str, seed: int = 42, repeat: int = 1
+) -> ray.data.Dataset:
+    """Distributed gold derivation: pruned 1-column read → map_batches."""
+    base = ray.data.read_parquet(documents_parquet, columns=["doc_id"])
+    return base.map_batches(
+        derived_gold_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"seed": seed, "repeat": repeat},
     )
 
 

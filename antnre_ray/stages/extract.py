@@ -103,8 +103,7 @@ class ExtractorActor:
 
 def extract(ds: ray.data.Dataset, cfg: PipelineConfig | None = None) -> ray.data.Dataset:
     cfg = cfg or PipelineConfig()
-    return ds.map_batches(
-        ExtractorActor,
+    kwargs = dict(
         fn_constructor_kwargs={"seed": cfg.seed, "max_mentions": cfg.max_mentions_per_sentence},
         batch_size=cfg.extract_batch_size,
         batch_format="pyarrow",
@@ -112,3 +111,10 @@ def extract(ds: ray.data.Dataset, cfg: PipelineConfig | None = None) -> ray.data
         concurrency=cfg.extract_concurrency,
         num_cpus=1,
     )
+    # GPU actor pool (cfg.extract_num_gpus > 0): each actor reserves a
+    # GPU share and Ray places the pool on GPU nodes; 0 keeps the pure
+    # CPU pool (this sandbox). Passing num_gpus=0 explicitly would still
+    # flip Ray's placement heuristics, so only set it when requested.
+    if cfg.extract_num_gpus:
+        kwargs["num_gpus"] = cfg.extract_num_gpus
+    return ds.map_batches(ExtractorActor, **kwargs)

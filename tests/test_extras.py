@@ -144,6 +144,36 @@ def test_ann_lsh_runs_on_driver_embeddings(sf001):
     assert set(out.column_names) == {"query_id", "neighbor_id", "rank"}
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_persisted_ann_index_matches_scan_plan(sf001, tmp_path):
+    """The bucket-partitioned index must return the SAME top-k as the
+    scan-based plan (same planes/seed → same candidates, raw-float32
+    storage → bit-identical scores), and rebuilds must be skipped."""
+    import os
+
+    import ray.data
+
+    from antnre_ray.pipelines.extras import _ann_queries
+    from antnre_ray.stages.similarity import ann_lsh_topk, build_ann_index, query_ann_index
+
+    ds = ray.data.read_parquet(f"{sf001}/embeddings.parquet", columns=["vec_id", "embedding"])
+    Q, qids = _ann_queries(sf001)
+    idx = str(tmp_path / "annidx")
+    build_ann_index(ds, idx)
+    assert os.path.exists(os.path.join(idx, "_built"))
+    indexed = query_ann_index(idx, Q, qids, k=5)
+    scanned = ann_lsh_topk(ds, Q, qids, k=5)
+
+    def rows(t):
+        return sorted(t.to_pylist(), key=lambda r: (r["query_id"], r["rank"]))
+
+    assert rows(indexed) == rows(scanned)
+    # Idempotent rebuild: the marker short-circuits (no second write).
+    mtime = os.path.getmtime(os.path.join(idx, "_built"))
+    build_ann_index(ds, idx)
+    assert os.path.getmtime(os.path.join(idx, "_built")) == mtime
+
+
 def test_langid_on_multilingual_samples():
     from antnre_ray.functions.textstats import detect_language
 
