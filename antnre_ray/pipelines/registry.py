@@ -33,6 +33,14 @@ _LATE = [
     "b04b_null_semantics",
     "b21_sample",
     "b18_approx_distinct",  # rows-only; its real signal is the pytest accuracy gate
+    # round-2 additions: all SQL-oracled, gated by the pytest oracle-
+    # conformance suite; registered late to keep the sweep prefix stable.
+    "q02_top_supplier_per_nation",
+    "q07_nation_volume",
+    "q18_big_orders",
+    "q19_bracket_revenue",
+    "b16d_rollup",
+    "b31_pivot_event_types",
 ]
 
 

