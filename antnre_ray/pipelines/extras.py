@@ -171,6 +171,23 @@ def sim_ann_indexed(sf_dir: str) -> pa.Table:
     return query_ann_index(index_path, Q, qids, k=5)
 
 
+@register("sim_ann_ivf", None)
+def sim_ann_ivf(sf_dir: str) -> pa.Table:
+    """IVF-bucketed ANN (coarse k-means quantizer, nprobe dial): the
+    second scale path beside hyperplane LSH. Index persisted under /tmp
+    (idempotent); queries probe nprobe=8 of 64 inverted lists."""
+    import hashlib
+
+    from ..stages.similarity import build_ivf_index, query_ivf_index
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    index_path = f"/tmp/antnre_ivf_index/{tag}"
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    build_ivf_index(ds, index_path)
+    Q, qids = _ann_queries(sf_dir)
+    return query_ivf_index(index_path, Q, qids, k=5, nprobe=8)
+
+
 @register("media_refs", None)
 def media_refs_query(sf_dir: str) -> ray.data.Dataset:
     return media_refs(derive_interleaved(f"{sf_dir}/documents.parquet"))

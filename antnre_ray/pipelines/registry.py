@@ -41,6 +41,7 @@ _LATE = [
     "q19_bracket_revenue",
     "b16d_rollup",
     "b31_pivot_event_types",
+    "sim_ann_ivf",  # rows-only; recall + idempotence gated in pytest
 ]
 
 

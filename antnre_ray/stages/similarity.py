@@ -270,6 +270,170 @@ def query_ann_index(
     return _merge_topk(partials, k)
 
 
+# ------------------------------------------------- IVF (coarse-quantizer) index
+
+IVF_CENTROIDS = 64
+IVF_SAMPLE = 4096
+IVF_ITERS = 10
+
+
+def _kmeans(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic numpy k-means (k-means++ init off a fixed RNG).
+    Runs driver-side on a SAMPLE only — centroids are k×dim floats."""
+    rng = np.random.default_rng(seed ^ 0x1F1F)
+    n = len(X)
+    k = min(k, n)
+    # k-means++ seeding
+    cents = [X[rng.integers(n)]]
+    d2 = np.full(n, np.inf)
+    for _ in range(1, k):
+        d2 = np.minimum(d2, ((X - cents[-1]) ** 2).sum(axis=1))
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        cents.append(X[rng.choice(n, p=probs)])
+    C = np.stack(cents)
+    for _ in range(iters):
+        # assign to nearest centroid (squared L2 == cosine order on unit vectors)
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+
+def build_ivf_index(
+    embeddings: ray.data.Dataset,
+    index_path: str,
+    dim: int = 64,
+    seed: int = 42,
+    n_centroids: int = IVF_CENTROIDS,
+    overwrite: bool = False,
+) -> str:
+    """IVF index: k-means centroids from a driver-side SAMPLE (tiny),
+    then every row assigned to its nearest centroid in one distributed
+    pass and written parquet-partitioned by centroid id. The inverted
+    lists give a tunable recall/latency dial (``nprobe``) that the
+    hyperplane-LSH index lacks; both share the read-only-hit-buckets
+    query plan. Raw float32 vectors stored; idempotent via ``_built``."""
+    import os
+
+    marker = os.path.join(index_path, "_built")
+    if os.path.exists(marker) and not overwrite:
+        return index_path
+    # Sample driver-side: seeded random_sample keeps the draw stable.
+    n_total = embeddings.count()
+    frac = min(1.0, IVF_SAMPLE / max(n_total, 1))
+    sample = embeddings.random_sample(frac, seed=seed).take_all()
+    S = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
+    Sn = _normalize(S)
+    C = _kmeans(Sn, n_centroids, IVF_ITERS, seed)
+    os.makedirs(index_path, exist_ok=True)
+    np.save(os.path.join(index_path, "centroids.npy"), C)
+    c_ref = ray.put(C)
+
+    def assign(b: pa.Table, ref=c_ref) -> pa.Table:
+        C = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        X = emb.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, dim).astype(np.float32)
+        Xn = _normalize(X.astype(np.float64))
+        cid = (Xn @ C.T).argmax(axis=1).astype(np.int32)
+        return pa.table(
+            {
+                "centroid": pa.array([f"c{c:04d}" for c in cid], pa.string()),
+                "cid": pa.array(cid, pa.int32()),
+                "vec_id": b.column("vec_id"),
+                "vec": pa.FixedSizeListArray.from_arrays(pa.array(X.reshape(-1), pa.float32()), dim),
+            }
+        )
+
+    embeddings.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        index_path, partition_cols=["centroid"]
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return index_path
+
+
+def query_ivf_index(
+    index_path: str,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 8,
+    dim: int = 64,
+) -> pa.Table:
+    """Top-k against the IVF index: each query probes its ``nprobe``
+    nearest centroids' lists only. Reads are pruned to the probed
+    partitions; per-batch partial top-ks merge driver-side."""
+    import os
+
+    C = np.load(os.path.join(index_path, "centroids.npy"))
+    Qn = _normalize(np.asarray(queries, dtype=np.float64))
+    sims = Qn @ C.T  # [q, k_cent]
+    probe = np.argsort(-sims, axis=1)[:, :nprobe]  # [q, nprobe]
+    cid_to_qis: dict[int, list[int]] = {}
+    for qi in range(len(query_ids)):
+        for c in probe[qi]:
+            cid_to_qis.setdefault(int(c), []).append(qi)
+    files = [
+        os.path.join(d, f)
+        for d in (
+            os.path.join(index_path, f"centroid=c{c:04d}")
+            for c in sorted(cid_to_qis)
+        )
+        if os.path.isdir(d)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        return _merge_topk(
+            pa.table({"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}),
+            k,
+        )
+    ds = ray.data.read_parquet(files, columns=["vec_id", "vec", "cid"])
+    state_ref = ray.put((query_ids, Qn, cid_to_qis))
+
+    def score(b: pa.Table, ref=state_ref, k=k) -> pa.Table:
+        qids, Qn, cid_to_qis = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        vec = b.column("vec")
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        X = vec.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, dim)
+        Xn = _normalize(X.astype(np.float64))
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        cids = b.column("cid").to_numpy(zero_copy_only=False)
+        out_q, out_n, out_c = [], [], []
+        for c in np.unique(cids):
+            qis = cid_to_qis.get(int(c))
+            if not qis:
+                continue
+            in_c = np.nonzero(cids == c)[0]
+            for qi in qis:
+                qid = qids[qi]
+                cand = in_c[ids[in_c] != qid]
+                if len(cand) == 0:
+                    continue
+                cos = Xn[cand] @ Qn[qi]
+                top = cand[np.lexsort((ids[cand], -cos))][:k]
+                out_q += [qid] * len(top)
+                out_n += ids[top].tolist()
+                out_c += (Xn[top] @ Qn[qi]).tolist()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = pa.concat_tables(
+        [ray.get(r) for r in ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()]
+    )
+    return _merge_topk(partials, k)
+
+
 def brute_force_topk(
     embeddings: ray.data.Dataset, queries: np.ndarray, query_ids: list[int], k: int = 5, dim: int = 64
 ) -> pa.Table:

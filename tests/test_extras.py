@@ -145,6 +145,49 @@ def test_ann_lsh_runs_on_driver_embeddings(sf001):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_ivf_index_recall_vs_brute_force_clustered(tmp_path):
+    """IVF recall on clustered embeddings (same fixture regime as the
+    LSH test): with nprobe=8 of 64 lists the probed lists must contain
+    ≥80% of the true top-5. Also checks build idempotence."""
+    import os
+
+    import ray.data
+
+    from antnre_ray.stages.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((20, 64))
+    X = np.repeat(centers, 40, axis=0) + 0.25 * rng.standard_normal((800, 64))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(800), pa.int64()),
+            "embedding": pa.array([r.astype(np.float32).tolist() for r in X], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx)
+    qids = [0, 40, 80, 120, 160]
+    Q = X[qids]
+    approx = query_ivf_index(idx, Q, qids, k=5, nprobe=8)
+    exact = brute_force_topk(ds, Q, qids, k=5)
+
+    def keyset(t):
+        d = t.to_pydict()
+        return set(zip(d["query_id"], d["neighbor_id"]))
+
+    recall = len(keyset(approx) & keyset(exact)) / len(keyset(exact))
+    assert recall >= 0.8, f"IVF recall {recall}"
+    mtime = os.path.getmtime(os.path.join(idx, "_built"))
+    build_ivf_index(ds, idx)
+    assert os.path.getmtime(os.path.join(idx, "_built")) == mtime
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_persisted_ann_index_matches_scan_plan(sf001, tmp_path):
     """The bucket-partitioned index must return the SAME top-k as the
     scan-based plan (same planes/seed → same candidates, raw-float32
