@@ -82,6 +82,17 @@ def dedup_drop_list(sf_dir: str) -> ray.data.Dataset:
     return drop_list(minhash_dedup_pairs(documents_with_dups(sf_dir), threshold=0.5))
 
 
+@register("dedup_clean_corpus", None)
+def dedup_clean_corpus(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end dedup: near-dup pairs → drop list → corpus minus drops
+    via a co-partition anti join (stages/dedup.apply_drop_list)."""
+    from ..stages.dedup import apply_drop_list
+
+    docs = documents_with_dups(sf_dir)
+    drops = drop_list(minhash_dedup_pairs(docs, threshold=0.5))
+    return apply_drop_list(documents_with_dups(sf_dir), drops)
+
+
 def _embeddings_with_dups(sf_dir: str) -> ray.data.Dataset:
     base = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
@@ -196,3 +207,15 @@ def media_refs_query(sf_dir: str) -> ray.data.Dataset:
 @register("media_features", None)
 def media_features_query(sf_dir: str) -> ray.data.Dataset:
     return media_features(media_refs(derive_interleaved(f"{sf_dir}/documents.parquet")))
+
+
+@register("media_frames", None)
+def media_frames_query(sf_dir: str) -> ray.data.Dataset:
+    """Video frame sampling over the interleaved corpus's video spans
+    (every_n=24, max 8 frames per ref) — the decode is the deterministic
+    gated fake, the Ray plumbing (explode → actor pool → flat-map) real."""
+    from ..stages.media import frame_samples
+
+    return frame_samples(
+        media_features(media_refs(derive_interleaved(f"{sf_dir}/documents.parquet")))
+    )

@@ -42,6 +42,8 @@ _LATE = [
     "b16d_rollup",
     "b31_pivot_event_types",
     "sim_ann_ivf",  # rows-only; recall + idempotence gated in pytest
+    "dedup_clean_corpus",  # rows-only; count identity gated in pytest
+    "media_frames",  # rows-only; determinism gated in pytest
 ]
 
 

@@ -214,8 +214,12 @@ def derive_batch(batch: pa.Table, seed: int = 42, repeat_tag: str = "") -> pa.Ta
                 off = _append_span(flat, "text", chunk + " ", "", off)
             if ci < len(planted):
                 off = _append_span(flat, "text", planted[ci] + " ", "", off)
-            if stable_u64(f"{seed}|media|{doc_id}|{ci}") % 10 < 3:
-                kind = "image" if media_k % 2 == 0 else "audio"
+            mdraw = stable_u64(f"{seed}|media|{doc_id}|{ci}")
+            if mdraw % 10 < 3:
+                # Kind from the hash draw (not a per-doc counter): most
+                # driver docs derive a single chunk, so a counter would
+                # only ever emit the first kind.
+                kind = ("image", "audio", "video")[(mdraw >> 8) % 3]
                 off = _append_span(flat, kind, "", f"media://{kind[:3]}/{doc_id}_{media_k}", off)
                 media_k += 1
         for k in range(len(chunks), n_plant):  # leftover planted sentences

@@ -92,6 +92,20 @@ class TestDedup:
         frac_planted = sum(1 for a, b in pairs if b == a + DUP_OFFSET) / len(pairs)
         assert frac_planted >= 0.9
 
+    def test_clean_corpus_removes_exactly_the_drop_list(self, sf001):
+        from antnre_ray.pipelines.extras import (
+            dedup_clean_corpus,
+            dedup_drop_list,
+            documents_with_dups,
+        )
+
+        clean = self._collect(dedup_clean_corpus(sf001))
+        docs = self._collect(documents_with_dups(sf001))
+        drops = set(self._collect(dedup_drop_list(sf001)).column("doc_id").to_pylist())
+        assert clean.num_rows == docs.num_rows - len(drops)
+        kept = set(clean.column("doc_id").to_pylist())
+        assert not (kept & drops)
+
     def test_drop_list_is_distinct_higher_ids(self, sf001):
         from antnre_ray.pipelines.extras import dedup_drop_list, dedup_minhash_pairs
 
@@ -261,7 +275,7 @@ def test_media_plumbing(sf001):
 
     refs = pa.concat_tables(ray.get(media_refs_query(sf001).to_arrow_refs()))
     assert refs.num_rows > 0
-    assert set(refs.column("kind").to_pylist()) <= {"image", "audio"}
+    assert set(refs.column("kind").to_pylist()) <= {"image", "audio", "video"}
     feats = pa.concat_tables(ray.get(media_features_query(sf001).to_arrow_refs()))
     assert feats.num_rows == refs.num_rows
     r = feats.to_pylist()[0]
@@ -274,6 +288,20 @@ def test_media_plumbing(sf001):
     # Gated real decoder raises clearly.
     with pytest.raises(NotImplementedError):
         MediaFeatureActor(decoder="pil")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_frames_query_on_derived_corpus(sf001):
+    import ray
+
+    from antnre_ray.pipelines.extras import media_frames_query
+
+    frames = pa.concat_tables(ray.get(media_frames_query(sf001).to_arrow_refs()))
+    assert frames.num_rows > 0
+    refs = frames.column("media_ref").to_pylist()
+    assert all(r.startswith("media://vid/") for r in refs)
+    again = pa.concat_tables(ray.get(media_frames_query(sf001).to_arrow_refs()))
+    assert sorted(frames.to_pylist(), key=str) == sorted(again.to_pylist(), key=str)
 
 
 def test_media_video_frame_sampling():
