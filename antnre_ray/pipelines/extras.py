@@ -174,7 +174,9 @@ def sim_ann_indexed(sf_dir: str) -> pa.Table:
 
     from ..stages.similarity import build_ann_index, query_ann_index
 
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    # v2: version tag guards against stale /tmp indexes from earlier
+    # rounds whose on-disk layout differed.
+    tag = hashlib.sha256(f"v2|{sf_dir}".encode()).hexdigest()[:12]
     index_path = f"/tmp/antnre_ann_index/{tag}"
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     build_ann_index(ds, index_path)
@@ -191,7 +193,7 @@ def sim_ann_ivf(sf_dir: str) -> pa.Table:
 
     from ..stages.similarity import build_ivf_index, query_ivf_index
 
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    tag = hashlib.sha256(f"v2|{sf_dir}".encode()).hexdigest()[:12]
     index_path = f"/tmp/antnre_ivf_index/{tag}"
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     build_ivf_index(ds, index_path)

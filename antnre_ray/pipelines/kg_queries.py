@@ -166,6 +166,42 @@ def kg_two_hop(sf_dir: str) -> ray.data.Dataset:
     return out.sort(["path_weight", "src", "dst"], descending=[True, False, False]).limit(20)
 
 
+@register("kg_span_integrity", None)
+def kg_span_integrity(sf_dir: str):
+    """Per-row span-sequence invariant (BASELINE.json:14), checked
+    corpus-wide AS a pipeline: validate fingerprints every row's
+    (kind, text, media_ref, order) sequence; after assemble the spans
+    are re-fingerprinted and compared. One output row: n_rows checked,
+    n_violations (must be 0). Each batch reduces to a count — nothing
+    but two ints per batch reaches the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.assemble import assemble
+    from ..stages.validate import span_fingerprints, validate
+
+    ds = assemble(validate(_corpus(sf_dir)))
+
+    def check(b: pa.Table) -> pa.Table:
+        refp = span_fingerprints(b.column("spans"))
+        ok = pc.equal(b.column("span_fp"), pa.array(refp, pa.string()))
+        bad = b.num_rows - (pc.sum(pc.cast(ok, pa.int64())).as_py() or 0)
+        return pa.table(
+            {
+                "n_rows": pa.array([b.num_rows], pa.int64()),
+                "n_violations": pa.array([int(bad)], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(check, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    return pa.table(
+        {
+            "n_rows": pa.array([sum(p["n_rows"] for p in parts)], pa.int64()),
+            "n_violations": pa.array([sum(p["n_violations"] for p in parts)], pa.int64()),
+        }
+    )
+
+
 @register("kg_eval_prf", None)
 def kg_eval_prf(sf_dir: str):
     """A20 corpus-scale eval, DISTRIBUTED form (SURVEY.md A20): pred and

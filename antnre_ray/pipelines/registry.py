@@ -44,6 +44,7 @@ _LATE = [
     "sim_ann_ivf",  # rows-only; recall + idempotence gated in pytest
     "dedup_clean_corpus",  # rows-only; count identity gated in pytest
     "media_frames",  # rows-only; determinism gated in pytest
+    "kg_span_integrity",  # rows-only; zero-violations gated in pytest
 ]
 
 

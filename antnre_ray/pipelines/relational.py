@@ -43,17 +43,18 @@ def _read_small(sf_dir: str, table: str, columns: list[str] | None = None) -> pa
 
 
 def _join_partitions() -> int:
-    """Shuffle width for Dataset.join, sized to HALF the live cluster:
-    join aggregators are actors that hold a CPU each while the map side
-    feeds them, so aggregators == CPUs starves the producers (measured:
-    600k-row join 3.3s at 8 partitions vs 29s at 32, on 32 CPUs). At
-    multi-node scale width should also grow with data volume via
-    partition_size_hint; CPU/2 is the single-node sweet spot."""
+    """Shuffle width for Dataset.join, sized to a QUARTER of the live
+    cluster: join aggregators are actors that hold a CPU each while the
+    map side feeds them, so aggregators == CPUs starves the producers
+    (measured on the 600k-row sf0.1 join at 32 CPUs: 3.06 s at width 8,
+    3.45 s at 16, 3.73 s at 24, 29 s at 32). At multi-node scale width
+    should also grow with data volume via partition_size_hint; CPU/4 is
+    the single-node sweet spot for these table sizes."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(4, min(64, cpus // 2))
+    return max(4, min(64, cpus // 4))
 
 
 

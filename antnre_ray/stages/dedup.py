@@ -4,7 +4,8 @@ verification, SimHash, and embedding-cosine near-dup.
 Shapes (all shuffle-by-bucket, never all-pairs):
 
   docs ─ map_batches(signatures + band keys, exploded per band)
-       ─ groupby(band, key) → pairwise check inside each bucket
+       ─ groupby(band, key % SHARDS) → vectorized run-detect, pairwise
+         check inside each equal-key bucket (see SHARDS note below)
        ─ groupby(doc_a, doc_b) → distinct verified pairs
 
 Candidate generation carries the per-doc signature (512 B) into each of
@@ -63,6 +64,16 @@ def _pairs_schema(extra: str) -> pa.Schema:
 
 # ------------------------------------------------------------ MinHash + LSH
 
+# Bucket SHARDS: grouping the band shuffle by the raw (band, key) makes
+# one map_groups Python call per bucket — at sf0.1 that is ~300k mostly-
+# singleton groups and the per-group call overhead dominates the stage.
+# Instead rows shard on key % SHARDS: each (band, shard) group holds many
+# COMPLETE buckets (a bucket's key pins its shard) and is processed with
+# one vectorized run-detection pass. At larger data, raise SHARDS so a
+# shard still fits a reducer — the knob the raw-key plan lacks a use for.
+SHARDS = 251
+
+
 def minhash_band_rows(batch: pa.Table, k: int = 3, seed: int = 42) -> pa.Table:
     texts = batch.column("text").to_pylist()
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -70,10 +81,12 @@ def minhash_band_rows(batch: pa.Table, k: int = 3, seed: int = 42) -> pa.Table:
     keys = band_keys(sigs)
     n = len(texts)
     band = np.tile(np.arange(BANDS, dtype=np.int32), n)
+    keys_flat = keys.reshape(-1)
     return pa.table(
         {
             "band": pa.array(band, pa.int32()),
-            "key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
+            "shard": pa.array((keys_flat % np.uint64(SHARDS)).astype(np.int32), pa.int32()),
+            "key": pa.array(keys_flat.view(np.int64), pa.int64()),
             "doc_id": pa.array(np.repeat(doc_ids, BANDS), pa.int64()),
             "sig": pa.FixedSizeListArray.from_arrays(
                 pa.array(np.repeat(sigs, BANDS, axis=0).reshape(-1).view(np.int64), pa.int64()), NUM_PERM
@@ -82,34 +95,48 @@ def minhash_band_rows(batch: pa.Table, k: int = 3, seed: int = 42) -> pa.Table:
     )
 
 
-def _bucket_pairs_minhash(group: pa.Table, threshold: float = 0.7) -> pa.Table:
+def _key_runs(keys: np.ndarray):
+    """(starts, ends) of equal-key runs in a SORTED key array."""
+    starts = np.nonzero(np.r_[True, keys[1:] != keys[:-1]])[0]
+    ends = np.r_[starts[1:], len(keys)]
+    return starts, ends
+
+
+def _shard_pairs_minhash(group: pa.Table, threshold: float = 0.7) -> pa.Table:
+    """All buckets of one (band, shard) group, vectorized: sort by
+    (key, doc_id), detect equal-key runs, pairwise only inside runs of
+    ≥2. Pair output is identical to the per-bucket plan (same
+    deterministic doc_id-ordered truncation)."""
     n = group.num_rows
     if n < 2:
         return pa.Table.from_pylist([], schema=_pairs_schema("est_jaccard"))
+    keys = group.column("key").to_numpy(zero_copy_only=False)
     doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
     sig = group.column("sig")
     if isinstance(sig, pa.ChunkedArray):
         sig = sig.combine_chunks()
-    sigs = sig.flatten().to_numpy(zero_copy_only=False).reshape(len(doc_ids), NUM_PERM)
-    # Deterministic truncation: order by doc_id BEFORE capping, so the
-    # kept subset of an oversized bucket is stable across runs; log what
-    # was dropped (no silent caps).
-    order = np.argsort(doc_ids, kind="stable")[:MAX_BUCKET]
-    if n > MAX_BUCKET:
-        _log_truncation("minhash", n)
-    doc_ids, sigs = doc_ids[order], sigs[order]
+    sigs = sig.flatten().to_numpy(zero_copy_only=False).reshape(n, NUM_PERM)
+    order = np.lexsort((doc_ids, keys))
+    keys, doc_ids, sigs = keys[order], doc_ids[order], sigs[order]
     a_out, b_out, est_out = [], [], []
-    m = len(doc_ids)
-    for i in range(m - 1):
-        if doc_ids[i + 1] == doc_ids[i]:
-            continue  # same doc in one bucket twice (shouldn't happen per band)
-        est = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-        hit = np.nonzero(est >= threshold)[0]
-        for j in hit:
-            if doc_ids[i + 1 + j] != doc_ids[i]:
-                a_out.append(int(doc_ids[i]))
-                b_out.append(int(doc_ids[i + 1 + j]))
-                est_out.append(float(est[j]))
+    for s, e in zip(*_key_runs(keys)):
+        if e - s < 2:
+            continue
+        if e - s > MAX_BUCKET:
+            _log_truncation("minhash", int(e - s))
+        ids_b = doc_ids[s:e][:MAX_BUCKET]
+        sig_b = sigs[s:e][:MAX_BUCKET]
+        m = len(ids_b)
+        for i in range(m - 1):
+            if ids_b[i + 1] == ids_b[i]:
+                continue  # same doc in one bucket twice (shouldn't happen per band)
+            est = (sig_b[i + 1 :] == sig_b[i]).mean(axis=1)
+            hit = np.nonzero(est >= threshold)[0]
+            for j in hit:
+                if ids_b[i + 1 + j] != ids_b[i]:
+                    a_out.append(int(ids_b[i]))
+                    b_out.append(int(ids_b[i + 1 + j]))
+                    est_out.append(float(est[j]))
     return pa.table(
         {
             "doc_a": pa.array(a_out, pa.int64()),
@@ -127,8 +154,8 @@ def minhash_dedup_pairs(
     bands = docs.map_batches(
         minhash_band_rows, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"k": k, "seed": seed}
     )
-    pairs = bands.groupby(["band", "key"]).map_groups(
-        _bucket_pairs_minhash, batch_format="pyarrow", fn_kwargs={"threshold": threshold}
+    pairs = bands.groupby(["band", "shard"]).map_groups(
+        _shard_pairs_minhash, batch_format="pyarrow", fn_kwargs={"threshold": threshold}
     )
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
 
@@ -175,8 +202,8 @@ def ngram_jaccard_pairs(
     )
     # threshold=0.0 keeps EVERY colliding pair as a candidate; the exact
     # verification below is the only filter (matches the old text plan).
-    cands = bands.groupby(["band", "key"]).map_groups(
-        _bucket_pairs_minhash, batch_format="pyarrow", fn_kwargs={"threshold": 0.0}
+    cands = bands.groupby(["band", "shard"]).map_groups(
+        _shard_pairs_minhash, batch_format="pyarrow", fn_kwargs={"threshold": 0.0}
     )
     cands = (
         cands.groupby(["doc_a", "doc_b"])
@@ -221,33 +248,41 @@ def simhash_rows(batch: pa.Table, seed: int = 42) -> pa.Table:
     sigs = simhash_signatures(texts, seed=seed)
     chunks = simhash_band_keys(sigs)  # [n, 4]
     n = len(texts)
+    keys_flat = chunks.reshape(-1)
     return pa.table(
         {
             "chunk": pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
-            "key": pa.array(chunks.reshape(-1).view(np.int64), pa.int64()),
+            "shard": pa.array((keys_flat % np.uint64(SHARDS)).astype(np.int32), pa.int32()),
+            "key": pa.array(keys_flat.view(np.int64), pa.int64()),
             "doc_id": pa.array(np.repeat(doc_ids, 4), pa.int64()),
             "sig": pa.array(np.repeat(sigs, 4).view(np.int64), pa.int64()),
         }
     )
 
 
-def _bucket_pairs_simhash(group: pa.Table, max_hamming: int = 3) -> pa.Table:
+def _shard_pairs_simhash(group: pa.Table, max_hamming: int = 3) -> pa.Table:
     if group.num_rows < 2:
         return pa.Table.from_pylist([], schema=_pairs_schema("hamming"))
-    doc_ids = np.asarray(group.column("doc_id").to_pylist())
-    sigs = np.asarray(group.column("sig").to_pylist()).view(np.uint64)
-    if len(doc_ids) > MAX_BUCKET:
-        _log_truncation("simhash", len(doc_ids))
-    order = np.argsort(doc_ids, kind="stable")[:MAX_BUCKET]
-    doc_ids, sigs = doc_ids[order], sigs[order]
+    keys = group.column("key").to_numpy(zero_copy_only=False)
+    doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    sigs = group.column("sig").to_numpy(zero_copy_only=False).view(np.uint64)
+    order = np.lexsort((doc_ids, keys))
+    keys, doc_ids, sigs = keys[order], doc_ids[order], sigs[order]
     a_out, b_out, h_out = [], [], []
-    for i in range(len(doc_ids) - 1):
-        ham = hamming64(np.repeat(sigs[i], len(sigs) - i - 1), sigs[i + 1 :])
-        for j in np.nonzero(ham <= max_hamming)[0]:
-            if doc_ids[i + 1 + j] != doc_ids[i]:
-                a_out.append(int(doc_ids[i]))
-                b_out.append(int(doc_ids[i + 1 + j]))
-                h_out.append(float(ham[j]))
+    for s, e in zip(*_key_runs(keys)):
+        if e - s < 2:
+            continue
+        if e - s > MAX_BUCKET:
+            _log_truncation("simhash", int(e - s))
+        ids_b = doc_ids[s:e][:MAX_BUCKET]
+        sig_b = sigs[s:e][:MAX_BUCKET]
+        for i in range(len(ids_b) - 1):
+            ham = hamming64(np.repeat(sig_b[i], len(sig_b) - i - 1), sig_b[i + 1 :])
+            for j in np.nonzero(ham <= max_hamming)[0]:
+                if ids_b[i + 1 + j] != ids_b[i]:
+                    a_out.append(int(ids_b[i]))
+                    b_out.append(int(ids_b[i + 1 + j]))
+                    h_out.append(float(ham[j]))
     return pa.table(
         {
             "doc_a": pa.array(a_out, pa.int64()),
@@ -261,8 +296,8 @@ def simhash_dedup_pairs(docs: ray.data.Dataset, max_hamming: int = 3, seed: int 
     rows = docs.map_batches(
         simhash_rows, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"seed": seed}
     )
-    pairs = rows.groupby(["chunk", "key"]).map_groups(
-        _bucket_pairs_simhash, batch_format="pyarrow", fn_kwargs={"max_hamming": max_hamming}
+    pairs = rows.groupby(["chunk", "shard"]).map_groups(
+        _shard_pairs_simhash, batch_format="pyarrow", fn_kwargs={"max_hamming": max_hamming}
     )
     # Distinct pairs: hamming of a fixed (a, b) pair is identical in every
     # chunk-bucket it collides in, so any per-pair reducer (Max here) is
@@ -299,6 +334,7 @@ def embedding_bucket_rows(batch: pa.Table, dim: int = 64, seed: int = 42) -> pa.
             pa.table(
                 {
                     "table": pa.array(np.full(len(ids), t, dtype=np.int32), pa.int32()),
+                    "shard": pa.array((key % SHARDS).astype(np.int32), pa.int32()),
                     "key": pa.array(key, pa.int64()),
                     "vec_id": pa.array(ids, pa.int64()),
                     "vec": pa.FixedSizeListArray.from_arrays(
@@ -310,31 +346,37 @@ def embedding_bucket_rows(batch: pa.Table, dim: int = 64, seed: int = 42) -> pa.
     return pa.concat_tables(tables)
 
 
-def _bucket_pairs_cosine(group: pa.Table, threshold: float = 0.95) -> pa.Table:
+def _shard_pairs_cosine(group: pa.Table, threshold: float = 0.95) -> pa.Table:
     if group.num_rows < 2:
         return pa.Table.from_pylist(
             [], schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("cosine", pa.float64())])
         )
-    ids = np.asarray(group.column("vec_id").to_pylist())
+    keys = group.column("key").to_numpy(zero_copy_only=False)
+    ids = group.column("vec_id").to_numpy(zero_copy_only=False)
     vec = group.column("vec")
     if isinstance(vec, pa.ChunkedArray):
         vec = vec.combine_chunks()
     dim = vec.type.list_size
     X = vec.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), dim)
-    if len(ids) > MAX_BUCKET * 4:
-        _log_truncation("embedding-cosine", len(ids))
-    order = np.argsort(ids, kind="stable")[: MAX_BUCKET * 4]
-    ids, X = ids[order], X[order]
-    cos = X @ X.T
+    order = np.lexsort((ids, keys))
+    keys, ids, X = keys[order], ids[order], X[order]
     a_out, b_out, c_out = [], [], []
-    iu, ju = np.triu_indices(len(ids), k=1)
-    hits = np.nonzero(cos[iu, ju] >= threshold)[0]
-    for h in hits:
-        i, j = iu[h], ju[h]
-        if ids[i] != ids[j]:
-            a_out.append(int(ids[i]))
-            b_out.append(int(ids[j]))
-            c_out.append(float(cos[i, j]))
+    for s, e in zip(*_key_runs(keys)):
+        if e - s < 2:
+            continue
+        if e - s > MAX_BUCKET * 4:
+            _log_truncation("embedding-cosine", int(e - s))
+        ids_b = ids[s:e][: MAX_BUCKET * 4]
+        Xb = X[s:e][: MAX_BUCKET * 4]
+        cos = Xb @ Xb.T
+        iu, ju = np.triu_indices(len(ids_b), k=1)
+        hits = np.nonzero(cos[iu, ju] >= threshold)[0]
+        for h in hits:
+            i, j = iu[h], ju[h]
+            if ids_b[i] != ids_b[j]:
+                a_out.append(int(ids_b[i]))
+                b_out.append(int(ids_b[j]))
+                c_out.append(float(cos[i, j]))
     return pa.table(
         {
             "doc_a": pa.array(a_out, pa.int64()),
@@ -350,8 +392,8 @@ def embedding_dedup_pairs(
     rows = embeddings.map_batches(
         embedding_bucket_rows, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"dim": dim, "seed": seed}
     )
-    pairs = rows.groupby(["table", "key"]).map_groups(
-        _bucket_pairs_cosine, batch_format="pyarrow", fn_kwargs={"threshold": threshold}
+    pairs = rows.groupby(["table", "shard"]).map_groups(
+        _shard_pairs_cosine, batch_format="pyarrow", fn_kwargs={"threshold": threshold}
     )
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("cosine", alias_name="cosine"))
 

@@ -102,3 +102,14 @@ def test_kg_eval_prf_gate(sf001):
 
     m = kg_eval_prf(sf001).to_pylist()[0]
     assert m["precision"] >= 0.95 and m["recall"] >= 0.95, m
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kg_span_integrity_zero_violations(sf001):
+    """Corpus-wide span-sequence invariant query: 0 violations, and the
+    row count matches the derived corpus size."""
+    from antnre_ray.pipelines.kg_queries import kg_span_integrity
+
+    out = kg_span_integrity(sf001).to_pylist()[0]
+    assert out["n_violations"] == 0
+    assert out["n_rows"] > 0
