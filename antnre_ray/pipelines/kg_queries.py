@@ -166,6 +166,27 @@ def kg_two_hop(sf_dir: str) -> ray.data.Dataset:
     return out.sort(["path_weight", "src", "dst"], descending=[True, False, False]).limit(20)
 
 
+@register("kg_components", None)
+def kg_components(sf_dir: str) -> ray.data.Dataset:
+    """Connected components of the materialized KG (undirected): the
+    iterative-algorithm operator class — per round one hash join + one
+    grouped MIN, convergence from the global label sum. Returns
+    (node, component) sorted by component then node."""
+    from ..stages.graph_algos import connected_components
+
+    adj = _graph(sf_dir)["adjacency"]
+
+    def project(b):
+        import pyarrow as pa
+
+        return pa.table({"src": b.column("src"), "dst": b.column("dst")})
+
+    labels = connected_components(
+        adj.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return labels.sort(["label", "node"])
+
+
 @register("kg_span_integrity", None)
 def kg_span_integrity(sf_dir: str):
     """Per-row span-sequence invariant (BASELINE.json:14), checked

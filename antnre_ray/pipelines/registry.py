@@ -45,6 +45,7 @@ _LATE = [
     "dedup_clean_corpus",  # rows-only; count identity gated in pytest
     "media_frames",  # rows-only; determinism gated in pytest
     "kg_span_integrity",  # rows-only; zero-violations gated in pytest
+    "kg_components",  # rows-only; union-find equality gated in pytest
 ]
 
 

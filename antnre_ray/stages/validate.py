@@ -53,7 +53,8 @@ def span_fingerprints(spans: pa.ChunkedArray | pa.ListArray) -> list[str]:
     return out
 
 
-def validate_batch(batch: pa.Table, partitions: int = 8) -> pa.Table:
+def _check_schema(batch: pa.Table) -> None:
+    """Batch-level schema gate (structural problems fail the job)."""
     names = set(batch.column_names)
     if not {"doc_id", "spans"} <= names:
         raise SchemaError(f"input must have doc_id+spans, got {sorted(names)}")
@@ -63,9 +64,20 @@ def validate_batch(batch: pa.Table, partitions: int = 8) -> pa.Table:
     have = {f.name for f in spans_type.value_type}
     if not REQUIRED_SPAN_FIELDS <= have:
         raise SchemaError(f"span struct needs {REQUIRED_SPAN_FIELDS}, got {have}")
-    if batch.column("doc_id").null_count:
-        raise SchemaError("null doc_id")
-    # Offsets must be non-decreasing within each row (assemble relies on it).
+
+
+def _row_violations(batch: pa.Table) -> np.ndarray:
+    """Per-row violation reason (object array, None = valid).
+
+    Row-level (data, not structure) checks: null doc_id; span offsets
+    decreasing within the row (assemble relies on monotonicity).
+    """
+    n = batch.num_rows
+    reasons = np.full(n, None, dtype=object)
+    doc_ids = batch.column("doc_id")
+    if doc_ids.null_count:
+        null_mask = pc.is_null(doc_ids).to_numpy(zero_copy_only=False)
+        reasons[null_mask] = "null_doc_id"
     spans = batch.column("spans").combine_chunks()
     flat = spans.flatten()
     if len(flat):
@@ -75,8 +87,53 @@ def validate_batch(batch: pa.Table, partitions: int = 8) -> pa.Table:
         boundary = np.zeros(len(off), dtype=bool)
         starts = row_off[1:-1]
         boundary[starts[starts < len(off)]] = True  # each row's first element restarts
-        if len(deltas) and bool((deltas[~boundary[1:]] < 0).any()):
-            raise SchemaError("span offsets must be non-decreasing within a row")
+        bad_pos = np.nonzero(np.r_[False, (deltas < 0) & ~boundary[1:]])[0]
+        if len(bad_pos):
+            bad_rows = np.searchsorted(row_off, bad_pos, side="right") - 1
+            for r in np.unique(bad_rows):
+                if reasons[r] is None:
+                    reasons[r] = "decreasing_offsets"
+    return reasons
+
+
+def validate_batch(
+    batch: pa.Table, partitions: int = 8, quarantine_dir: str | None = None
+) -> pa.Table:
+    """Schema gate + fingerprint + partition assignment.
+
+    ``quarantine_dir=None`` (strict, the default): any row-level
+    violation fails the batch with :class:`SchemaError` — correct for
+    trusted upstream stages. With a directory, violating ROWS are
+    side-written there ((doc_id, reason) parquet, one file per task —
+    no driver collect, resumable like any partitioned sink) and the
+    stream continues with the clean rows: the row-quarantine pattern a
+    100 TB ingest needs, where one malformed document must not kill a
+    multi-hour job.
+    """
+    _check_schema(batch)
+    reasons = _row_violations(batch)
+    bad = reasons != None  # noqa: E711  (elementwise on object array)
+    if bad.any():
+        if quarantine_dir is None:
+            raise SchemaError(
+                f"{int(bad.sum())} invalid rows (first: {reasons[bad][0]}); "
+                "pass quarantine_dir to side-channel them instead"
+            )
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(quarantine_dir, exist_ok=True)
+        qt = pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(bad)),
+                "reason": pa.array(reasons[bad].tolist(), pa.string()),
+            }
+        )
+        pq.write_table(qt, os.path.join(quarantine_dir, f"q-{uuid.uuid4().hex[:12]}.parquet"))
+        batch = batch.filter(pa.array(~bad))
+    spans = batch.column("spans").combine_chunks()
     doc_ids = batch.column("doc_id")
     part = (stable_u64_array(doc_ids.to_pylist()) % np.uint64(max(partitions, 1))).astype(np.int32)
     return batch.set_column(
@@ -86,10 +143,12 @@ def validate_batch(batch: pa.Table, partitions: int = 8) -> pa.Table:
     )
 
 
-def validate(ds: ray.data.Dataset, partitions: int = 8) -> ray.data.Dataset:
+def validate(
+    ds: ray.data.Dataset, partitions: int = 8, quarantine_dir: str | None = None
+) -> ray.data.Dataset:
     return ds.map_batches(
         validate_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_kwargs={"partitions": partitions},
+        fn_kwargs={"partitions": partitions, "quarantine_dir": quarantine_dir},
     )

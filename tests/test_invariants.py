@@ -113,3 +113,56 @@ def test_kg_span_integrity_zero_violations(sf001):
     out = kg_span_integrity(sf001).to_pylist()[0]
     assert out["n_violations"] == 0
     assert out["n_rows"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components_vs_union_find():
+    """Distributed min-label propagation == union-find reference on a
+    multi-component graph with chains (exercises >1 iteration)."""
+    import ray
+    import ray.data
+
+    from antnre_ray.stages.graph_algos import components_local, connected_components
+
+    # two chains, one triangle, one isolated edge — plus direction mix
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),          # chain of 5
+        ("p", "q"), ("q", "r"), ("r", "p"),                      # triangle
+        ("x", "y"),                                              # pair
+        ("m1", "m2"), ("m3", "m2"), ("m3", "m4"), ("m5", "m4"),  # zigzag chain
+    ]
+    tbl = pa.table(
+        {
+            "src": pa.array([a for a, _ in edges], pa.string()),
+            "dst": pa.array([b for _, b in edges], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = {
+        r["node"]: r["label"]
+        for r in pa.concat_tables(
+            ray.get(connected_components(ds).to_arrow_refs()), promote_options="default"
+        ).to_pylist()
+    }
+    want = components_local(edges)
+    assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kg_components_partition_entities_consistently(sf001):
+    """Every adjacency endpoint gets exactly one component; endpoints of
+    the same edge share it."""
+    import ray
+
+    from antnre_ray.pipelines.kg_queries import _graph, kg_components
+
+    labels = pa.concat_tables(
+        ray.get(kg_components(sf001).to_arrow_refs()), promote_options="default"
+    )
+    lab = {r["node"]: r["label"] for r in labels.to_pylist()}
+    adj = pa.concat_tables(
+        ray.get(_graph(sf001)["adjacency"].to_arrow_refs()), promote_options="default"
+    )
+    for r in adj.to_pylist():
+        assert r["src"] in lab and r["dst"] in lab
+        assert lab[r["src"]] == lab[r["dst"]], (r["src"], r["dst"])

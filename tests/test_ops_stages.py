@@ -66,6 +66,26 @@ def test_validate_rejects_bad_schema():
         validate_batch(dec)
 
 
+def test_validate_quarantine_mode(tmp_path):
+    """Row-level quarantine: bad rows side-write with a reason, clean
+    rows continue; strict mode still raises on the same input."""
+    import pyarrow.parquet as pq
+
+    good = mkdocs([("g1", [("text", "hello ", "", 0)]), ("g2", [("text", "world ", "", 0)])])
+    dec = mkdocs([("bad1", [("text", "a", "", 5), ("text", "b", "", 2)])])
+    batch = pa.concat_tables([good, dec])
+    with pytest.raises(SchemaError):
+        validate_batch(batch)
+    qdir = str(tmp_path / "quarantine")
+    out = validate_batch(batch, quarantine_dir=qdir)
+    assert out.column("doc_id").to_pylist() == ["g1", "g2"]
+    qfiles = list((tmp_path / "quarantine").glob("*.parquet"))
+    assert len(qfiles) == 1
+    q = pq.read_table(str(qfiles[0]))
+    assert q.column("doc_id").to_pylist() == ["bad1"]
+    assert q.column("reason").to_pylist() == ["decreasing_offsets"]
+
+
 def test_span_sequence_invariant_through_stages():
     """The spans column survives A2→A3 byte-identically on
     (kind, text, media_ref, order) — BASELINE.json:14."""
