@@ -786,7 +786,7 @@ def b27_sessionize(sf_dir: str) -> ray.data.Dataset:
     gap = np.timedelta64(30, "m")
 
     def sessions(group: pa.Table) -> pa.Table:
-        ts = np.array(group.column("ts").to_pylist(), dtype="datetime64[us]")
+        ts = group.column("ts").combine_chunks().to_numpy(zero_copy_only=False)
         order = np.argsort(ts, kind="stable")
         ts = ts[order]
         new = np.ones(len(ts), dtype=bool)
@@ -847,10 +847,13 @@ def b28_knn(sf_dir: str) -> pa.Table:
 
     def score(b: pa.Table, ref=q_ref) -> pa.Table:
         ids, Qn = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        X = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        X = emb.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, -1).astype(np.float64)
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         cos = Xn @ Qn.T  # [n, q]
-        vec_ids = np.asarray(b.column("vec_id").to_pylist())
+        vec_ids = b.column("vec_id").to_numpy(zero_copy_only=False)
         out_q, out_n, out_c = [], [], []
         for qi, qid in enumerate(ids):
             c = cos[:, qi]
@@ -1086,15 +1089,17 @@ def q10_returned_items(sf_dir: str) -> ray.data.Dataset:
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     j = li_f.join(orders, join_type="inner", num_partitions=_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",))
     cust = _read_small(sf_dir, "customer", ["c_custkey", "c_name"])
-    names = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist()))
-    names_ref = ray.put(names)
+    names_ref = ray.put(
+        (cust.column("c_custkey").combine_chunks(), cust.column("c_name").combine_chunks())
+    )
 
     def pre(b: pa.Table, ref=names_ref) -> pa.Table:
-        names = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        keys, names = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         t = pa.table({"c_custkey": b.column("o_custkey"), "revenue": b.column("revenue")})
         g = t.group_by(["c_custkey"]).aggregate([("revenue", "sum")]).rename_columns(["c_custkey", "revenue"])
+        idx = pc.index_in(g.column("c_custkey"), value_set=keys)
         return g.append_column(
-            "c_name", pa.array([names.get(k, "") for k in g.column("c_custkey").to_pylist()], pa.string())
+            "c_name", pc.fill_null(names.take(idx), "")
         )
 
     agg = (
