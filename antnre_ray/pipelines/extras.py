@@ -62,9 +62,23 @@ def planted_dup_ids(sf_dir: str) -> set[int]:
     return {i for i in ids if stable_u64(f"dup|{i}") % 3 == 0}
 
 
+_MINHASH_PAIRS_CACHE: dict[str, ray.data.Dataset] = {}
+
+
+def _minhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Memoized (materialized) minhash pair set per sf_dir: three
+    registered queries (pairs, drop list, clean corpus) consume it, and
+    Ray re-executes a lazy pipeline per consumer. Pairs are tiny."""
+    if sf_dir not in _MINHASH_PAIRS_CACHE:
+        _MINHASH_PAIRS_CACHE[sf_dir] = minhash_dedup_pairs(
+            documents_with_dups(sf_dir), threshold=0.5
+        ).materialize()
+    return _MINHASH_PAIRS_CACHE[sf_dir]
+
+
 @register("dedup_minhash_pairs", None)
 def dedup_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
-    return minhash_dedup_pairs(documents_with_dups(sf_dir), threshold=0.5)
+    return _minhash_pairs(sf_dir)
 
 
 @register("dedup_ngram_jaccard_pairs", None)
@@ -79,7 +93,7 @@ def dedup_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
 
 @register("dedup_drop_list", None)
 def dedup_drop_list(sf_dir: str) -> ray.data.Dataset:
-    return drop_list(minhash_dedup_pairs(documents_with_dups(sf_dir), threshold=0.5))
+    return drop_list(_minhash_pairs(sf_dir))
 
 
 @register("dedup_clean_corpus", None)
@@ -88,8 +102,7 @@ def dedup_clean_corpus(sf_dir: str) -> ray.data.Dataset:
     via a co-partition anti join (stages/dedup.apply_drop_list)."""
     from ..stages.dedup import apply_drop_list
 
-    docs = documents_with_dups(sf_dir)
-    drops = drop_list(minhash_dedup_pairs(docs, threshold=0.5))
+    drops = drop_list(_minhash_pairs(sf_dir))
     return apply_drop_list(documents_with_dups(sf_dir), drops)
 
 
