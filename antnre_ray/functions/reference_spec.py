@@ -335,12 +335,26 @@ def extract_sentences(
         mask = (np.arange(T)[None, :] < lengths[:, None]).astype(np.float32)
         H = bilstm_forward(X, mask, model.lstm)  # [nb, T, 2h]
         emissions = H @ model.emit_W + model.emit_b  # [nb, T, K]
+        # Prefix sums for span pooling: span mean = (C[e] - C[s]) / (e-s)
+        # replaces one tiny .mean() call per span (profiled at ~10% of
+        # the stage). Padded positions are exact zeros, so a row's
+        # cumsum — and thus every span vector — is independent of the
+        # bucket's max length (bit-stability across batchings holds).
+        Hc = np.concatenate(
+            [np.zeros((len(idxs), 1, H.shape[2]), np.float32), np.cumsum(H, axis=1)], axis=1
+        )
         # Lexicon feature column: gazetteer hits push their tag, misses push O.
         has_gaz = gaz_tag >= 0
         emissions[..., 0] += np.where(has_gaz, 0.0, O_BIAS)
         rows, cols = np.nonzero(has_gaz)
         emissions[rows, cols, gaz_tag[rows, cols]] += GAZ_BIAS
         tags = crf_viterbi(emissions, lengths, model.trans, model.start, model.end)
+        # Emission prefix sums AFTER the lexicon biases (span scores are
+        # means of the biased emissions).
+        Ec = np.concatenate(
+            [np.zeros((len(idxs), 1, emissions.shape[2]), np.float32), np.cumsum(emissions, axis=1)],
+            axis=1,
+        )
 
         for bi, i in enumerate(idxs):
             toks = token_lists[i]
@@ -352,10 +366,11 @@ def extract_sentences(
             span_vecs = []
             for (s, e, etype) in spans:
                 vec = np.concatenate(
-                    [H[bi, s:e].mean(axis=0), model.type_emb[ENT_TYPES.index(etype)]]
+                    [(Hc[bi, e] - Hc[bi, s]) / (e - s), model.type_emb[ENT_TYPES.index(etype)]]
                 )
                 span_vecs.append(vec)
-                score = float(emissions[bi, s:e, TAG_TO_ID[f"B-{etype}"]].mean())
+                tid = TAG_TO_ID[f"B-{etype}"]
+                score = float((Ec[bi, e, tid] - Ec[bi, s, tid]) / (e - s))
                 ments.append((s, e, etype, score))
             sent_mentions[i] = ments
             # Trigger features: relation-indicative words in the sentence.

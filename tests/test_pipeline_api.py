@@ -57,4 +57,30 @@ def test_pipeline_compiles_to_dataset(tiny_corpus):
     ds = pipe(ray.data.from_arrow(docs).repartition(2))
     tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()), promote_options="default")
     local = pipe.run_local(docs)
-    assert sorted(map(str, tbl.to_pylist())) == sorted(map(str, local.to_pylist()))
+
+    # Identity (spans, types, predicates) compares EXACTLY; float scores
+    # with tolerance — matmul/prefix-sum blocking wobbles ~1e-6 with the
+    # bucket shape (the repo-wide score-comparison contract, see
+    # test_flagship_golden).
+    def ident(rows):
+        out = []
+        for r in rows:
+            out.append(
+                (
+                    r["doc_id"], r["sent_id"],
+                    tuple((m["start"], m["end"], m["ent_type"], m["surface"]) for m in r["mentions"]),
+                    tuple((t["subj_idx"], t["obj_idx"], t["pred"]) for t in r["triples"]),
+                )
+            )
+        return sorted(out)
+
+    a_rows, b_rows = tbl.to_pylist(), local.to_pylist()
+    assert ident(a_rows) == ident(b_rows)
+    a_scores = {
+        (r["doc_id"], r["sent_id"], m["start"]): m["score"] for r in a_rows for m in r["mentions"]
+    }
+    b_scores = {
+        (r["doc_id"], r["sent_id"], m["start"]): m["score"] for r in b_rows for m in r["mentions"]
+    }
+    assert a_scores.keys() == b_scores.keys()
+    assert max(abs(a_scores[k] - b_scores[k]) for k in a_scores) < 1e-3
