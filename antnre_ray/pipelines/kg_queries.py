@@ -187,6 +187,67 @@ def kg_components(sf_dir: str) -> ray.data.Dataset:
     return labels.sort(["label", "node"])
 
 
+@register("kg_pagerank", None)
+def kg_pagerank(sf_dir: str) -> ray.data.Dataset:
+    """PageRank over the materialized KG (10 power iterations, d=0.85):
+    top 20 entities by rank, rank rounded to 8 decimals (float shuffle
+    sums wobble in the last ulps)."""
+    import pyarrow as pa
+
+    from ..stages.graph_algos import pagerank
+
+    adj = _graph(sf_dir)["adjacency"]
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column("src"), "dst": b.column("dst")})
+
+    # iters=6 bounds harness cost (~3 s of fixed Ray overhead per
+    # iteration); the 10-iteration numeric gate lives in pytest.
+    ranks = pagerank(
+        adj.map_batches(project, batch_format="pyarrow", zero_copy_batch=True), iters=6
+    )
+
+    def rnd(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        r = b.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": b.column("node"), "rank": pa.array(np.round(r, 8), pa.float64())}
+        )
+
+    return ranks.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["rank", "node"], descending=[True, False]
+    ).limit(20)
+
+
+@register("kg_adjacency_incremental", None)
+def kg_adjacency_incremental(sf_dir: str) -> ray.data.Dataset:
+    """Incremental graph ingest: adjacency built from half the corpus
+    (doc-hash split), then the other half's triples MERGED in without
+    re-reducing the first half — must equal the full build exactly
+    (asserted in pytest; the driver sees the merged shard rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import stable_u64_array
+    from ..stages.explode import triples_table
+    from ..stages.materialize import materialize_graph, merge_adjacency
+
+    cfg = PipelineConfig()
+    triples = triples_table(_linked(sf_dir))
+
+    def half(b: pa.Table, keep: int) -> pa.Table:
+        import numpy as np
+
+        h = stable_u64_array(b.column("doc_id").to_pylist()) % np.uint64(2)
+        return b.filter(pa.array(h == keep))
+
+    first = triples.map_batches(half, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"keep": 0})
+    second = triples.map_batches(half, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"keep": 1})
+    base = materialize_graph(first, cfg)
+    return merge_adjacency(base, second, cfg)
+
+
 @register("kg_span_integrity", None)
 def kg_span_integrity(sf_dir: str):
     """Per-row span-sequence invariant (BASELINE.json:14), checked

@@ -46,6 +46,8 @@ _LATE = [
     "media_frames",  # rows-only; determinism gated in pytest
     "kg_span_integrity",  # rows-only; zero-violations gated in pytest
     "kg_components",  # rows-only; union-find equality gated in pytest
+    "kg_adjacency_incremental",  # rows-only; rebuild-equality gated in pytest
+    "kg_pagerank",  # rows-only; numpy-reference equality gated in pytest
 ]
 
 

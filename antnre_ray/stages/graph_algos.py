@@ -103,6 +103,171 @@ def connected_components(
     return labels
 
 
+def pagerank(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> ray.data.Dataset:
+    """PageRank over a directed edge list: (node, rank) after ``iters``
+    power iterations.
+
+    The rank table permanently carries the (static) out-degree, so each
+    iteration costs exactly ONE hash join (edge sources ← shares), one
+    grouped SUM of contributions (combined per batch first), and one
+    left-outer update join — the Pregel-on-a-Dataset shape shared with
+    :func:`connected_components`. Dangling nodes' mass redistributes
+    uniformly (the standard correction), so ranks sum to 1 every round.
+    Float sums are shuffle-order-dependent in the last ulps; compare
+    with tolerance (tests use a dense numpy reference).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b.column(src_col), "v": b.column(dst_col)})
+
+    E = edges.map_batches(edge_rows, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in (b.column("u"), b.column("v"))]
+        )
+        t = pa.table({"node": both})
+        return t.group_by(["node"]).aggregate([]).rename_columns(["node"])
+
+    nodes = (
+        E.map_batches(node_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["node"])
+        .materialize()
+    )
+    n_nodes = nodes.count()
+
+    def outdeg_rows(b: pa.Table) -> pa.Table:
+        t = pa.table({"dnode": b.column("u")})
+        return t.group_by(["dnode"]).aggregate([([], "count_all")]).rename_columns(["dnode", "deg"])
+
+    degrees = (
+        E.map_batches(outdeg_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dnode")
+        .aggregate(Sum("deg", alias_name="deg"))
+    )
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    nparts = max(4, cpus // 4)
+
+    def init_rank(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        deg = pc.fill_null(pc.cast(b.column("deg"), pa.float64()), 0.0)
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "deg": deg,
+                "rank": pa.array(np.full(b.num_rows, 1.0 / n_nodes), pa.float64()),
+            }
+        )
+
+    # The rank table carries out-degree from the start (one join, done
+    # once — degree is static). The repartition after every join+map is
+    # load-bearing, not cosmetic: Ray 2.49 join outputs contain
+    # zero-COLUMN empty blocks for empty hash partitions, map_batches
+    # passes them through untouched (the UDF never runs on them), and
+    # feeding such a block to a later join fails with "no match for key
+    # field on right side". One repartition concatenates blocks and
+    # restores the schema.
+    ranks = (
+        nodes.join(degrees, join_type="left_outer", num_partitions=nparts, on=("node",), right_on=("dnode",))
+        .map_batches(init_rank, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(nparts)
+        .materialize()
+    )
+    for _ in range(iters):
+        # Dangling mass (nodes with no out-edges) — a tiny global agg.
+        def dangling_partial(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = pc.equal(b.column("deg"), 0.0)
+            r = pc.sum(pc.if_else(m, b.column("rank"), pa.scalar(0.0))).as_py() or 0.0
+            return pa.table({"d": pa.array([float(r)], pa.float64())})
+
+        dangling = sum(
+            p["d"] for p in ranks.map_batches(dangling_partial, batch_format="pyarrow").take_all()
+        )
+
+        def to_share(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            deg = b.column("deg")
+            share = pc.if_else(
+                pc.equal(deg, 0.0), pa.scalar(0.0), pc.divide(b.column("rank"), deg)
+            )
+            return pa.table({"snode": b.column("node"), "share": share})
+
+        share = ranks.map_batches(to_share, batch_format="pyarrow", zero_copy_batch=True)
+        msgs = E.join(share, join_type="inner", num_partitions=nparts, on=("u",), right_on=("snode",))
+
+        def contrib(b: pa.Table) -> pa.Table:
+            t = pa.table({"cnode": b.column("v"), "c": b.column("share")})
+            return t.group_by(["cnode"]).aggregate([("c", "sum")]).rename_columns(["cnode", "c"])
+
+        contribs = (
+            msgs.map_batches(contrib, batch_format="pyarrow")
+            .groupby("cnode")
+            .aggregate(Sum("c", alias_name="c"))
+        )
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+
+        def apply_rank(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            c = pc.fill_null(b.column("c"), 0.0)
+            r = pc.add(pc.multiply(c, pa.scalar(damping)), pa.scalar(base))
+            return pa.table({"node": b.column("node"), "deg": b.column("deg"), "rank": r})
+
+        joined = ranks.join(
+            contribs, join_type="left_outer", num_partitions=nparts, on=("node",), right_on=("cnode",)
+        )
+        ranks = (
+            joined.map_batches(apply_rank, batch_format="pyarrow")
+            .repartition(nparts)
+            .materialize()
+        )
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"), "rank": b.column("rank")})
+
+    return ranks.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pagerank_local(edge_pairs: list[tuple[str, str]], damping: float = 0.85, iters: int = 10) -> dict[str, float]:
+    """Dense numpy reference (tests)."""
+    nodes = sorted({n for e in edge_pairs for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out: dict[int, list[int]] = {}
+    for a, b in edge_pairs:
+        out.setdefault(idx[a], []).append(idx[b])
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        dangling = 0.0
+        for u in range(n):
+            targets = out.get(u)
+            if not targets:
+                dangling += r[u]
+                continue
+            share = r[u] / len(targets)
+            for v in targets:
+                nxt[v] += share
+        r = (1.0 - damping) / n + damping * (nxt + dangling / n)
+    return {nodes[i]: float(r[i]) for i in range(n)}
+
+
 def components_local(edge_pairs: list[tuple[str, str]]) -> dict[str, int]:
     """Union-find reference (tests): node → min-label of its component."""
     parent: dict[str, str] = {}

@@ -78,6 +78,33 @@ def materialize_graph(
     return merged.sort(["src", "pred", "dst"])
 
 
+def merge_adjacency(
+    existing: ray.data.Dataset,
+    new_triples: ray.data.Dataset,
+    cfg: PipelineConfig | None = None,
+) -> ray.data.Dataset:
+    """Incremental A19: existing adjacency shards + NEW triples → updated
+    shards, without re-reducing the old corpus — how a 10^12-document KG
+    actually ingests (re-materializing everything per increment would be
+    a full-corpus job).
+
+    Existing edges re-enter the reduce as partials: the adjacency schema
+    IS the combiner's partial schema (weight, capped doc list), so one
+    union + the same grouped reducer merges them. Equivalence with a
+    full rebuild holds exactly: weights add, and for the bounded
+    provenance the lowest-k of a union is contained in the union of each
+    side's lowest-k (x among the k smallest of A∪B and x∈A ⇒ fewer than
+    k elements of A are below x), so cap(cap(A) ∪ cap(B)) == cap(A ∪ B).
+    Tested against the from-scratch build in tests/test_link_canonicalize.
+    """
+    cfg = cfg or PipelineConfig()
+    new_partial = new_triples.map_batches(edges_batch, batch_format="pyarrow", zero_copy_batch=True)
+    merged = existing.union(new_partial).groupby(["src", "pred", "dst"]).map_groups(
+        _merge_edges, batch_format="pyarrow", fn_kwargs={"max_docs": cfg.max_docs_per_edge}
+    )
+    return merged.sort(["src", "pred", "dst"])
+
+
 def write_adjacency(adj: ray.data.Dataset, path: str) -> None:
     write_table(adj, path)
 

@@ -166,3 +166,38 @@ def test_kg_components_partition_entities_consistently(sf001):
     for r in adj.to_pylist():
         assert r["src"] in lab and r["dst"] in lab
         assert lab[r["src"]] == lab[r["dst"]], (r["src"], r["dst"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_vs_dense_reference():
+    """Distributed PageRank == dense numpy reference (atol 1e-9: same
+    math, only float summation order differs) on a graph with hubs,
+    chains and a dangling node."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from antnre_ray.stages.graph_algos import pagerank, pagerank_local
+
+    edges = [
+        ("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub"),
+        ("hub", "x"), ("x", "y"), ("y", "a"),
+        ("c", "dangle"),  # 'dangle' has no out-edges
+    ]
+    tbl = pa.table(
+        {
+            "src": pa.array([a for a, _ in edges], pa.string()),
+            "dst": pa.array([b for _, b in edges], pa.string()),
+        }
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pa.concat_tables(
+            ray.get(pagerank(ray.data.from_arrow(tbl).repartition(3)).to_arrow_refs()),
+            promote_options="default",
+        ).to_pylist()
+    }
+    want = pagerank_local(edges)
+    assert got.keys() == want.keys()
+    assert max(abs(got[k] - want[k]) for k in want) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved

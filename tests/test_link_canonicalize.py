@@ -132,3 +132,22 @@ def test_ray_graph_matches_reference(tiny_corpus):
     for name in ("entities", "adjacency"):
         tbl = pa.concat_tables(ray.get(g[name].to_arrow_refs()), promote_options="default")
         assert sorted(map(str, tbl.to_pylist())) == sorted(map(str, ref[name].to_pylist())), name
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_adjacency_equals_full_rebuild(sf001):
+    """merge_adjacency(half-A adjacency, half-B triples) must be byte-
+    equal to materialize over the whole triple set (weights add; the
+    lowest-k provenance cap composes: cap(cap(A)∪cap(B)) == cap(A∪B))."""
+    import ray
+    import pyarrow as pa
+
+    from antnre_ray.pipelines.kg_queries import kg_adjacency, kg_adjacency_incremental
+
+    inc = pa.concat_tables(
+        ray.get(kg_adjacency_incremental(sf001).to_arrow_refs()), promote_options="default"
+    )
+    full = pa.concat_tables(
+        ray.get(kg_adjacency(sf001).to_arrow_refs()), promote_options="default"
+    )
+    assert sorted(map(str, inc.to_pylist())) == sorted(map(str, full.to_pylist()))
