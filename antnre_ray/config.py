@@ -20,6 +20,22 @@ def _default_cpus() -> int:
         return os.cpu_count() or 8
 
 
+def shuffle_width(divisor: int = 4, lo: int = 4, hi: int = 64) -> int:
+    """Shuffle/join width sized to the LIVE Ray session: cpus/divisor,
+    clamped. Join/shuffle aggregators are actors that hold a CPU each
+    while the map side feeds them, so width == cpus starves producers
+    (measured in pipelines/relational._join_partitions: 3.06 s at
+    cpus/4 vs 3.45 s at cpus/2 vs 29 s at cpus, 600k-row join at 32
+    CPUs). One shared helper so every stage retunes together."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(lo, min(hi, cpus // divisor))
+
+
 @dataclass
 class PipelineConfig:
     """Knobs for the flagship KG-construction pipeline (SURVEY.md §3.2)."""

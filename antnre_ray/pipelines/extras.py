@@ -160,6 +160,23 @@ def text_analysis_query(sf_dir: str) -> ray.data.Dataset:
     return text_analysis(ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
+def _index_tag(sf_dir: str) -> str:
+    """Staleness-proof /tmp index key: hashes the embedding table's
+    (size, mtime) alongside the path and a format version, so a
+    regenerated embeddings.parquet — or a layout change across rounds —
+    gets a fresh index instead of silently serving stale vectors."""
+    import hashlib
+    import os
+
+    src = f"{sf_dir}/embeddings.parquet"
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        stamp = "missing"
+    return hashlib.sha256(f"v3|{sf_dir}|{stamp}".encode()).hexdigest()[:12]
+
+
 def _ann_queries(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -183,13 +200,10 @@ def sim_ann_indexed(sf_dir: str) -> pa.Table:
     reading ONLY the hit-bucket directories — same results as the scan
     plan (tests assert equality), without re-scanning the table per
     call."""
-    import hashlib
 
     from ..stages.similarity import build_ann_index, query_ann_index
 
-    # v2: version tag guards against stale /tmp indexes from earlier
-    # rounds whose on-disk layout differed.
-    tag = hashlib.sha256(f"v2|{sf_dir}".encode()).hexdigest()[:12]
+    tag = _index_tag(sf_dir)
     index_path = f"/tmp/antnre_ann_index/{tag}"
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     build_ann_index(ds, index_path)
@@ -202,11 +216,10 @@ def sim_ann_ivf(sf_dir: str) -> pa.Table:
     """IVF-bucketed ANN (coarse k-means quantizer, nprobe dial): the
     second scale path beside hyperplane LSH. Index persisted under /tmp
     (idempotent); queries probe nprobe=8 of 64 inverted lists."""
-    import hashlib
 
     from ..stages.similarity import build_ivf_index, query_ivf_index
 
-    tag = hashlib.sha256(f"v2|{sf_dir}".encode()).hexdigest()[:12]
+    tag = _index_tag(sf_dir)
     index_path = f"/tmp/antnre_ivf_index/{tag}"
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     build_ivf_index(ds, index_path)

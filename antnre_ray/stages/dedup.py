@@ -9,12 +9,11 @@ Shapes (all shuffle-by-bucket, never all-pairs):
        ─ groupby(doc_a, doc_b) → distinct verified pairs
 
 Candidate generation carries the per-doc signature (512 B) into each of
-the 16 band rows; the exact-Jaccard variant carries the text instead.
-At 100 TB with large documents the text-carrying variant should switch
-to a candidates→semi-join-back plan (pairs are tiny); the signature
-variant scales as-is. Buckets are capped (default 64 docs) so a
-degenerate key (e.g. empty docs) cannot go quadratic; truncation is
-DETERMINISTIC (lowest doc ids kept) and logged — no silent caps.
+the 16 band rows — document TEXT never enters the wide exchange; the
+exact-Jaccard variant joins text back onto the (tiny) candidate pair
+list instead. Buckets are capped (default 64 docs) so a degenerate key
+(e.g. empty docs) cannot go quadratic; truncation is DETERMINISTIC
+(lowest doc ids kept) and logged — no silent caps.
 """
 
 from __future__ import annotations
@@ -191,12 +190,9 @@ def ngram_jaccard_pairs(
     the signature variant (same sigs → same band keys), so the pair set
     matches the old plan exactly.
     """
-    import ray as _ray
+    from ..config import shuffle_width
 
-    try:
-        nparts = max(4, int(_ray.cluster_resources().get("CPU", 8)) // 4)
-    except Exception:
-        nparts = 8
+    nparts = shuffle_width()
     bands = docs.map_batches(
         minhash_band_rows, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"k": k, "seed": seed}
     )
@@ -423,41 +419,23 @@ def embedding_dedup_pairs(
 # ---------------------------------------------------------- keep/drop list
 
 def apply_drop_list(docs: ray.data.Dataset, drops: ray.data.Dataset) -> ray.data.Dataset:
-    """documents minus the drop list, as a co-partition ANTI join: both
-    sides tagged and shuffled once on doc_id; a group emits its document
-    row iff no drop row landed in it. No broadcast — the drop list can
+    """documents minus the drop list, as a native LEFT ANTI hash join:
+    both sides shuffle once on doc_id, no broadcast — the drop list can
     be a large fraction of the corpus at 100 TB (dedup rates of 30%+ are
-    normal for web crawl), so shipping it to every task would not scale."""
-    import pyarrow.compute as pc
+    normal for web crawl), so shipping it to every task would not scale.
+    (A tagged-union groupby + per-key map_groups computes the same thing
+    but pays one Python call per document; the join keeps it columnar.)"""
+    from ..config import shuffle_width
 
-    def tag_docs(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "text": b.column("text"),
-                "is_drop": pa.array(np.zeros(b.num_rows, dtype=bool)),
-            }
-        )
+    def drop_keys(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id")})
 
-    def tag_drops(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "text": pa.nulls(b.num_rows, pa.string()),
-                "is_drop": pa.array(np.ones(b.num_rows, dtype=bool)),
-            }
-        )
-
-    both = docs.map_batches(tag_docs, batch_format="pyarrow", zero_copy_batch=True).union(
-        drops.map_batches(tag_drops, batch_format="pyarrow", zero_copy_batch=True)
+    return docs.join(
+        drops.map_batches(drop_keys, batch_format="pyarrow", zero_copy_batch=True),
+        join_type="left_anti",
+        num_partitions=shuffle_width(),
+        on=("doc_id",),
     )
-
-    def anti(group: pa.Table) -> pa.Table:
-        if pc.any(group.column("is_drop")).as_py():
-            return pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
-        return pa.table({"doc_id": group.column("doc_id"), "text": group.column("text")})
-
-    return both.groupby("doc_id").map_groups(anti, batch_format="pyarrow")
 
 
 def drop_list(pairs: ray.data.Dataset) -> ray.data.Dataset:

@@ -71,11 +71,9 @@ def connected_components(
         .aggregate(Min("label", alias_name="label"))
         .materialize()
     )
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    nparts = max(4, cpus // 4)
+    from ..config import shuffle_width
+
+    nparts = shuffle_width()
 
     def checksum(ds: ray.data.Dataset) -> int:
         from ray.data.aggregate import Sum
@@ -83,6 +81,7 @@ def connected_components(
         return int(ds.aggregate(Sum("label", alias_name="s"))["s"])
 
     prev = checksum(labels)
+    converged = False
     for _ in range(max_iters):
         # message pass: each edge (u, v) sends u's current label to v.
         msgs = und.join(
@@ -98,8 +97,19 @@ def connected_components(
         labels = both.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
         cur = checksum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # No silent caps (same rule as dedup truncation): labels are
+        # WRONG for components whose diameter exceeds max_iters — say so.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components did NOT converge within max_iters=%d — "
+            "some components carry split labels; raise max_iters (label "
+            "propagation needs ~graph diameter rounds)", max_iters
+        )
     return labels
 
 
@@ -154,11 +164,9 @@ def pagerank(
         .groupby("dnode")
         .aggregate(Sum("deg", alias_name="deg"))
     )
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    nparts = max(4, cpus // 4)
+    from ..config import shuffle_width
+
+    nparts = shuffle_width()
 
     def init_rank(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

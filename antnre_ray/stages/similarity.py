@@ -165,11 +165,15 @@ def build_ann_index(
         outs = []
         for t in range(N_TABLES):
             keys = (((Xn @ planes[t].T) > 0).astype(np.int64) * pw[None, :]).sum(axis=1)
+            names = pa.array([_bucket_name(t, int(kk)) for kk in keys], pa.string())
             outs.append(
                 pa.table(
                     {
-                        "bucket": pa.array([_bucket_name(t, int(kk)) for kk in keys], pa.string()),
-                        "bkt": pa.array([_bucket_name(t, int(kk)) for kk in keys], pa.string()),
+                        # 'bucket' becomes the hive partition path; 'bkt'
+                        # stays IN the file (reads of explicit file lists
+                        # don't re-infer hive columns).
+                        "bucket": names,
+                        "bkt": names,
                         "vec_id": pa.array(ids, pa.int64()),
                         "vec": pa.FixedSizeListArray.from_arrays(
                             pa.array(X.reshape(-1), pa.float32()), dim

@@ -120,7 +120,6 @@ def validate_batch(
                 "pass quarantine_dir to side-channel them instead"
             )
         import os
-        import uuid
 
         import pyarrow.parquet as pq
 
@@ -131,7 +130,14 @@ def validate_batch(
                 "reason": pa.array(reasons[bad].tolist(), pa.string()),
             }
         )
-        pq.write_table(qt, os.path.join(quarantine_dir, f"q-{uuid.uuid4().hex[:12]}.parquet"))
+        # Deterministic, content-derived filename: a retried task (or a
+        # resumed run over the same batch) REWRITES the same file instead
+        # of accumulating uuid-named duplicates — idempotent like the
+        # partitioned sinks.
+        digest = hashlib.blake2b(digest_size=8)
+        for d, r in zip(qt.column("doc_id").to_pylist(), qt.column("reason").to_pylist()):
+            digest.update(f"{d}|{r}\x1e".encode())
+        pq.write_table(qt, os.path.join(quarantine_dir, f"q-{digest.hexdigest()}.parquet"))
         batch = batch.filter(pa.array(~bad))
     spans = batch.column("spans").combine_chunks()
     doc_ids = batch.column("doc_id")
