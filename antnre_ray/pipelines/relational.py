@@ -931,6 +931,74 @@ def q03_shipping_priority(sf_dir: str) -> ray.data.Dataset:
     return _pin_ts_col(out, "o_orderdate")
 
 
+
+def _nation_dims_ref(sf_dir: str):
+    """Broadcast tuple for supplier→nation / customer→nation probes:
+    parallel key/value arrays (ray.put once) for vectorized index_in —
+    shared by q05 (same-nation revenue) and q07 (nation-pair volume)."""
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nk = nation.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nat_names = np.empty(int(nk.max()) + 1, dtype=object)
+    nat_names[nk] = np.asarray(nation.column("n_name").to_pylist(), dtype=object)
+    return ray.put(
+        (
+            supp.column("s_suppkey").combine_chunks(),
+            supp.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64),
+            cust.column("c_custkey").combine_chunks(),
+            cust.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64),
+            nat_names,
+        )
+    )
+
+
+def _nation_revenue_pre(dims_ref, pair_mode: bool):
+    """Per-batch combiner over the lineitem⋈orders join: probe the
+    broadcast dims with one index_in each, mask to same-nation rows
+    (``pair_mode=False``, q05) or cross-nation rows (True, q07), and
+    reduce to per-(nation | nation-pair) revenue partials via bincount —
+    no Python row loop on the fact table."""
+
+    def pre(b: pa.Table, ref=dims_ref) -> pa.Table:
+        supp_keys, supp_nat, cust_keys, cust_nat, nat_names = (
+            ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        )
+        n_nat = len(nat_names)
+        sk = pc.fill_null(pc.index_in(b.column("l_suppkey"), value_set=supp_keys), -1)
+        ck = pc.fill_null(pc.index_in(b.column("o_custkey"), value_set=cust_keys), -1)
+        sk = sk.to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = ck.to_numpy(zero_copy_only=False).astype(np.int64)
+        valid = (sk >= 0) & (ck >= 0)
+        sn = supp_nat[np.where(valid, sk, 0)]
+        cn = cust_nat[np.where(valid, ck, 0)]
+        m = valid & ((sn != cn) if pair_mode else (sn == cn))
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = price[m] * (1.0 - disc[m])
+        key = (sn[m] * n_nat + cn[m]) if pair_mode else sn[m]
+        size = n_nat * n_nat if pair_mode else n_nat
+        sums = np.bincount(key, weights=rev, minlength=size)
+        counts = np.bincount(key, minlength=size)
+        hit = np.nonzero(counts > 0)[0]
+        if pair_mode:
+            return pa.table(
+                {
+                    "supp_nation": pa.array(nat_names[hit // n_nat].tolist(), pa.string()),
+                    "cust_nation": pa.array(nat_names[hit % n_nat].tolist(), pa.string()),
+                    "revenue": pa.array(sums[hit], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "n_name": pa.array(nat_names[hit].tolist(), pa.string()),
+                "revenue": pa.array(sums[hit], pa.float64()),
+            }
+        )
+
+    return pre
+
+
 # ------------------------------------------- TPC-H Q5-ish (6-way join + agg)
 
 @register(
@@ -944,55 +1012,12 @@ def q03_shipping_priority(sf_dir: str) -> ray.data.Dataset:
        GROUP BY n_name""",
 )
 def q05_local_supplier(sf_dir: str) -> ray.data.Dataset:
-    # Broadcast the small dims: supplier→nation, customer→nation, as
-    # parallel key/value arrays probed with one vectorized index_in per
-    # batch (no Python row loop on the joined fact table).
-    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
-    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    nk = nation.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
-    nat_names = np.empty(int(nk.max()) + 1, dtype=object)
-    nat_names[nk] = np.asarray(nation.column("n_name").to_pylist(), dtype=object)
-    dims_ref = ray.put(
-        (
-            supp.column("s_suppkey").combine_chunks(),
-            supp.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64),
-            cust.column("c_custkey").combine_chunks(),
-            cust.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64),
-            nat_names,
-        )
-    )
-
+    dims_ref = _nation_dims_ref(sf_dir)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
     j = li.join(orders, join_type="inner", num_partitions=_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",))
-
-    def pre(b: pa.Table, ref=dims_ref) -> pa.Table:
-        supp_keys, supp_nat, cust_keys, cust_nat, nat_names = (
-            ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        )
-        sk = pc.fill_null(pc.index_in(b.column("l_suppkey"), value_set=supp_keys), -1)
-        ck = pc.fill_null(pc.index_in(b.column("o_custkey"), value_set=cust_keys), -1)
-        sk = sk.to_numpy(zero_copy_only=False).astype(np.int64)
-        ck = ck.to_numpy(zero_copy_only=False).astype(np.int64)
-        valid = (sk >= 0) & (ck >= 0)
-        sn = supp_nat[np.where(valid, sk, 0)]
-        m = valid & (sn == cust_nat[np.where(valid, ck, 0)])
-        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
-        rev = price[m] * (1.0 - disc[m])
-        sums = np.bincount(sn[m], weights=rev, minlength=len(nat_names))
-        counts = np.bincount(sn[m], minlength=len(nat_names))
-        hit = np.nonzero(counts > 0)[0]
-        return pa.table(
-            {
-                "n_name": pa.array(nat_names[hit].tolist(), pa.string()),
-                "revenue": pa.array(sums[hit], pa.float64()),
-            }
-        )
-
     out = (
-        j.map_batches(pre, batch_format="pyarrow")
+        j.map_batches(_nation_revenue_pre(dims_ref, pair_mode=False), batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
@@ -1638,58 +1663,13 @@ def q07_nation_volume(sf_dir: str) -> ray.data.Dataset:
     """Cross-nation trade volume: ONE large-large hash join
     (lineitem⋈orders); the dims broadcast as parallel key arrays probed
     with vectorized index_in, partial sums per (supp_nation, cust_nation)
-    pair via one bincount per batch."""
-    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
-    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    nk = nation.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
-    n_nat = int(nk.max()) + 1
-    nat_names = np.empty(n_nat, dtype=object)
-    nat_names[nk] = np.asarray(nation.column("n_name").to_pylist(), dtype=object)
-    dims_ref = ray.put(
-        (
-            supp.column("s_suppkey").combine_chunks(),
-            supp.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64),
-            cust.column("c_custkey").combine_chunks(),
-            cust.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64),
-            nat_names,
-        )
-    )
-
+    pair via one bincount per batch (shared combiner with q05)."""
+    dims_ref = _nation_dims_ref(sf_dir)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
     j = li.join(orders, join_type="inner", num_partitions=_join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",))
-
-    def pre(b: pa.Table, ref=dims_ref) -> pa.Table:
-        supp_keys, supp_nat, cust_keys, cust_nat, nat_names = (
-            ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        )
-        n_nat = len(nat_names)
-        sk = pc.fill_null(pc.index_in(b.column("l_suppkey"), value_set=supp_keys), -1)
-        ck = pc.fill_null(pc.index_in(b.column("o_custkey"), value_set=cust_keys), -1)
-        sk = sk.to_numpy(zero_copy_only=False).astype(np.int64)
-        ck = ck.to_numpy(zero_copy_only=False).astype(np.int64)
-        valid = (sk >= 0) & (ck >= 0)
-        sn = supp_nat[np.where(valid, sk, 0)]
-        cn = cust_nat[np.where(valid, ck, 0)]
-        m = valid & (sn != cn)
-        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
-        rev = price[m] * (1.0 - disc[m])
-        pair = sn[m] * n_nat + cn[m]
-        sums = np.bincount(pair, weights=rev, minlength=n_nat * n_nat)
-        counts = np.bincount(pair, minlength=n_nat * n_nat)
-        hit = np.nonzero(counts > 0)[0]
-        return pa.table(
-            {
-                "supp_nation": pa.array(nat_names[hit // n_nat].tolist(), pa.string()),
-                "cust_nation": pa.array(nat_names[hit % n_nat].tolist(), pa.string()),
-                "revenue": pa.array(sums[hit], pa.float64()),
-            }
-        )
-
     out = (
-        j.map_batches(pre, batch_format="pyarrow")
+        j.map_batches(_nation_revenue_pre(dims_ref, pair_mode=True), batch_format="pyarrow")
         .groupby(["supp_nation", "cust_nation"])
         .aggregate(Sum("revenue", alias_name="revenue"))
     )

@@ -129,6 +129,73 @@ def _merge_topk(partials: pa.Table, k: int) -> pa.Table:
     )
 
 
+def _bucketed_scorer(state_ref, bucket_col: str, dim: int, k: int):
+    """Shared batch scorer for persisted indexes (hyperplane buckets AND
+    IVF inverted lists): for each bucket value present in the batch,
+    score its rows against exactly the queries that hashed/probed into
+    it — self-matches excluded, ties broken by neighbor id. One
+    implementation so the tie-break/self-exclusion rules cannot drift
+    between index types."""
+
+    def score(b: pa.Table, ref=state_ref, k=k) -> pa.Table:
+        qids, Qn, bucket_to_qis = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        vec = b.column("vec")
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        X = vec.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, dim)
+        Xn = _normalize(X.astype(np.float64))
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        buckets = b.column(bucket_col).to_pylist()
+        by_bucket: dict = {}
+        for i, v in enumerate(buckets):
+            by_bucket.setdefault(v, []).append(i)
+        out_q, out_n, out_c = [], [], []
+        for v, rows in by_bucket.items():
+            qis = bucket_to_qis.get(v)
+            if not qis:
+                continue
+            in_b = np.asarray(rows)
+            for qi in qis:
+                qid = qids[qi]
+                cand = in_b[ids[in_b] != qid]
+                if len(cand) == 0:
+                    continue
+                cos = Xn[cand] @ Qn[qi]
+                order = np.lexsort((ids[cand], -cos))[:k]
+                top = cand[order]
+                out_q += [qid] * len(top)
+                out_n += ids[top].tolist()
+                out_c += cos[order].tolist()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    return score
+
+
+def _empty_topk(k: int) -> pa.Table:
+    return _merge_topk(
+        pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        ),
+        k,
+    )
+
+
+def _scored_partials(ds: ray.data.Dataset, score) -> pa.Table:
+    return pa.concat_tables(
+        [ray.get(r) for r in ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()]
+    )
+
+
 def build_ann_index(
     embeddings: ray.data.Dataset,
     index_path: str,
@@ -228,49 +295,10 @@ def query_ann_index(
         if f.endswith(".parquet")
     ]
     if not dirs:
-        return _merge_topk(
-            pa.table({"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}),
-            k,
-        )
+        return _empty_topk(k)
     ds = ray.data.read_parquet(dirs, columns=["vec_id", "vec", "bkt"])
     state_ref = ray.put((query_ids, Qn, bucket_to_qis))
-
-    def score(b: pa.Table, ref=state_ref, k=k) -> pa.Table:
-        qids, Qn, bucket_to_qis = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        vec = b.column("vec")
-        if isinstance(vec, pa.ChunkedArray):
-            vec = vec.combine_chunks()
-        X = vec.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, dim)
-        Xn = _normalize(X.astype(np.float64))
-        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
-        bkts = np.asarray(b.column("bkt").to_pylist(), dtype=object)
-        out_q, out_n, out_c = [], [], []
-        for name in np.unique(bkts):
-            qis = bucket_to_qis.get(str(name))
-            if not qis:
-                continue
-            in_b = np.nonzero(bkts == name)[0]
-            for qi in qis:
-                qid = qids[qi]
-                cand = in_b[ids[in_b] != qid]
-                if len(cand) == 0:
-                    continue
-                cos = Xn[cand] @ Qn[qi]
-                top = cand[np.lexsort((ids[cand], -cos))][:k]
-                out_q += [qid] * len(top)
-                out_n += ids[top].tolist()
-                out_c += (Xn[top] @ Qn[qi]).tolist()
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "cos": pa.array(out_c, pa.float64()),
-            }
-        )
-
-    partials = pa.concat_tables(
-        [ray.get(r) for r in ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()]
-    )
+    partials = _scored_partials(ds, _bucketed_scorer(state_ref, "bkt", dim, k))
     return _merge_topk(partials, k)
 
 
@@ -392,49 +420,10 @@ def query_ivf_index(
         if f.endswith(".parquet")
     ]
     if not files:
-        return _merge_topk(
-            pa.table({"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}),
-            k,
-        )
+        return _empty_topk(k)
     ds = ray.data.read_parquet(files, columns=["vec_id", "vec", "cid"])
     state_ref = ray.put((query_ids, Qn, cid_to_qis))
-
-    def score(b: pa.Table, ref=state_ref, k=k) -> pa.Table:
-        qids, Qn, cid_to_qis = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        vec = b.column("vec")
-        if isinstance(vec, pa.ChunkedArray):
-            vec = vec.combine_chunks()
-        X = vec.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, dim)
-        Xn = _normalize(X.astype(np.float64))
-        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
-        cids = b.column("cid").to_numpy(zero_copy_only=False)
-        out_q, out_n, out_c = [], [], []
-        for c in np.unique(cids):
-            qis = cid_to_qis.get(int(c))
-            if not qis:
-                continue
-            in_c = np.nonzero(cids == c)[0]
-            for qi in qis:
-                qid = qids[qi]
-                cand = in_c[ids[in_c] != qid]
-                if len(cand) == 0:
-                    continue
-                cos = Xn[cand] @ Qn[qi]
-                top = cand[np.lexsort((ids[cand], -cos))][:k]
-                out_q += [qid] * len(top)
-                out_n += ids[top].tolist()
-                out_c += (Xn[top] @ Qn[qi]).tolist()
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "cos": pa.array(out_c, pa.float64()),
-            }
-        )
-
-    partials = pa.concat_tables(
-        [ray.get(r) for r in ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()]
-    )
+    partials = _scored_partials(ds, _bucketed_scorer(state_ref, "cid", dim, k))
     return _merge_topk(partials, k)
 
 
