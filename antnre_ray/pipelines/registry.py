@@ -48,6 +48,8 @@ _LATE = [
     "kg_components",  # rows-only; union-find equality gated in pytest
     "kg_adjacency_incremental",  # rows-only; rebuild-equality gated in pytest
     "kg_pagerank",  # rows-only; numpy-reference equality gated in pytest
+    "b32_group_centroids",
+    "b21b_stratified_sample",
 ]
 
 

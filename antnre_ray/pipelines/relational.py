@@ -1854,3 +1854,119 @@ def b31_pivot_event_types(sf_dir: str) -> ray.data.Dataset:
         .groupby("user_id")
         .aggregate(*aggs)
     )
+
+
+# --------------------- B32: grouped vector aggregate (label centroids)
+
+@register(
+    "b32_group_centroids",
+    """SELECT label, idx, ROUND(sum(val), 4) AS s, count(*) AS n
+       FROM (SELECT label, unnest(embedding) AS val,
+                    generate_subscripts(embedding, 1) AS idx
+             FROM embeddings)
+       GROUP BY label, idx""",
+)
+def b32_group_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Grouped VECTOR aggregate — per-label embedding centroids (the
+    class-centroid op of training-data curation), long-form
+    (label, dim-idx, sum, count). Each batch reduces to one partial sum
+    vector per label (numpy matmul-free bincount over rows), so the
+    shuffle carries |labels|·dim rows per batch, never the vectors."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        dim = 64
+        X = emb.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, dim).astype(np.float64)
+        labels = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(labels)
+        o_label, o_idx, o_s, o_n = [], [], [], []
+        for lab in uniq:
+            m = labels == lab
+            sums = X[m].sum(axis=0)
+            o_label += [int(lab)] * dim
+            o_idx += list(range(1, dim + 1))
+            o_s += sums.tolist()
+            o_n += [int(m.sum())] * dim
+        return pa.table(
+            {
+                "label": pa.array(o_label, pa.int32()),
+                "idx": pa.array(o_idx, pa.int64()),
+                "s": pa.array(o_s, pa.float64()),
+                "n": pa.array(o_n, pa.int64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "embeddings", ["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "idx"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def pin_label(b: pa.Table) -> pa.Table:
+        # Ray's grouped aggregate upcasts the int32 key to int64; pin it
+        # back to the parquet source type for exact schema equality.
+        i = b.schema.get_field_index("label")
+        return b.set_column(i, "label", pc.cast(b.column("label"), pa.int32()))
+
+    return _round_cols(out.map_batches(pin_label, batch_format="pyarrow", zero_copy_batch=True), {"s": 4})
+
+
+# ------------------- B21b: deterministic stratified sample (k per group)
+
+@register(
+    "b21b_stratified_sample",
+    """SELECT label, vec_id FROM (
+         SELECT label, vec_id,
+                row_number() OVER (PARTITION BY label
+                                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         FROM embeddings) t
+       WHERE rn <= 10""",
+)
+def b21b_stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic stratified sampling: k=10 rows per label, chosen by
+    md5-hash order (reproducible across engines and runs — the seeded
+    alternative to random_sample when an exact oracle is wanted).
+    Combiner keeps the k smallest hashes per (batch, label), the final
+    per-label merge sees ≤ k·n_batches rows."""
+    import hashlib as _hashlib
+
+    K = 10
+
+    def pre(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_pylist()
+        labels = b.column("label").to_numpy(zero_copy_only=False)
+        h = np.asarray([_hashlib.md5(str(v).encode()).hexdigest() for v in ids], dtype=object)
+        keep = np.zeros(len(ids), dtype=bool)
+        for lab in np.unique(labels):
+            m = np.nonzero(labels == lab)[0]
+            order = m[np.lexsort((np.asarray(ids, dtype=np.int64)[m], h[m]))][:K]
+            keep[order] = True
+        t = pa.table(
+            {
+                "label": b.column("label").filter(pa.array(keep)),
+                "vec_id": b.column("vec_id").filter(pa.array(keep)),
+                "h": pa.array(h[keep].tolist(), pa.string()),
+            }
+        )
+        return t
+
+    def topk(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        h = np.asarray(group.column("h").to_pylist(), dtype=object)
+        order = np.lexsort((ids, h))[:K]
+        return pa.table(
+            {
+                "label": group.column("label").take(pa.array(order)),
+                "vec_id": pa.array(ids[order], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "embeddings", ["label", "vec_id"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .map_groups(topk, batch_format="pyarrow")
+    )
