@@ -51,6 +51,13 @@ def __getattr__(name):
         "run_report": ("antnre_ray.state.metrics", "run_report"),
         "derive_interleaved": ("antnre_ray.sources.corpus", "derive_interleaved"),
         "synthesize_documents": ("antnre_ray.sources.corpus", "synthesize_documents"),
+        "connected_components": ("antnre_ray.stages.graph_algos", "connected_components"),
+        "pagerank": ("antnre_ray.stages.graph_algos", "pagerank"),
+        "merge_adjacency": ("antnre_ray.stages.materialize", "merge_adjacency"),
+        "build_ann_index": ("antnre_ray.stages.similarity", "build_ann_index"),
+        "query_ann_index": ("antnre_ray.stages.similarity", "query_ann_index"),
+        "build_ivf_index": ("antnre_ray.stages.similarity", "build_ivf_index"),
+        "query_ivf_index": ("antnre_ray.stages.similarity", "query_ivf_index"),
     }
     if name in api:
         mod, attr = api[name]
