@@ -50,6 +50,7 @@ _LATE = [
     "kg_pagerank",  # rows-only; numpy-reference equality gated in pytest
     "b32_group_centroids",
     "b21b_stratified_sample",
+    "b15c_grouped_quantiles",
 ]
 
 

@@ -1970,3 +1970,58 @@ def b21b_stratified_sample(sf_dir: str) -> ray.data.Dataset:
         .groupby("label")
         .map_groups(topk, batch_format="pyarrow")
     )
+
+
+# ------------------- B15c: grouped exact quantiles (per-group median/p90)
+
+@register(
+    "b15c_grouped_quantiles",
+    """SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.5) AS median_qty,
+              quantile_cont(l_quantity, 0.9) AS p90_qty,
+              count(*) AS n
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def b15c_grouped_quantiles(sf_dir: str) -> pa.Table:
+    """Exact PER-GROUP quantiles via per-(group, value) histograms: the
+    shuffle carries only |groups|x|distinct values| count rows; order
+    statistics resolve from cumulative counts per group driver-side
+    (groups are few — the values never leave the cluster unaggregated).
+    Same interpolation as b15b (DuckDB quantile_cont)."""
+
+    def hist(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_returnflag", "l_quantity"]).aggregate([([], "count_all")])
+        return g.rename_columns(["l_returnflag", "val", "cnt"])
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+        .map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "val"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    by_flag: dict[str, list[tuple[float, int]]] = {}
+    for p in parts:
+        by_flag.setdefault(p["l_returnflag"], []).append((float(p["val"]), int(p["cnt"])))
+    rows = []
+    for flag in sorted(by_flag):
+        vc = sorted(by_flag[flag])
+        vals = np.array([v for v, _ in vc])
+        cum = np.cumsum([c for _, c in vc])
+        n = int(cum[-1])
+
+        def order_stat(i: int) -> float:
+            return float(vals[np.searchsorted(cum, i + 1)])
+
+        def q_cont(q: float) -> float:
+            pos = q * (n - 1)
+            lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+            if lo == hi:
+                return order_stat(lo)
+            frac = pos - lo
+            return order_stat(lo) * (1 - frac) + order_stat(hi) * frac
+
+        rows.append(
+            {"l_returnflag": flag, "median_qty": q_cont(0.5), "p90_qty": q_cont(0.9), "n": n}
+        )
+    return pa.Table.from_pylist(rows)
