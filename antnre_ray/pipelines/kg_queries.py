@@ -20,7 +20,7 @@ import ray.data
 
 from ..config import PipelineConfig
 from ..sources.corpus import derive_interleaved
-from .flagship import extractions_from_documents, linked_extractions
+from .flagship import extractions_from_documents
 from .registry import register
 
 
@@ -132,13 +132,10 @@ def kg_two_hop(sf_dir: str) -> ray.data.Dataset:
             {"src": b.column("src"), "dst": b.column("dst"), "weight": b.column("weight")}
         )
 
-    edges = adj.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
-    try:
-        import ray as _ray
+    from ..config import shuffle_width
 
-        nparts = max(4, int(_ray.cluster_resources().get("CPU", 8)) // 2)
-    except Exception:
-        nparts = 8
+    edges = adj.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    nparts = shuffle_width()
     two = edges.join(
         edges,
         join_type="inner",

@@ -34,7 +34,6 @@ from ..functions.embed import embed_string, embed_strings
 from ..functions.hashing import stable_hex
 from ..functions.normalize import normalize_surfaces
 from ..functions.reference_spec import SURFACES
-from .extract import EXTRACTIONS_SCHEMA
 
 LINKED_MENTION_STRUCT = pa.struct(
     [
