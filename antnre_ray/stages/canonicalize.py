@@ -32,7 +32,6 @@ import ray.data
 
 from ..config import PipelineConfig
 from ..functions.hashing import polars_u64
-from ..functions.normalize import normalize_surfaces
 
 ENTITIES_SCHEMA = pa.schema(
     [
@@ -48,29 +47,30 @@ MAX_ALIASES = 32
 
 def preagg_batch(batch: pa.Table, salt: int = 8) -> pa.Table:
     """Phase 0 combiner: mentions → (entity_id, ent_type, surface,
-    norm_key, salt, cnt) with one row per distinct surface per batch."""
-    norm = normalize_surfaces(batch.column("surface"))
+    salt, cnt) with one row per distinct surface per batch. Node ids
+    already encode the normalized key (link.canonical_id hashes it), so
+    the normalized string itself is NOT carried through the shuffles —
+    it would widen every row for nothing."""
     t = pa.table(
         {
             "entity_id": batch.column("entity_id"),
             "ent_type": batch.column("ent_type"),
             "surface": batch.column("surface"),
-            "norm_key": norm,
         }
     )
-    g = t.group_by(["entity_id", "ent_type", "surface", "norm_key"]).aggregate([([], "count_all")])
+    g = t.group_by(["entity_id", "ent_type", "surface"]).aggregate([([], "count_all")])
     salts = (polars_u64(g.column("surface").combine_chunks()) % np.uint64(max(salt, 1))).astype(np.int32)
-    return g.rename_columns(["entity_id", "ent_type", "surface", "norm_key", "cnt"]).append_column(
+    return g.rename_columns(["entity_id", "ent_type", "surface", "cnt"]).append_column(
         "salt", pa.array(salts, pa.int32())
     )
 
 
 def _merge_counts(group: pa.Table) -> pa.Table:
     """Phase 1 partial merge: sum cnt per (entity_id, surface)."""
-    g = group.group_by(["entity_id", "ent_type", "surface", "norm_key", "salt"]).aggregate(
+    g = group.group_by(["entity_id", "ent_type", "surface", "salt"]).aggregate(
         [("cnt", "sum")]
     )
-    return g.rename_columns(["entity_id", "ent_type", "surface", "norm_key", "salt", "cnt"])
+    return g.rename_columns(["entity_id", "ent_type", "surface", "salt", "cnt"])
 
 
 def _finalize(group: pa.Table) -> pa.Table:

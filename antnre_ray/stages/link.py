@@ -65,7 +65,15 @@ def canonical_id(norm_key: str, ent_type: str) -> str:
 
 def build_linker_state() -> LinkerState:
     """Deterministic KB from the reference-spec surface inventory: one
-    entity per (type, surface), aliases = surface + case/punct variants."""
+    entity per (type, surface).
+
+    Alias keys AND entity embeddings are built from the NORMALIZED form:
+    normalization itself is what makes case/punctuation variants hit
+    (one key per surface — enumerating variants that all normalize to
+    the same string would be dead work), and embedding the normalized
+    form guarantees an exact re-surfaced mention scores cosine 1.0
+    regardless of the KB surface's original casing/punctuation (queries
+    embed normalized strings in ``_link_one``)."""
     alias: dict[str, tuple[str, str, float]] = {}
     ids: list[str] = []
     types: list[str] = []
@@ -73,12 +81,11 @@ def build_linker_state() -> LinkerState:
     for etype, surfaces in SURFACES.items():
         for s in surfaces:
             eid = "e:" + stable_hex(f"{etype}|{s}")
+            norm = _norm_one(s)
             ids.append(eid)
             types.append(etype)
-            forms.append(s)
-            for variant in (s, s.title(), s.upper(), s.replace(" ", ", ")):
-                norm = _norm_one(variant)
-                alias.setdefault(norm, (eid, etype, 1.0))
+            forms.append(norm)
+            alias.setdefault(norm, (eid, etype, 1.0))
     return LinkerState(alias=alias, entity_ids=ids, entity_types=types, emb=embed_strings(forms))
 
 
@@ -96,6 +103,13 @@ class LinkerActor:
         self.state: LinkerState = state
         self.threshold = threshold
         self._cache: dict[tuple[str, str], tuple[str, float]] = {}
+        # Per-type candidate index: the kNN must rank WITHIN the
+        # mention's type — a global argmax would let a wrong-type top-1
+        # veto linking even when a same-type entity clears the threshold.
+        idx: dict[str, list[int]] = {}
+        for i, t in enumerate(state.entity_types):
+            idx.setdefault(t, []).append(i)
+        self._type_idx = {t: np.asarray(v, dtype=np.int64) for t, v in idx.items()}
 
     def _link_one(self, norm: str, etype: str) -> tuple[str, float]:
         key = (norm, etype)
@@ -108,13 +122,14 @@ class LinkerActor:
         if a is not None and a[1] == etype:
             out = (a[0], float(a[2]))
         else:
-            q = embed_string(norm)
-            sims = st.emb @ q
-            best = int(np.argmax(sims)) if len(sims) else -1
-            if best >= 0 and float(sims[best]) >= self.threshold and st.entity_types[best] == etype:
-                out = (st.entity_ids[best], float(sims[best]))
-            else:
-                out = (canonical_id(norm, etype), 0.0)
+            cand = self._type_idx.get(etype)
+            out = (canonical_id(norm, etype), 0.0)
+            if cand is not None and len(cand):
+                q = embed_string(norm)
+                sims = st.emb[cand] @ q
+                best = int(np.argmax(sims))
+                if float(sims[best]) >= self.threshold:
+                    out = (st.entity_ids[int(cand[best])], float(sims[best]))
         if len(self._cache) < 200_000:
             self._cache[key] = out
         return out

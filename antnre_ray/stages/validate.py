@@ -80,6 +80,17 @@ def _row_violations(batch: pa.Table) -> np.ndarray:
         reasons[null_mask] = "null_doc_id"
     spans = batch.column("spans").combine_chunks()
     flat = spans.flatten()
+    # A text span with NULL text would crash assemble's join downstream —
+    # row-level violation, not a schema problem.
+    if len(flat):
+        is_text = pc.equal(flat.field("kind"), "text")
+        null_text = pc.and_(is_text, pc.is_null(flat.field("text")))
+        if pc.any(null_text).as_py():
+            row_off = spans.offsets.to_numpy(zero_copy_only=False)
+            bad_pos = np.nonzero(null_text.to_numpy(zero_copy_only=False))[0]
+            for r in np.unique(np.searchsorted(row_off, bad_pos, side="right") - 1):
+                if reasons[r] is None:
+                    reasons[r] = "null_text_span"
     if len(flat):
         off = flat.field("offset").to_numpy(zero_copy_only=False)
         row_off = spans.offsets.to_numpy(zero_copy_only=False)

@@ -154,6 +154,27 @@ def partition_fingerprint(doc_ids: list[str]) -> str:
     return sha256_of_sorted(doc_ids)
 
 
+def _cfg_digest(cfg: PipelineConfig) -> str:
+    """Digest of every config knob that changes STAGE OUTPUTS. Folded
+    into the resume fingerprints so a rerun with a different seed /
+    linking threshold / salt re-extracts instead of silently serving
+    checkpoints computed under the old config."""
+    import hashlib
+
+    key = "|".join(
+        str(x)
+        for x in (
+            cfg.seed,
+            cfg.max_mentions_per_sentence,
+            cfg.link_threshold,
+            cfg.salt,
+            cfg.partitions,
+            cfg.max_docs_per_edge,
+        )
+    )
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
 def run_flagship_resumable(
     corpus_factory,
     out_dir: str,
@@ -193,10 +214,11 @@ def run_flagship_resumable(
             ["doc_id", "part_id"]
         )
         ids_tbl = pa.concat_tables(ray.get(ids_ds.to_arrow_refs()), promote_options="default")
+    cfgd = _cfg_digest(cfg)
     fps: dict[int, str] = {}
     for p in range(cfg.partitions):
         mask = pc.equal(ids_tbl.column("part_id"), p)
-        fps[p] = partition_fingerprint(ids_tbl.filter(mask).column("doc_id").to_pylist())
+        fps[p] = partition_fingerprint(ids_tbl.filter(mask).column("doc_id").to_pylist()) + f"|{cfgd}"
     corpus_fp = sha256_of_sorted(f"{p}:{fp}" for p, fp in fps.items())
     corpus_dir = os.path.join(out_dir, "corpus")
     ingest_rec = manifest.get("ingest", 0)
@@ -226,14 +248,28 @@ def run_flagship_resumable(
     except Exception:
         _cpus = 8
 
+    stage_dir_root = os.path.join(out_dir, STAGE_EXTRACT)
+    # Stale-shard hygiene: extract dirs from a previous run whose
+    # partition id is outside the CURRENT cfg.partitions (e.g. the
+    # partition count shrank) would otherwise be globbed into the graph
+    # stage alongside live ones — delete them up front.
+    if os.path.isdir(stage_dir_root):
+        live = {f"part_id={p}" for p in range(cfg.partitions)}
+        for d in os.listdir(stage_dir_root):
+            if d.startswith("part_id=") and d not in live:
+                shutil.rmtree(os.path.join(stage_dir_root, d), ignore_errors=True)
+
     todo: list[int] = []
     for p in range(cfg.partitions):
         rec = manifest.get(STAGE_EXTRACT, p)
-        part_dir = os.path.join(out_dir, STAGE_EXTRACT, f"part_id={p}")
+        part_dir = os.path.join(stage_dir_root, f"part_id={p}")
         has_corpus = os.path.exists(os.path.join(corpus_dir, f"part_id={p}"))
         if rec and rec.status == "done" and rec.input_fingerprint == fps[p] and os.path.exists(part_dir):
             skipped.append(p)
         elif not has_corpus:  # empty partition: nothing to extract
+            # Clear any previous run's output for this now-empty shard —
+            # the graph stage reads the whole extract tree.
+            shutil.rmtree(part_dir, ignore_errors=True)
             manifest.put(ManifestRecord(p, STAGE_EXTRACT, fps[p], 0, 0, "done", "{}", 0.0))
             processed.append(p)
         else:
@@ -310,6 +346,9 @@ def run_flagship_resumable(
                     shutil.rmtree(dst_dir)
                 os.replace(src_dir, dst_dir)
             else:
+                # Zero-output re-extract: CLEAR any previous run's files —
+                # an empty marker dir must not leave stale rows behind.
+                shutil.rmtree(dst_dir, ignore_errors=True)
                 os.makedirs(dst_dir, exist_ok=True)
             manifest.put(
                 ManifestRecord(
@@ -328,14 +367,15 @@ def run_flagship_resumable(
     if todo:
         # Wave size: all pending partitions by default (one pool). At
         # cluster scale cap via GRAFT_WAVE_PARTS so a wave's output fits
-        # the checkpoint cadence you want.
-        wave_parts = int(os.environ.get("GRAFT_WAVE_PARTS", str(len(todo))))
-        for i in range(0, len(todo), max(wave_parts, 1)):
+        # the checkpoint cadence you want. Clamped to ≥1 so 0/negative
+        # values mean "one wave", not an empty-slice crash.
+        wave_parts = max(1, int(os.environ.get("GRAFT_WAVE_PARTS", str(len(todo)))))
+        for i in range(0, len(todo), wave_parts):
             _extract_wave(todo[i : i + wave_parts])
         processed.extend(todo)
 
     # ---- global graph stage (canonicalize + materialize) -------------
-    combined_fp = sha256_of_sorted(f"{p}:{fp}" for p, fp in fps.items())
+    combined_fp = corpus_fp  # same sorted hash over fps — one source of truth
     graph_rec = manifest.get(STAGE_GRAPH, 0)
     ents_dir = os.path.join(out_dir, "entities")
     adj_dir = os.path.join(out_dir, "adjacency")
@@ -348,24 +388,48 @@ def run_flagship_resumable(
         and os.path.exists(adj_dir)
     ):
         t0 = time.time()
-        linked_all = ray.data.read_parquet(os.path.join(out_dir, STAGE_EXTRACT))
-        # Materialize the (small) exploded triples once: the lazy plan
-        # would otherwise re-read + re-explode the extract parquet for
-        # the adjacency write AND a third time for the count. Mentions
-        # stay lazy (one consumer). The two graph writes are independent
-        # pipelines — run them on two threads so canonicalize's shuffle
-        # and materialize's sort share the cluster instead of running
-        # back-to-back (measured: graph stage 5.8 s → ~3.5 s at 32 CPUs).
-        triples = triples_table(linked_all).materialize()
-        mentions = mentions_table(linked_all)
-        from concurrent.futures import ThreadPoolExecutor
+        # Explicit file list over the CURRENT run's partitions only —
+        # never a whole-tree glob that could pick up shards this run
+        # does not own (belt to the stale-dir cleanup's braces).
+        extract_files: list[str] = []
+        for p in range(cfg.partitions):
+            d = os.path.join(out_dir, STAGE_EXTRACT, f"part_id={p}")
+            if os.path.isdir(d):
+                extract_files.extend(
+                    os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+                )
+        if not extract_files:
+            # Legitimately empty corpus: land empty, correctly-schema'd
+            # outputs instead of crashing on a missing read path.
+            import pyarrow.parquet as _pq
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_ents = pool.submit(_atomic_write, canonicalize(mentions, cfg), ents_dir)
-            f_adj = pool.submit(_atomic_write, materialize_graph(triples, cfg), adj_dir)
-            ents_n = f_ents.result()
-            adj_n = f_adj.result()
-        trip_n = triples.count()
+            from ..stages.canonicalize import ENTITIES_SCHEMA
+            from ..stages.materialize import ADJACENCY_SCHEMA
+
+            for d, schema in ((ents_dir, ENTITIES_SCHEMA), (adj_dir, ADJACENCY_SCHEMA)):
+                shutil.rmtree(d, ignore_errors=True)
+                os.makedirs(d, exist_ok=True)
+                _pq.write_table(schema.empty_table(), os.path.join(d, "empty.parquet"))
+            ents_n = adj_n = trip_n = 0
+        else:
+            linked_all = ray.data.read_parquet(extract_files)
+            # Materialize the (small) exploded triples once: the lazy plan
+            # would otherwise re-read + re-explode the extract parquet for
+            # the adjacency write AND a third time for the count. Mentions
+            # stay lazy (one consumer). The two graph writes are independent
+            # pipelines — run them on two threads so canonicalize's shuffle
+            # and materialize's sort share the cluster instead of running
+            # back-to-back (measured: graph stage 5.8 s → ~3.5 s at 32 CPUs).
+            triples = triples_table(linked_all).materialize()
+            mentions = mentions_table(linked_all)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_ents = pool.submit(_atomic_write, canonicalize(mentions, cfg), ents_dir)
+                f_adj = pool.submit(_atomic_write, materialize_graph(triples, cfg), adj_dir)
+                ents_n = f_ents.result()
+                adj_n = f_adj.result()
+            trip_n = triples.count()
         manifest.put(
             ManifestRecord(
                 partition_id=0,

@@ -151,3 +151,28 @@ def test_incremental_adjacency_equals_full_rebuild(sf001):
         ray.get(kg_adjacency(sf001).to_arrow_refs()), promote_options="default"
     )
     assert sorted(map(str, inc.to_pylist())) == sorted(map(str, full.to_pylist()))
+
+
+def test_linker_knn_ranks_within_type():
+    """A wrong-type entity that is globally nearest must NOT veto a
+    same-type entity above threshold (type mask applies BEFORE argmax)."""
+    import numpy as np
+
+    from antnre_ray.functions.embed import embed_strings
+    from antnre_ray.stages.link import LinkerActor, LinkerState
+
+    # 'paris' (Loc) is the global top-1 for query 'pariss h'; the Peop
+    # entity 'pariss hh' is the right-type match above threshold.
+    forms = ["pariss h", "pariss hh"]
+    state = LinkerState(
+        alias={},
+        entity_ids=["e:loc", "e:peop"],
+        entity_types=["Loc", "Peop"],
+        emb=embed_strings(forms),
+    )
+    actor = LinkerActor(state, threshold=0.5)
+    eid, score = actor._link_one("pariss h", "Peop")
+    assert eid == "e:peop" and score >= 0.5, (eid, score)
+    # and the Loc query still gets the Loc entity (exact, cosine 1.0)
+    eid2, score2 = actor._link_one("pariss h", "Loc")
+    assert eid2 == "e:loc" and score2 > 0.99

@@ -84,6 +84,33 @@ def test_validate_quarantine_mode(tmp_path):
     q = pq.read_table(str(qfiles[0]))
     assert q.column("doc_id").to_pylist() == ["bad1"]
     assert q.column("reason").to_pylist() == ["decreasing_offsets"]
+    # Idempotent retry: same batch → same file name, still one file.
+    validate_batch(batch, quarantine_dir=qdir)
+    assert list((tmp_path / "quarantine").glob("*.parquet")) == qfiles
+    # A text span with NULL text (would crash assemble's join) is a
+    # row-level violation too.
+    nulltext = pa.table(
+        {
+            "doc_id": pa.array(["nt"]),
+            "spans": pa.array(
+                [[{"kind": "text", "text": None, "media_ref": "", "offset": 0}]],
+                pa.list_(
+                    pa.struct(
+                        [("kind", pa.string()), ("text", pa.string()),
+                         ("media_ref", pa.string()), ("offset", pa.int32())]
+                    )
+                ),
+            ),
+        }
+    )
+    with pytest.raises(SchemaError):
+        validate_batch(nulltext)
+    out2 = validate_batch(pa.concat_tables([good, nulltext]), quarantine_dir=qdir)
+    assert out2.column("doc_id").to_pylist() == ["g1", "g2"]
+    reasons = set()
+    for f in (tmp_path / "quarantine").glob("*.parquet"):
+        reasons.update(pq.read_table(str(f)).column("reason").to_pylist())
+    assert "null_text_span" in reasons
 
 
 def test_span_sequence_invariant_through_stages():

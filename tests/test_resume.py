@@ -82,3 +82,27 @@ def test_resume_detects_changed_input(tmp_path, tiny_corpus):
     r = run_flagship_resumable(lambda: ray.data.from_arrow(docs2), out, cfg)
     assert r["processed_partitions"], "changed fingerprints must trigger recompute"
     assert r["graph_ran"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_invalidates_on_config_change(tmp_path, tiny_corpus):
+    """Changing an output-affecting config knob (link_threshold here)
+    must re-run the partitions — a checkpoint computed under the old
+    config is stale even when the input doc set is identical."""
+    import ray.data
+
+    from antnre_ray.config import PipelineConfig
+    from antnre_ray.state.lineage import run_flagship_resumable
+
+    docs, _ = tiny_corpus
+    out = str(tmp_path / "run")
+    run_flagship_resumable(lambda: ray.data.from_arrow(docs), out, PipelineConfig(partitions=2))
+    # identical input + identical config → all skipped
+    r_same = run_flagship_resumable(
+        lambda: ray.data.from_arrow(docs), out, PipelineConfig(partitions=2)
+    )
+    assert not r_same["processed_partitions"] and not r_same["graph_ran"]
+    # identical input, different linking threshold → everything re-runs
+    cfg2 = PipelineConfig(partitions=2, link_threshold=0.5)
+    r_diff = run_flagship_resumable(lambda: ray.data.from_arrow(docs), out, cfg2)
+    assert r_diff["processed_partitions"] and r_diff["graph_ran"]
