@@ -19,8 +19,15 @@ DIM = 64
 
 
 def embed_string(s: str, dim: int = DIM) -> np.ndarray:
-    """Unit-norm char-trigram feature-hash vector of a (normalized) string."""
+    """Unit-norm char-trigram feature-hash vector of a (normalized)
+    string; the EMPTY string embeds to ZEROS (cosine 0 against
+    everything), so surfaces that normalize away entirely can never
+    kNN-link to anything — they fall through to their canonical
+    fallback id. (Previously '' embedded its '^^$'/'^$$' padding
+    trigrams into a live unit vector shared by every empty surface.)"""
     v = np.zeros(dim, dtype=np.float32)
+    if not s:
+        return v
     padded = f"^^{s}$$"
     for i in range(len(padded) - 2):
         u = stable_u64(padded[i : i + 3])

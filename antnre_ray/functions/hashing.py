@@ -84,29 +84,44 @@ def minhash_permute(base: np.ndarray, num_perm: int, seed: int = 42) -> np.ndarr
 
 
 def _modmul_add(a: np.ndarray, x: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(a*x + b) mod 2^61-1 without 128-bit ints: split x into hi/lo 32-bit."""
+    """(a*x + b) mod 2^61-1, EXACT, using uint64 intermediates only.
+
+    Both operands split into 32-bit halves. The cross terms need a
+    multiply by 2^32, done by SHIFT-folding — for t < 2^61:
+    t·2^32 ≡ (t >> 29) + ((t & (2^29−1)) << 32)  (mod M61), both addends
+    < 2^61 — so no intermediate ever exceeds 2^63. (A previous version
+    computed ((a_lo·x_hi) % M)·2^32 directly, which wraps at 2^64 and
+    silently broke the universal-hash family.)
+    """
     M = np.uint64(_MERSENNE_61)
-    lo = x & np.uint64(0xFFFFFFFF)
-    hi = x >> np.uint64(32)
-    # a*lo fits? a < 2^61, lo < 2^32 → product < 2^93, overflows. Reduce a mod M first, then split a too.
+    MASK29 = np.uint64((1 << 29) - 1)
+    U32 = np.uint64(0xFFFFFFFF)
+
+    def fold(v: np.ndarray) -> np.ndarray:
+        # v < 2^64 → congruent value < M (two steps: fold then clamp).
+        v = (v >> np.uint64(61)) + (v & M)
+        return np.where(v >= M, v - M, v)
+
     a = a % M
-    a_lo = a & np.uint64(0xFFFFFFFF)
-    a_hi = a >> np.uint64(32)
-    # a*x mod M = (a_lo*lo + 2^32*(a_lo*hi + a_hi*lo) + 2^64*a_hi*hi) mod M
-    # 2^32 mod M and 2^64 mod M are small constants.
-    P32 = np.uint64((1 << 32) % _MERSENNE_61)
-    P64 = np.uint64((1 << 64) % _MERSENNE_61)
-    t0 = (a_lo * lo) % M          # < 2^64, no overflow (each < 2^32)
-    t1 = ((a_lo * hi) % M * P32) % M
-    t2 = ((a_hi * lo) % M * P32) % M
-    t3 = ((a_hi * hi) % M * P64) % M
-    return (t0 + t1 + t2 + t3 + b % M) % M
+    x = x % M
+    a_lo, a_hi = a & U32, a >> np.uint64(32)  # a_hi < 2^29
+    x_lo, x_hi = x & U32, x >> np.uint64(32)  # x_hi < 2^29
+    t_lo = fold(a_lo * x_lo)                       # product < 2^64
+    t_hi = fold((a_hi * x_hi) << np.uint64(3))     # < 2^58, ·8 = ·2^64 mod M
+    mid = fold(a_hi * x_lo + a_lo * x_hi)          # < 2^62 before fold
+    mid = fold((mid >> np.uint64(29)) + ((mid & MASK29) << np.uint64(32)))  # ·2^32
+    return fold(t_lo + t_hi + mid + b % M)         # sum < 4·M < 2^63
 
 
 def sha256_of_sorted(items: Iterable[str]) -> str:
-    """Order-insensitive content fingerprint (lineage manifests, A21)."""
+    """Order-insensitive content fingerprint (lineage manifests, A21).
+
+    Each item is LENGTH-PREFIXED before hashing: a separator-only scheme
+    is not injective (['a\\x00b'] would collide with ['a','b']), and an
+    ambiguous lineage fingerprint could mark stale work as done."""
     h = hashlib.sha256()
     for it in sorted(items):
-        h.update(it.encode("utf-8", "surrogatepass"))
-        h.update(b"\x00")
+        b = it.encode("utf-8", "surrogatepass")
+        h.update(len(b).to_bytes(4, "little"))
+        h.update(b)
     return h.hexdigest()

@@ -17,8 +17,16 @@ def normalize_surfaces(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.Chunked
     """Vectorized normalization of a string array → canonicalization keys."""
     x = pc.utf8_normalize(arr, form="NFKC")
     x = pc.utf8_lower(x)
-    # Strip everything that is not word-char or whitespace, then collapse.
-    x = pc.replace_substring_regex(x, pattern=r"[^\w\s]+", replacement=" ")
+    # Strip everything that is not a Unicode letter/mark/digit or
+    # whitespace, then collapse. RE2's \w is ASCII-ONLY — using it here
+    # mangled every non-Latin surface ('Müller' → 'mu ller', '日本' → ''),
+    # conflating all same-type CJK/accented entities onto one empty-key
+    # fallback id. \p{M} (combining marks) must be kept too: THIS
+    # pyarrow's utf8_normalize emits decomposed output for every form,
+    # so accented letters arrive as base + combining mark. Keys are
+    # therefore consistently decomposed — fine, both the KB and the
+    # mentions go through this same function.
+    x = pc.replace_substring_regex(x, pattern=r"[^\p{L}\p{M}\p{N}\s]+", replacement=" ")
     x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
     x = pc.utf8_trim_whitespace(x)
     return x

@@ -57,7 +57,12 @@ def quality_stats(texts: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
     n_digit = count_re(r"[0-9]")
     n_upper = count_re(r"[A-Z]")
     n_alpha = count_re(r"[A-Za-z]")
-    trimmed = pc.utf8_trim_whitespace(texts)
+    # Regex trim, NOT utf8_trim_whitespace: the Arrow kernel trims all
+    # Unicode whitespace while the DuckDB oracle's trim() strips spaces
+    # only — texts with leading tabs/newlines then disagree on token
+    # count. Both engines use RE2, so an explicit ^\s+|\s+$ replace is
+    # semantics-identical on BOTH sides (oracle updated to match).
+    trimmed = pc.replace_substring_regex(texts, pattern=r"^\s+|\s+$", replacement="")
     n_ws_tokens = pc.add(
         pc.cast(pc.count_substring_regex(trimmed, r"\s+"), pa.int64()), pa.scalar(1, pa.int64())
     )

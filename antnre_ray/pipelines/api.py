@@ -67,18 +67,24 @@ class Step:
             kwargs["num_cpus"] = self.num_cpus
         if self.num_gpus is not None:
             kwargs["num_gpus"] = self.num_gpus
+        # map_batches supports every combination: actors take
+        # fn_constructor_kwargs AND per-call fn_kwargs; stateless fns can
+        # carry a concurrency cap. Forward whatever the user configured
+        # rather than silently dropping it.
         if self.is_actor:
             kwargs["concurrency"] = self.concurrency or (1, 4)
             if self.fn_constructor_kwargs:
                 kwargs["fn_constructor_kwargs"] = self.fn_constructor_kwargs
-        elif self.fn_kwargs:
+        elif self.concurrency is not None:
+            kwargs["concurrency"] = self.concurrency
+        if self.fn_kwargs:
             kwargs["fn_kwargs"] = self.fn_kwargs
         return ds.map_batches(self.fn, **kwargs)
 
     def apply_local(self, batch: pa.Table) -> pa.Table:
         if self.is_actor:
             inst = self.fn(**self.fn_constructor_kwargs)
-            return inst(batch)
+            return inst(batch, **self.fn_kwargs)
         return self.fn(batch, **self.fn_kwargs)
 
 

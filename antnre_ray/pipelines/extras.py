@@ -141,8 +141,9 @@ def dedup_embedding_pairs(sf_dir: str) -> ray.data.Dataset:
     "text_stats",
     """SELECT doc_id,
               length(text) AS n_chars,
-              CASE WHEN length(trim(text)) = 0 THEN 0
-                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens,
+              CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                   ELSE len(string_split_regex(
+                            regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_ws_tokens,
               length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct,
               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
               length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,

@@ -26,6 +26,17 @@ from ..functions.hashing import stable_u64
 MEDIA_FEATURE_DIM = 8
 
 
+def _fake_feature(key: str) -> np.ndarray:
+    """THE deterministic fake-decode feature recipe — one definition so
+    per-ref features (MediaFeatureActor) and per-frame features
+    (frame_sample_batch) cannot drift apart."""
+    u = stable_u64(key)
+    rng = np.random.default_rng(u % (2**32))
+    f = rng.standard_normal(MEDIA_FEATURE_DIM).astype(np.float32)
+    f /= max(float(np.linalg.norm(f)), 1e-12)
+    return f
+
+
 def media_refs_batch(batch: pa.Table) -> pa.Table:
     """documents → exploded (doc_id, span_idx, kind, media_ref) rows for
     every non-text span. Pure Arrow flatten+filter."""
@@ -80,10 +91,7 @@ class MediaFeatureActor:
             w, h = 24 + (u >> 8) % 240, 24
         else:  # audio: "width" = sample rate, "height" = seconds
             w, h = 16000, 1 + (u >> 16) % 120
-        rng = np.random.default_rng(u % (2**32))
-        feat = rng.standard_normal(MEDIA_FEATURE_DIM).astype(np.float32)
-        feat /= max(float(np.linalg.norm(feat)), 1e-12)
-        return int(w), int(h), feat
+        return int(w), int(h), _fake_feature(ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch.column("kind").to_pylist()
@@ -144,10 +152,7 @@ def frame_sample_batch(batch: pa.Table, every_n: int = 24, max_frames: int = 8) 
         if kind != "video":
             continue
         for fi in list(range(0, int(nframes), every_n))[:max_frames]:
-            u = stable_u64(f"{ref}#frame{fi}")
-            rng = np.random.default_rng(u % (2**32))
-            f = rng.standard_normal(MEDIA_FEATURE_DIM).astype(np.float32)
-            f /= max(float(np.linalg.norm(f)), 1e-12)
+            f = _fake_feature(f"{ref}#frame{fi}")
             o_doc.append(doc)
             o_ref.append(ref)
             o_idx.append(fi)

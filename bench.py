@@ -8,9 +8,10 @@ set over $GRAFT_SF_DIR (default /root/testdata/sf0.1) at
 num_cpus=$RAY_GRAFT_CPUS (default 32).
 
 --scaling: run the identical flagship job in TWO FRESH PROCESSES at
-num_cpus=8 and num_cpus=32 on the same input and report both
-throughputs plus efficiency=(T32/T8)/4 — the sandbox stand-in for the
-north rule's N→4N-node criterion (BASELINE.md protocol).
+num_cpus=4 and num_cpus=16 (N and 4N on PHYSICAL cores — see
+run_scaling's docstring for why not 8/32) on the same input and report
+both throughputs plus efficiency=(T16/T4)/4 — the sandbox stand-in for
+the north rule's N→4N-node criterion (BASELINE.md protocol).
 """
 
 from __future__ import annotations
@@ -72,17 +73,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     except Exception:
         pass
 
-    from antnre_ray.pipelines.registry import load_all
-
-    queries = load_all()
     qtimes: dict[str, float] = {}
-    for name in QUERY_SET:
-        fn, _sql = queries[name]
-        t0 = time.time()
-        out = fn(sf_dir)
-        if isinstance(out, ray.data.Dataset):
-            out.count()
-        qtimes[name] = round(time.time() - t0, 3)
+    # Scaling children skip the query suite: the efficiency metric uses
+    # only the flagship numbers, so timing q01..text_stats there would
+    # roughly double --scaling wall-clock for discarded data.
+    if os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY") != "1":
+        from antnre_ray.pipelines.registry import load_all
+
+        queries = load_all()
+        for name in QUERY_SET:
+            fn, _sql = queries[name]
+            t0 = time.time()
+            out = fn(sf_dir)
+            if isinstance(out, ray.data.Dataset):
+                out.count()
+            qtimes[name] = round(time.time() - t0, 3)
     ray.shutdown()
     total = round(flagship_s + sum(qtimes.values()), 3)
     return {
@@ -114,7 +119,13 @@ def run_scaling(sf_dir: str) -> dict:
     repeat = os.environ.get("GRAFT_BENCH_REPEAT", "16")
     results = {}
     for cpus in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir, GRAFT_BENCH_REPEAT=repeat)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(cpus),
+            GRAFT_SF_DIR=sf_dir,
+            GRAFT_BENCH_REPEAT=repeat,
+            GRAFT_BENCH_FLAGSHIP_ONLY="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single-run"],
             env=env,
@@ -122,8 +133,14 @@ def run_scaling(sf_dir: str) -> dict:
             text=True,
             timeout=3600,
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            # Surface the child's actual failure instead of an IndexError.
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(
+                f"scaling child (num_cpus={cpus}) failed rc={out.returncode}; stderr above"
+            )
+        results[cpus] = json.loads(lines[-1])
     t_lo = results[lo]["triples_per_sec"]
     t_hi = results[hi]["triples_per_sec"]
     eff = round((t_hi / t_lo) / (hi / lo), 3) if t_lo else None
