@@ -142,9 +142,15 @@ def crf_viterbi(
 
 
 def viterbi_bruteforce(emissions: np.ndarray, trans: np.ndarray, start: np.ndarray, end: np.ndarray) -> list[int]:
-    """Exponential-time reference for tests: enumerate all tag paths of one
-    sentence (emissions [T, K]) and return the argmax path, ties broken by
-    lexicographically smallest path (matches lowest-index Viterbi ties)."""
+    """Exponential-time reference for tests: enumerate all tag paths of
+    one sentence (emissions [T, K]) and return the argmax path.
+
+    Tie-break matches :func:`crf_viterbi`'s actual behavior — the DP
+    resolves ties from the END backwards (final tag = lowest-index
+    argmax, then each backpointer the lowest 'from' index), i.e. among
+    tied paths the one with the lexicographically-smallest REVERSED tag
+    tuple wins. (The random-float test inputs never tie, but the
+    reference must not flake if they ever do.)"""
     T, K = emissions.shape
     best_score, best_path = -np.inf, None
     from itertools import product
@@ -154,7 +160,7 @@ def viterbi_bruteforce(emissions: np.ndarray, trans: np.ndarray, start: np.ndarr
         for t in range(1, T):
             s += trans[path[t - 1], path[t]] + emissions[t, path[t]]
         s += end[path[-1]]
-        if s > best_score:
+        if s > best_score or (s == best_score and path[::-1] < best_path[::-1]):
             best_score, best_path = s, path
     return list(best_path)
 
@@ -166,8 +172,16 @@ def biaffine_score(
     W: np.ndarray,  # [R, 2d]
     b: np.ndarray,  # [R]
 ) -> np.ndarray:
-    """Biaffine relation scores [P, R]: s^T U_r o + W_r [s;o] + b_r."""
-    bil = np.einsum("pd,rde,pe->pr", S, U, O, optimize=True)
+    """Biaffine relation scores [P, R]: s^T U_r o + W_r [s;o] + b_r.
+
+    FIXED two-step contraction (tensordot then masked sum) instead of
+    einsum(optimize=True): einsum's contraction-path choice depends on
+    the operand shapes — including P, the batch's total pair count — so
+    the same pair's score could round differently depending on what it
+    was co-batched with, violating the batching-independence rule this
+    module pins. The explicit order is shape-independent."""
+    su = np.tensordot(S, U, axes=([1], [1]))  # [P, R, e]
+    bil = (su * O[:, None, :]).sum(axis=2)
     lin = np.concatenate([S, O], axis=1) @ W.T
     return (bil + lin + b[None, :]).astype(np.float32)
 

@@ -153,7 +153,8 @@ class ModelSpec:
     W_rel: np.ndarray = None  # [R, 2d]
     b_rel: np.ndarray = None  # [R]
     tp_bias: np.ndarray = None  # [4, 4, R] type-pair bias
-    trig_bias: np.ndarray = None  # [n_triggers?] — realized per sentence
+    # (trigger biases are realized per sentence in extract_sentences —
+    # there is no per-model trigger tensor)
     seed: int = 42
 
     @property
@@ -256,6 +257,14 @@ def _token_features(
     new = [t for t in tokens if t not in cache]
     if not new:
         return
+    if len(cache) + len(new) > _MAX_TOKEN_CACHE:
+        # Evict BEFORE deciding what to compute: after a clear, every
+        # token of this call must be recomputed — clearing after the
+        # `new` split would leave the batch's already-cached tokens
+        # missing and the caller's feat_cache[tok] lookup would KeyError
+        # on exactly the large corpora the cache exists for.
+        cache.clear()
+        new = list(tokens)
     L = min(max(len(t) for t in new), 16)
     char_ids = np.zeros((len(new), max(L, 1)), dtype=np.int32)
     for k, tok in enumerate(new):
@@ -263,8 +272,6 @@ def _token_features(
             char_ids[k, p] = char_id(ch)
     feats = char_cnn(char_ids, model.char_emb, model.char_W, model.char_b)
     vocab, gaz = model.vocab, model.gazetteer
-    if len(cache) + len(new) > _MAX_TOKEN_CACHE:
-        cache.clear()
     for k, tok in enumerate(new):
         cache[tok] = (vocab.get(tok, 1), gaz.get(tok, -1), feats[k])
 

@@ -437,7 +437,7 @@ def b14_asof_join(sf_dir: str) -> ray.data.Dataset:
                 "key": pc.cast(b.column("user_id"), pa.int64()),
                 "t": b.column("ts"),
                 "event_id": b.column("event_id"),
-                "is_event": pa.array([True] * b.num_rows),
+                "is_event": pa.array([True] * b.num_rows, pa.bool_()),
             }
         )
 
@@ -447,7 +447,7 @@ def b14_asof_join(sf_dir: str) -> ray.data.Dataset:
                 "key": pc.cast(b.column("o_custkey"), pa.int64()),
                 "t": pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
                 "event_id": pa.array([0] * b.num_rows, pa.int64()),
-                "is_event": pa.array([False] * b.num_rows),
+                "is_event": pa.array([False] * b.num_rows, pa.bool_()),
             }
         )
 
@@ -635,11 +635,11 @@ def b22_union(sf_dir: str) -> ray.data.Dataset:
 
     def hi(b: pa.Table) -> pa.Table:
         b = b.filter(pc.greater(b.column("c_acctbal"), 9000))
-        return pa.table({"key": b.column("c_custkey"), "bucket": pa.array(["high"] * b.num_rows)})
+        return pa.table({"key": b.column("c_custkey"), "bucket": pa.array(["high"] * b.num_rows, pa.string())})
 
     def lo(b: pa.Table) -> pa.Table:
         b = b.filter(pc.less(b.column("c_acctbal"), -500))
-        return pa.table({"key": b.column("c_custkey"), "bucket": pa.array(["low"] * b.num_rows)})
+        return pa.table({"key": b.column("c_custkey"), "bucket": pa.array(["low"] * b.num_rows, pa.string())})
 
     return base.map_batches(hi, batch_format="pyarrow").union(base.map_batches(lo, batch_format="pyarrow"))
 
