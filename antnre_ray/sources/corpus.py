@@ -52,12 +52,9 @@ for _tmpl, _st, _ot, _pred, _trig in TEMPLATES:
         (_pre.split(), _mid.split(), _post.split(), _st, _ot, _pred)
     )
 
-_FILLERS = [
-    "the quick brown fox jumps over the lazy dog .",
-    "nothing notable happened today .",
-    "numbers rose slightly in the third quarter .",
-    "several committees reviewed the annual budget .",
-]
+# The filler inventory is the MODEL's closed-vocabulary filler list —
+# import it so the corpus can never drift out of the model vocabulary.
+from ..functions.reference_spec import FILLERS as _FILLERS  # noqa: E402
 
 
 def plant_sentence(u: int) -> tuple[str, list[tuple[int, int, str]], tuple[int, int, str]]:

@@ -440,10 +440,14 @@ def apply_drop_list(docs: ray.data.Dataset, drops: ray.data.Dataset) -> ray.data
 
 def drop_list(pairs: ray.data.Dataset) -> ray.data.Dataset:
     """Duplicate pairs → docs to DROP: the higher id of each pair (the
-    canonical survivor is the lowest id in each duplicate cluster)."""
+    canonical survivor is the lowest id in each duplicate cluster).
+    Distinct via a grouped COUNT (columnar) — a per-group map_groups
+    would pay one Python call per mostly-singleton id (the SHARDS
+    anti-pattern documented above)."""
+    from ray.data.aggregate import Count
 
     def pick(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b.column("doc_b")})
 
     dropped = pairs.map_batches(pick, batch_format="pyarrow")
-    return dropped.groupby("doc_id").map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return dropped.groupby("doc_id").aggregate(Count(alias_name="_n")).select_columns(["doc_id"])

@@ -11,6 +11,10 @@ Two plans:
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+
 import numpy as np
 import pyarrow as pa
 
@@ -92,17 +96,7 @@ def ann_lsh_topk(
     partials = pa.concat_tables(
         [ray.get(r) for r in embeddings.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()]
     )
-    d = partials.to_pydict()
-    by_q: dict[int, list[tuple[float, int]]] = {}
-    for qid, nid, cos in zip(d["query_id"], d["neighbor_id"], d["cos"]):
-        by_q.setdefault(qid, []).append((cos, nid))
-    rows = []
-    for qid in sorted(by_q):
-        for rank, (_, nid) in enumerate(sorted(by_q[qid], key=lambda t: (-t[0], t[1]))[:k], start=1):
-            rows.append({"query_id": qid, "neighbor_id": nid, "rank": rank})
-    return pa.Table.from_pylist(rows) if rows else pa.table(
-        {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64())}
-    )
+    return _merge_topk(partials, k)
 
 
 # ------------------------------------------ persisted bucket-partitioned index
@@ -214,13 +208,12 @@ def build_ann_index(
     scan-based :func:`ann_lsh_topk` plan. Idempotent: a ``_built``
     marker skips rebuilds (resumable-output rule).
     """
-    import os
-
     marker = os.path.join(index_path, "_built")
     if os.path.exists(marker) and not overwrite:
         return index_path
     planes = _hyperplanes(dim, seed)
     pw = np.int64(1) << np.arange(N_PLANES, dtype=np.int64)
+    tmp_path = f"{index_path}.tmp.{uuid.uuid4().hex[:8]}"
 
     def rows(b: pa.Table) -> pa.Table:
         emb = b.column("embedding")
@@ -250,11 +243,17 @@ def build_ann_index(
             )
         return pa.concat_tables(outs)
 
+    # Write-then-rename (the lineage pattern): appending into a live
+    # index dir would mix stale bucket files from a previous/crashed
+    # build into query results.
     embeddings.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
-        index_path, partition_cols=["bucket"]
+        tmp_path, partition_cols=["bucket"]
     )
-    with open(marker, "w") as f:
+    with open(os.path.join(tmp_path, "_built"), "w") as f:
         f.write("ok")
+    if os.path.exists(index_path):
+        shutil.rmtree(index_path)
+    os.replace(tmp_path, index_path)
     return index_path
 
 
@@ -347,20 +346,29 @@ def build_ivf_index(
     lists give a tunable recall/latency dial (``nprobe``) that the
     hyperplane-LSH index lacks; both share the read-only-hit-buckets
     query plan. Raw float32 vectors stored; idempotent via ``_built``."""
-    import os
-
     marker = os.path.join(index_path, "_built")
     if os.path.exists(marker) and not overwrite:
         return index_path
+    tmp_path = f"{index_path}.tmp.{uuid.uuid4().hex[:8]}"
     # Sample driver-side: seeded random_sample keeps the draw stable.
     n_total = embeddings.count()
     frac = min(1.0, IVF_SAMPLE / max(n_total, 1))
-    sample = embeddings.random_sample(frac, seed=seed).take_all()
+    sample = embeddings.random_sample(frac, seed=seed).take_all() if n_total else []
+    if not sample:
+        # Empty table → empty (but valid) index: zero centroids, no lists.
+        os.makedirs(tmp_path, exist_ok=True)
+        np.save(os.path.join(tmp_path, "centroids.npy"), np.zeros((0, dim)))
+        with open(os.path.join(tmp_path, "_built"), "w") as f:
+            f.write("ok")
+        if os.path.exists(index_path):
+            shutil.rmtree(index_path)
+        os.replace(tmp_path, index_path)
+        return index_path
     S = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
     Sn = _normalize(S)
     C = _kmeans(Sn, n_centroids, IVF_ITERS, seed)
-    os.makedirs(index_path, exist_ok=True)
-    np.save(os.path.join(index_path, "centroids.npy"), C)
+    os.makedirs(tmp_path, exist_ok=True)
+    np.save(os.path.join(tmp_path, "centroids.npy"), C)
     c_ref = ray.put(C)
 
     def assign(b: pa.Table, ref=c_ref) -> pa.Table:
@@ -381,10 +389,13 @@ def build_ivf_index(
         )
 
     embeddings.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
-        index_path, partition_cols=["centroid"]
+        tmp_path, partition_cols=["centroid"]
     )
-    with open(marker, "w") as f:
+    with open(os.path.join(tmp_path, "_built"), "w") as f:
         f.write("ok")
+    if os.path.exists(index_path):
+        shutil.rmtree(index_path)
+    os.replace(tmp_path, index_path)
     return index_path
 
 
@@ -462,12 +473,4 @@ def brute_force_topk(
     partials = pa.concat_tables(
         [ray.get(r) for r in embeddings.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()]
     )
-    d = partials.to_pydict()
-    by_q: dict[int, list[tuple[float, int]]] = {}
-    for qid, nid, cos in zip(d["query_id"], d["neighbor_id"], d["cos"]):
-        by_q.setdefault(qid, []).append((cos, nid))
-    rows = []
-    for qid in sorted(by_q):
-        for rank, (_, nid) in enumerate(sorted(by_q[qid], key=lambda t: (-t[0], t[1]))[:k], start=1):
-            rows.append({"query_id": qid, "neighbor_id": nid, "rank": rank})
-    return pa.Table.from_pylist(rows)
+    return _merge_topk(partials, k)

@@ -38,7 +38,12 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False)
+        # No explicit address: Ray honors RAY_ADDRESS (the `ray job
+        # submit` / multi-node path connects to the REAL cluster) and
+        # falls back to a local instance otherwise. Hard-coding
+        # address="local" here would silently bootstrap a fresh
+        # single-node Ray on the job's node and leave the cluster idle.
+        ray.init(include_dashboard=False)
 
     from antnre_ray.config import PipelineConfig
     from antnre_ray.sources.corpus import derive_interleaved, derived_doc_ids
