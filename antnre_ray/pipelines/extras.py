@@ -62,18 +62,33 @@ def planted_dup_ids(sf_dir: str) -> set[int]:
     return {i for i in ids if stable_u64(f"dup|{i}") % 3 == 0}
 
 
-_MINHASH_PAIRS_CACHE: dict[str, ray.data.Dataset] = {}
+def source_tag(sf_dir: str) -> tuple:
+    """Staleness-proof memo key: (sf_dir, size, mtime_ns) of the source
+    documents.parquet — a regenerated corpus at the same path gets a
+    fresh cache entry instead of silently serving the old results
+    (same rule as _index_tag below)."""
+    import os
+
+    try:
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        return (sf_dir, st.st_size, st.st_mtime_ns)
+    except OSError:
+        return (sf_dir, -1, -1)
+
+
+_MINHASH_PAIRS_CACHE: dict[tuple, ray.data.Dataset] = {}
 
 
 def _minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     """Memoized (materialized) minhash pair set per sf_dir: three
     registered queries (pairs, drop list, clean corpus) consume it, and
     Ray re-executes a lazy pipeline per consumer. Pairs are tiny."""
-    if sf_dir not in _MINHASH_PAIRS_CACHE:
-        _MINHASH_PAIRS_CACHE[sf_dir] = minhash_dedup_pairs(
+    key = source_tag(sf_dir)
+    if key not in _MINHASH_PAIRS_CACHE:
+        _MINHASH_PAIRS_CACHE[key] = minhash_dedup_pairs(
             documents_with_dups(sf_dir), threshold=0.5
         ).materialize()
-    return _MINHASH_PAIRS_CACHE[sf_dir]
+    return _MINHASH_PAIRS_CACHE[key]
 
 
 @register("dedup_minhash_pairs", None)
@@ -248,3 +263,72 @@ def media_frames_query(sf_dir: str) -> ray.data.Dataset:
     return frame_samples(
         media_features(media_refs(derive_interleaved(f"{sf_dir}/documents.parquet")))
     )
+
+
+@register("text_shared_passages", None)
+def text_shared_passages_query(sf_dir: str) -> ray.data.Dataset:
+    """Cross-document shared-passage pairs via winnowing fingerprints
+    (contamination detection): run over the planted-duplicate corpus so
+    every scale factor yields non-trivial pairs — the planted mutated
+    twins share most selected fingerprints, which the recall test
+    asserts (tests/test_text_analysis.py)."""
+    from ..stages.analyze import shared_passages
+
+    return shared_passages(documents_with_dups(sf_dir), min_shared=3)
+
+
+def _corrupt_batch(batch: pa.Table) -> pa.Table:
+    """Deterministically corrupt ~1/17 of derived rows, cycling through
+    the three row-level violation classes validate.py detects: null
+    doc_id, null text-span text, decreasing span offsets. Planting
+    utility for the quarantine path — row-level Python is fine here."""
+    rows = batch.to_pylist()
+    for row in rows:
+        did = row["doc_id"]
+        h = stable_u64(f"bad|{did}")
+        if h % 17 != 0:
+            continue
+        kind = h % 3
+        spans = row["spans"]
+        if kind == 0:
+            row["doc_id"] = None
+        elif kind == 1 or len(spans) < 2:
+            for sp in spans:
+                if sp["kind"] == "text":
+                    sp["text"] = None
+                    break
+        else:
+            offs = sorted((sp["offset"] for sp in spans), reverse=True)
+            for sp, o in zip(spans, offs):
+                sp["offset"] = o
+    return pa.Table.from_pylist(rows, schema=batch.schema)
+
+
+@register("quarantine_report", None)
+def quarantine_report(sf_dir: str) -> ray.data.Dataset:
+    """A2 quarantine sink end-to-end: derive the corpus, plant malformed
+    rows, validate with a quarantine_dir so violating ROWS side-write as
+    (doc_id, reason) parquet while the clean stream continues, then
+    return the quarantined rows. Deterministic: the planted set is a
+    pure function of doc_id, and the dir is wiped per run."""
+    import hashlib
+    import shutil
+
+    from ..stages.validate import validate
+
+    tag = hashlib.sha256(repr(source_tag(sf_dir)).encode()).hexdigest()[:12]
+    qdir = f"/tmp/antnre_quarantine/{tag}"
+    shutil.rmtree(qdir, ignore_errors=True)
+    corpus = derive_interleaved(f"{sf_dir}/documents.parquet").map_batches(
+        _corrupt_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    n_clean = validate(corpus, quarantine_dir=qdir).count()  # consume: writes the sink
+    import os
+
+    if not os.path.isdir(qdir):  # no violations planted (tiny corpus edge)
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.string()), "reason": pa.array([], pa.string())})
+        )
+    out = ray.data.read_parquet(qdir)
+    _ = n_clean
+    return out

@@ -16,12 +16,45 @@ def register(name: str, sql: str | None):
     return deco
 
 
-# Same-family variants whose BASE operator already has a first-class
-# entry (b04→b04b, b06→b06b, …) plus the seeded-sample rows-only check.
-# They register last so that, if the driver's correctness sweep is ever
-# budget-capped (round 1 stopped at exactly 50 entries), every DISTINCT
-# capability family still lands inside the checked prefix.
-_LATE = [
+# The driver's correctness sweep checks the FIRST 50 registry entries
+# (measured cap, rounds 1-2). _PREFIX is therefore a curated verification
+# budget, ordered by marginal evidence value:
+#   1. oracle-backed queries NEVER driver-verified (9 round-2 additions),
+#   2. new round-3 queries,
+#   3. rows-only queries never driver-run,
+#   4. oracle-backed queries verified only in round 1 (re-confirm),
+#   5. queries whose code paths changed this round (re-confirm),
+#   6. one representative per rows-only family,
+#   7. proven oracle-backed queries filling the remaining slots.
+# Everything not listed registers after the prefix, in import order —
+# all of it stays gated by tests/test_oracle_conformance.py.
+# tests/test_registry_order.py asserts no never-verified oracle query
+# can silently land past the cap again.
+SWEEP_CAP = 50
+
+_PREFIX = [
+    # 1 — oracle-backed, never driver-verified
+    "q02_top_supplier_per_nation",
+    "q07_nation_volume",
+    "q18_big_orders",
+    "q19_bracket_revenue",
+    "b15c_grouped_quantiles",
+    "b16d_rollup",
+    "b21b_stratified_sample",
+    "b31_pivot_event_types",
+    "b32_group_centroids",
+    # 2 — round-3 additions
+    "text_shared_passages",
+    "quarantine_report",
+    # 3 — rows-only, never driver-run
+    "sim_ann_ivf",
+    "dedup_clean_corpus",
+    "media_frames",
+    "kg_span_integrity",
+    "kg_components",
+    "kg_pagerank",
+    "kg_adjacency_incremental",
+    # 4 — oracle-backed, verified in round 1 only
     "b26b_sliding_window",
     "b06b_regex_extract",
     "b15b_quantiles",
@@ -31,33 +64,41 @@ _LATE = [
     "b27b_topk_per_user",
     "b10b_explode_tokens",
     "b04b_null_semantics",
-    "b21_sample",
-    "b18_approx_distinct",  # rows-only; its real signal is the pytest accuracy gate
-    # round-2 additions: all SQL-oracled, gated by the pytest oracle-
-    # conformance suite; registered late to keep the sweep prefix stable.
-    "q02_top_supplier_per_nation",
-    "q07_nation_volume",
-    "q18_big_orders",
-    "q19_bracket_revenue",
-    "b16d_rollup",
-    "b31_pivot_event_types",
-    "sim_ann_ivf",  # rows-only; recall + idempotence gated in pytest
-    "dedup_clean_corpus",  # rows-only; count identity gated in pytest
-    "media_frames",  # rows-only; determinism gated in pytest
-    "kg_span_integrity",  # rows-only; zero-violations gated in pytest
-    "kg_components",  # rows-only; union-find equality gated in pytest
-    "kg_adjacency_incremental",  # rows-only; rebuild-equality gated in pytest
-    "kg_pagerank",  # rows-only; numpy-reference equality gated in pytest
-    "b32_group_centroids",
-    "b21b_stratified_sample",
-    "b15c_grouped_quantiles",
+    # 5 — code paths changed in round 3 (shard-vectorized reducers,
+    #     vectorized linker, canonicalize rewrite)
+    "b14_asof_join",
+    "b27_sessionize",
+    "kg_entities",
+    "kg_linked_triples",
+    "kg_triples",
+    # 6 — rows-only family representatives (r02-proven)
+    "kg_eval_prf",
+    "dedup_minhash_pairs",
+    "dedup_drop_list",
+    "sim_ann_lsh",
+    "media_refs",
+    "text_analysis",
+    "b18_approx_distinct",
+    # 7 — proven oracle-backed fill
+    "text_stats",
+    "q01_pricing_summary",
+    "b11_hash_join",
+    "b12_broadcast_join",
+    "b13c_anti_join_large",
+    "b24_exact_dedup",
+    "b26_window_agg",
+    "b28_knn",
+    "b15_global_agg",
+    "b05_filter",
+    "b17_distinct",
 ]
+assert len(_PREFIX) == SWEEP_CAP, len(_PREFIX)
 
 
 def load_all() -> dict[str, tuple]:
     """Import every query-providing module (side-effect registration),
-    then order the registry: KG family → training-data extras →
-    relational core → same-family variants."""
+    then order the registry: the curated _PREFIX (the driver-checked
+    window) first, everything else after in import order."""
     from . import kg_queries  # noqa: F401
 
     try:
@@ -66,8 +107,8 @@ def load_all() -> dict[str, tuple]:
         pass
     from . import relational  # noqa: F401
 
-    ordered = {k: v for k, v in QUERIES.items() if k not in _LATE}
-    ordered.update({k: QUERIES[k] for k in _LATE if k in QUERIES})
+    ordered = {k: QUERIES[k] for k in _PREFIX if k in QUERIES}
+    ordered.update({k: v for k, v in QUERIES.items() if k not in ordered})
     QUERIES.clear()
     QUERIES.update(ordered)
     return QUERIES

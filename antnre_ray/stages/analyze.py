@@ -80,3 +80,115 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 def fingerprints(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------- shared-passage detection
+
+def _shard_fp(batch: pa.Table, shards: int) -> pa.Table:
+    fp = batch.column("fp").to_numpy(zero_copy_only=False)
+    return batch.append_column("shard", pa.array((fp % shards).astype(np.int32), pa.int32()))
+
+
+def _shard_shared_pairs(group: pa.Table, max_df: int = 32) -> pa.Table:
+    """All fingerprints of one shard, vectorized (dedup.py's SHARDS
+    pattern): sort by (fp, doc_id), detect equal-fp runs, emit cross-doc
+    pairs inside runs of >=2 distinct docs, pre-counted per shard (the
+    combiner that caps the final pair shuffle).
+
+    A fingerprint held by more than ``max_df`` distinct docs is
+    BOILERPLATE (template text, license headers): it carries no
+    pair-specific signal and alone would make the pair output quadratic
+    in corpus size, so those runs are dropped entirely — the stop-word
+    rule of contamination detection. Dropping (vs truncating) is exact
+    for the operator's semantics: twin documents always also share
+    doc-specific (low-df) fingerprints. Drops are logged per shard —
+    dedup.py's no-silent-caps rule."""
+    n = group.num_rows
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+    if n < 2:
+        return empty
+    from .dedup import _key_runs
+
+    fps = group.column("fp").to_numpy(zero_copy_only=False)
+    docs = group.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((docs, fps))
+    fps, docs = fps[order], docs[order]
+    a_parts, b_parts = [], []
+    n_boiler = 0
+    for s, e in zip(*_key_runs(fps)):
+        if e - s < 2:
+            continue
+        ids = np.unique(docs[s:e])  # one doc repeating a passage is not a pair
+        if len(ids) < 2:
+            continue
+        if len(ids) > max_df:
+            n_boiler += 1
+            continue
+        iu, ju = np.triu_indices(len(ids), k=1)
+        a_parts.append(ids[iu])
+        b_parts.append(ids[ju])
+    if n_boiler:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "shared_passages: dropped %d boilerplate fingerprints "
+            "(df > %d) in shard", n_boiler, max_df
+        )
+    if not a_parts:
+        return empty
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
+    pairs, cnt = np.unique(np.stack([a, b], axis=1), axis=0, return_counts=True)
+    return pa.table(
+        {
+            "doc_a": pa.array(pairs[:, 0], pa.int64()),
+            "doc_b": pa.array(pairs[:, 1], pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+        }
+    )
+
+
+def shared_passages(
+    ds: ray.data.Dataset, min_shared: int = 3, max_df: int = 32
+) -> ray.data.Dataset:
+    """Cross-document shared-passage pairs — the winnowing payoff for
+    contamination/boilerplate detection: (doc_a, doc_b, n_shared_fps)
+    for every ordered pair sharing >= min_shared selected fingerprints.
+
+    Scale shape: only (doc_id, fp) rows enter the shuffle (never text);
+    the fp-space groupby shards on fp % SHARDS with vectorized run
+    detection (one Python call per shard, not per fingerprint); pair
+    counts are pre-combined per shard before the final grouped Sum; a
+    fingerprint in more than ``max_df`` docs is dropped as boilerplate
+    (see :func:`_shard_shared_pairs`), which bounds the pair output at
+    ``max_df``·|fps| instead of corpus-quadratic."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import SHARDS
+
+    pairs = (
+        fingerprints(ds)
+        .map_batches(_shard_fp, batch_format="pyarrow", zero_copy_batch=True,
+                     fn_kwargs={"shards": SHARDS})
+        .groupby("shard")
+        .map_groups(
+            functools.partial(_shard_shared_pairs, max_df=max_df),
+            batch_format="pyarrow",
+        )
+    )
+    agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(Sum("cnt", alias_name="n_shared_fps"))
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater_equal(b.column("n_shared_fps"), min_shared))
+
+    return agg.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

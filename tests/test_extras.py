@@ -343,3 +343,45 @@ def test_io_facade_roundtrip(tmp_path):
     # column pruning at the read
     only_a = pa.concat_tables(ray.get(read_table(path, columns=["a"]).to_arrow_refs()))
     assert only_a.column_names == ["a"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shared_passages_recall_and_boilerplate_bound(sf001):
+    """Planted mutated twins must surface as shared-passage pairs
+    (recall >= 0.95), and the max_df boilerplate cutoff must keep the
+    pair output far below corpus-quadratic on this templated corpus."""
+    from antnre_ray.pipelines.extras import (
+        DUP_OFFSET,
+        documents_with_dups,
+        planted_dup_ids,
+    )
+    from antnre_ray.stages.analyze import shared_passages
+
+    tbl = shared_passages(documents_with_dups(sf001), min_shared=3).to_pandas()
+    pairs = set(zip(tbl["doc_a"], tbl["doc_b"]))
+    planted = planted_dup_ids(sf001)
+    found = sum(1 for i in planted if (i, i + DUP_OFFSET) in pairs)
+    assert found / len(planted) >= 0.95, f"recall {found}/{len(planted)}"
+    # ~660 docs -> ~220k unordered pairs; df-capped output must be a
+    # small fraction of that or the operator degenerated to all-pairs.
+    n_docs = 664 * 2  # base + planted upper bound
+    assert len(tbl) < 0.2 * n_docs * (n_docs - 1) / 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quarantine_report_catches_planted_violations(sf001):
+    """The A2 row-quarantine sink: planted malformed rows come back as
+    (doc_id, reason) rows covering all three violation classes, and the
+    clean stream continues (no SchemaError)."""
+    from antnre_ray.pipelines.registry import load_all
+
+    q = load_all()
+    tbl = q["quarantine_report"][0](sf001).to_pandas()
+    assert len(tbl) > 0
+    reasons = set(tbl["reason"])
+    assert reasons <= {"null_doc_id", "null_text_span", "decreasing_offsets"}
+    assert "null_doc_id" in reasons and "null_text_span" in reasons
+    # Deterministic planting: a second run returns the identical report.
+    tbl2 = q["quarantine_report"][0](sf001).to_pandas()
+    key = lambda t: sorted(zip(t["doc_id"].fillna(""), t["reason"]))  # noqa: E731
+    assert key(tbl) == key(tbl2)
