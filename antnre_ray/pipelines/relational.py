@@ -56,6 +56,16 @@ def _join_partitions() -> int:
 
 
 
+def _key_shard(key: pa.Array | pa.ChunkedArray, shards: int) -> pa.Array:
+    """key % shards as int32 — the co-shuffle column for high-cardinality
+    per-key reducers (asof, sessionize): one map_groups Python call per
+    SHARD, with vectorized equal-key run handling inside (the pattern
+    stages/dedup.py documents at its SHARDS constant)."""
+    k = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+    arr = k.to_numpy(zero_copy_only=False)
+    return pa.array((arr % shards).astype(np.int32), pa.int32())
+
+
 def _collect(ds: "ray.data.Dataset") -> pa.Table:
     """Materialize a SMALL Dataset result to one Arrow table, dropping
     the zero-column empty blocks map_groups can emit (a naive
@@ -424,17 +434,27 @@ def b13c_anti_join_large(sf_dir: str) -> ray.data.Dataset:
 )
 def b14_asof_join(sf_dir: str) -> ray.data.Dataset:
     """As-of join, a composition Ray Data lacks natively: tag both sides,
-    union, co-shuffle by key, per-key sorted merge inside map_groups.
-    Partitioning assumption: one key's rows fit one reducer (true for
-    per-user event streams; salt by time-range if a key ever outgrows it).
+    union, co-shuffle by key % SHARDS, ONE vectorized merge per shard.
+
+    Grouping by the raw key costs one Python map_groups call per user
+    (~|users| interpreter calls); grouping by the key shard instead makes
+    the call count a constant (SHARDS) and the per-shard body fully
+    vectorized: sort by (key, t, side), then a segmented running-maximum
+    of order positions gives every event its latest order at-or-before
+    its timestamp — no per-key loop at all. Partitioning assumption:
+    one SHARD's rows fit one reducer; raise SHARDS with cluster size.
     """
+    from ..stages.dedup import SHARDS
+
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
 
     def tag_events(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("user_id"), pa.int64())
         return pa.table(
             {
-                "key": pc.cast(b.column("user_id"), pa.int64()),
+                "shard": _key_shard(key, SHARDS),
+                "key": key,
                 "t": b.column("ts"),
                 "event_id": b.column("event_id"),
                 "is_event": pa.array([True] * b.num_rows, pa.bool_()),
@@ -442,9 +462,11 @@ def b14_asof_join(sf_dir: str) -> ray.data.Dataset:
         )
 
     def tag_orders(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("o_custkey"), pa.int64())
         return pa.table(
             {
-                "key": pc.cast(b.column("o_custkey"), pa.int64()),
+                "shard": _key_shard(key, SHARDS),
+                "key": key,
                 "t": pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
                 "event_id": pa.array([0] * b.num_rows, pa.int64()),
                 "is_event": pa.array([False] * b.num_rows, pa.bool_()),
@@ -455,28 +477,42 @@ def b14_asof_join(sf_dir: str) -> ray.data.Dataset:
         orders.map_batches(tag_orders, batch_format="pyarrow")
     )
 
-    def merge(group: pa.Table) -> pa.Table:
+    def merge_shard(group: pa.Table) -> pa.Table:
         t = group.column("t").combine_chunks().to_numpy(zero_copy_only=False)
         is_ev = group.column("is_event").combine_chunks().to_numpy(zero_copy_only=False)
         eid = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
-        key = group.column("key")[0].as_py()
-        # Vectorized as-of: for each event, the latest order time <= ts.
-        # searchsorted side="right" makes the match INCLUSIVE at equal
-        # timestamps, matching the oracle's `ts >= o_orderdate`.
-        order_t = np.sort(t[~is_ev])
-        ev_t = t[is_ev]
-        idx = np.searchsorted(order_t, ev_t, side="right") - 1
-        keep = idx >= 0
-        matched = order_t[idx[keep]]
+        key = group.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "matched_date": pa.array([], pa.timestamp("us")),
+                }
+            )
+        # Sort by (key, t, orders-before-events): at equal timestamps the
+        # order precedes the event, making the match INCLUSIVE — the
+        # oracle's `ts >= o_orderdate`.
+        order = np.lexsort((is_ev, t, key))
+        t, is_ev, eid, key = t[order], is_ev[order], eid[order], key[order]
+        starts = np.nonzero(np.r_[True, key[1:] != key[:-1]])[0]
+        run_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+        # Latest order position at-or-before each row; valid only if it
+        # falls inside the row's own key run.
+        cand = np.maximum.accumulate(np.where(~is_ev, np.arange(n), -1))
+        hit = is_ev & (cand >= run_start)
         return pa.table(
             {
-                "event_id": pa.array(eid[is_ev][keep], pa.int64()),
-                "user_id": pa.array(np.full(int(keep.sum()), key, dtype=np.int64), pa.int64()),
-                "matched_date": pa.array(matched.astype("datetime64[us]"), pa.timestamp("us")),
+                "event_id": pa.array(eid[hit], pa.int64()),
+                "user_id": pa.array(key[hit], pa.int64()),
+                "matched_date": pa.array(
+                    t[cand[hit]].astype("datetime64[us]"), pa.timestamp("us")
+                ),
             }
         )
 
-    return both.groupby("key").map_groups(merge, batch_format="pyarrow")
+    return both.groupby("shard").map_groups(merge_shard, batch_format="pyarrow")
 
 
 # --------------------------------------------------- B15 global aggregate
@@ -751,40 +787,60 @@ def b26_window_agg(sf_dir: str) -> ray.data.Dataset:
        FROM sess GROUP BY user_id, session_id""",
 )
 def b27_sessionize(sf_dir: str) -> ray.data.Dataset:
-    """Gap-based sessionization (30 min): order-sensitive only WITHIN a
-    user group, which map_groups provides after the key shuffle."""
+    """Gap-based sessionization (30 min), sharded: co-shuffle on
+    user_id % SHARDS, then ONE vectorized pass per shard — sort by
+    (user, ts), session boundaries where the user changes or the gap
+    exceeds 30 min, per-session stats via run offsets. No per-user
+    Python call (the raw-key groupby paid ~|users| interpreter calls)."""
+    from ..stages.dedup import SHARDS
+
     gap = np.timedelta64(30, "m")
 
-    def sessions(group: pa.Table) -> pa.Table:
+    def add_shard(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("user_id"), pa.int64())
+        return pa.table(
+            {"shard": _key_shard(key, SHARDS), "user_id": key, "ts": b.column("ts")}
+        )
+
+    def sessions_shard(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
         ts = group.column("ts").combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.argsort(ts, kind="stable")
-        ts = ts[order]
-        new = np.ones(len(ts), dtype=bool)
-        if len(ts) > 1:
-            new[1:] = (ts[1:] - ts[:-1]) > gap
-        sid = np.cumsum(new) - 1
-        uid = group.column("user_id")[0].as_py()
-        starts, ends, counts, sids = [], [], [], []
-        for s in np.unique(sid):
-            m = sid == s
-            sids.append(int(s))
-            counts.append(int(m.sum()))
-            starts.append(ts[m].min())
-            ends.append(ts[m].max())
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.timestamp("us")),
+                    "session_end": pa.array([], pa.timestamp("us")),
+                }
+            )
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap)
+        starts = np.nonzero(new)[0]
+        ends = np.r_[starts[1:], n]
+        users = uid[starts]
+        # session_id = index of the session within its user block.
+        ufirst = np.nonzero(np.r_[True, users[1:] != users[:-1]])[0]
+        sid = np.arange(len(starts)) - np.repeat(ufirst, np.diff(np.r_[ufirst, len(starts)]))
         return pa.table(
             {
-                "user_id": pa.array([uid] * len(sids), pa.int64()),
-                "session_id": pa.array(sids, pa.int64()),
-                "n_events": pa.array(counts, pa.int64()),
-                "session_start": pa.array(starts, pa.timestamp("us")),
-                "session_end": pa.array(ends, pa.timestamp("us")),
+                "user_id": pa.array(users, pa.int64()),
+                "session_id": pa.array(sid, pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "session_start": pa.array(ts[starts].astype("datetime64[us]"), pa.timestamp("us")),
+                "session_end": pa.array(ts[ends - 1].astype("datetime64[us]"), pa.timestamp("us")),
             }
         )
 
     return (
         _read(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pyarrow")
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(sessions_shard, batch_format="pyarrow")
     )
 
 

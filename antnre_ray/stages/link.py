@@ -112,26 +112,48 @@ class LinkerActor:
         self._type_idx = {t: np.asarray(v, dtype=np.int64) for t, v in idx.items()}
 
     def _link_one(self, norm: str, etype: str) -> tuple[str, float]:
-        key = (norm, etype)
-        hit = self._cache.get(key)
-        if hit is not None:
-            return hit
+        """Single-mention reference path (tests); batches go through the
+        vectorized ``_link_unique`` instead."""
+        out = self._link_unique([norm], [etype])
+        return out[0]
+
+    def _link_unique(self, norms: list[str], types: list[str]) -> list[tuple[str, float]]:
+        """Link UNIQUE (norm, etype) pairs: memo-cache and alias-dict
+        hits resolve per unique key (cheap — unique count ≪ mention
+        count on head-heavy corpora), and all remaining misses of a type
+        score in ONE [misses, dim] × [dim, candidates] matmul instead of
+        a gemv per mention (VERDICT r2 item #4)."""
         st = self.state
-        out: tuple[str, float]
-        a = st.alias.get(norm)
-        if a is not None and a[1] == etype:
-            out = (a[0], float(a[2]))
-        else:
+        out: list = [None] * len(norms)
+        miss_by_type: dict[str, list[int]] = {}
+        for j, (norm, etype) in enumerate(zip(norms, types)):
+            hit = self._cache.get((norm, etype))
+            if hit is not None:
+                out[j] = hit
+                continue
+            a = st.alias.get(norm)
+            if a is not None and a[1] == etype:
+                out[j] = (a[0], float(a[2]))
+            else:
+                miss_by_type.setdefault(etype, []).append(j)
+        for etype, idxs in miss_by_type.items():
             cand = self._type_idx.get(etype)
-            out = (canonical_id(norm, etype), 0.0)
-            if cand is not None and len(cand):
-                q = embed_string(norm)
-                sims = st.emb[cand] @ q
-                best = int(np.argmax(sims))
-                if float(sims[best]) >= self.threshold:
-                    out = (st.entity_ids[int(cand[best])], float(sims[best]))
+            if cand is None or not len(cand):
+                for j in idxs:
+                    out[j] = (canonical_id(norms[j], etype), 0.0)
+                continue
+            Q = embed_strings([norms[j] for j in idxs])
+            sims = Q @ st.emb[cand].T  # [misses, candidates]
+            best = np.argmax(sims, axis=1)
+            best_sim = sims[np.arange(len(idxs)), best]
+            for j, b, s in zip(idxs, best, best_sim):
+                if float(s) >= self.threshold:
+                    out[j] = (st.entity_ids[int(cand[int(b)])], float(s))
+                else:
+                    out[j] = (canonical_id(norms[j], etype), 0.0)
         if len(self._cache) < 200_000:
-            self._cache[key] = out
+            for j, (norm, etype) in enumerate(zip(norms, types)):
+                self._cache[(norm, etype)] = out[j]
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -140,14 +162,23 @@ class LinkerActor:
             ments = ments.combine_chunks()
         flat = ments.flatten()
         surfaces = flat.field("surface")
-        types = flat.field("ent_type").to_pylist()
-        norms = normalize_surfaces(surfaces).to_pylist()
-        eids: list[str] = []
-        scores: list[float] = []
-        for norm, etype in zip(norms, types):
-            eid, sc = self._link_one(norm, etype)
-            eids.append(eid)
-            scores.append(sc)
+        types_arr = flat.field("ent_type")
+        norms_arr = normalize_surfaces(surfaces)
+        # Dedupe (norm, etype) before linking: head surfaces dominate, so
+        # the linker runs once per DISTINCT key per batch, then results
+        # scatter back by inverse index.
+        import pyarrow.compute as pc
+
+        combined = pc.binary_join_element_wise(norms_arr, types_arr, "\x1f")
+        comb = np.asarray(combined.to_pylist(), dtype=object)
+        _, first, inv = np.unique(comb, return_index=True, return_inverse=True)
+        norms_all = norms_arr.to_pylist()
+        types_all = types_arr.to_pylist()
+        resolved = self._link_unique(
+            [norms_all[i] for i in first], [types_all[i] for i in first]
+        )
+        eids = [resolved[j][0] for j in inv]
+        scores = [resolved[j][1] for j in inv]
         linked_flat = pa.StructArray.from_arrays(
             [
                 flat.field("start"),

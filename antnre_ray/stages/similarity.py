@@ -207,6 +207,15 @@ def build_ann_index(
     Raw float32 vectors are stored, so query-side scores bit-match the
     scan-based :func:`ann_lsh_topk` plan. Idempotent: a ``_built``
     marker skips rebuilds (resumable-output rule).
+
+    DEPLOYMENT CONSTRAINT: ``index_path`` must be a filesystem every
+    node sees at the same path (single node, NFS, or a FUSE-mounted
+    object store). Workers ``write_parquet`` the bucket shards while
+    the driver writes the marker and renames the tmp dir — on a
+    multi-node cluster with node-local paths the shards would land on
+    other nodes and queries would silently miss them. A pure
+    object-store backend additionally needs the rename-based
+    atomicity replaced with a manifest-file commit.
     """
     marker = os.path.join(index_path, "_built")
     if os.path.exists(marker) and not overwrite:
@@ -345,7 +354,9 @@ def build_ivf_index(
     pass and written parquet-partitioned by centroid id. The inverted
     lists give a tunable recall/latency dial (``nprobe``) that the
     hyperplane-LSH index lacks; both share the read-only-hit-buckets
-    query plan. Raw float32 vectors stored; idempotent via ``_built``."""
+    query plan. Raw float32 vectors stored; idempotent via ``_built``.
+    Same deployment constraint as :func:`build_ann_index`: index_path
+    must be visible to all nodes at the same path."""
     marker = os.path.join(index_path, "_built")
     if os.path.exists(marker) and not overwrite:
         return index_path
