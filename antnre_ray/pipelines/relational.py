@@ -1553,28 +1553,59 @@ def b23b_except(sf_dir: str) -> pa.Table:
        FROM events QUALIFY rnk <= 3""",
 )
 def b27b_topk_per_user(sf_dir: str) -> ray.data.Dataset:
-    """Windowed rank: top-3 events by value per user. Ordering lives
-    ONLY inside each group (map_groups after the key shuffle); ties
-    pinned by event_id in both engines."""
+    """Windowed rank: top-3 events by value per user, sharded: co-shuffle
+    on user_id % SHARDS, one vectorized pass per shard — sort by
+    (user, -value, event_id), keep each user run's first 3 (no per-user
+    Python call; same treatment as b14/b27). Ties pinned by event_id in
+    both engines. A per-batch top-3 combiner before the shuffle would
+    cut wire volume further at scale; at these row counts the shuffle
+    is not the bottleneck."""
+    from ..stages.dedup import SHARDS
 
-    def topk(group: pa.Table) -> pa.Table:
-        vals = np.asarray(group.column("value").to_pylist())
-        eids = np.asarray(group.column("event_id").to_pylist())
-        order = np.lexsort((eids, -vals))[:3]
-        uid = group.column("user_id")[0].as_py()
+    def add_shard(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("user_id"), pa.int64())
         return pa.table(
             {
-                "user_id": pa.array([uid] * len(order), pa.int64()),
-                "event_id": pa.array(eids[order], pa.int64()),
-                "value": pa.array(vals[order], pa.float64()),
-                "rnk": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+                "shard": _key_shard(key, SHARDS),
+                "user_id": key,
+                "event_id": b.column("event_id"),
+                "value": b.column("value"),
+            }
+        )
+
+    def topk_shard(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        vals = group.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        eids = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                    "rnk": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eids, -vals, uid))
+        uid, vals, eids = uid[order], vals[order], eids[order]
+        starts = np.nonzero(np.r_[True, uid[1:] != uid[:-1]])[0]
+        pos = np.arange(n) - np.repeat(starts, np.diff(np.r_[starts, n]))
+        keep = pos < 3
+        return pa.table(
+            {
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "event_id": pa.array(eids[keep], pa.int64()),
+                "value": pa.array(vals[keep], pa.float64()),
+                "rnk": pa.array(pos[keep] + 1, pa.int64()),
             }
         )
 
     return (
         _read(sf_dir, "events", ["user_id", "event_id", "value"])
-        .groupby("user_id")
-        .map_groups(topk, batch_format="pyarrow")
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(topk_shard, batch_format="pyarrow")
     )
 
 

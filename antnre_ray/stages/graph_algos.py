@@ -1,33 +1,49 @@
 """Iterative graph algorithms over the materialized adjacency (A19
-output): connected components via distributed min-label propagation.
+output): connected components via min-label propagation, PageRank.
 
-The shape is the canonical Pregel-on-a-Dataset loop: per iteration one
-hash join (labels → edge endpoints) and one grouped MIN — both
-key-partitioned exchanges, no driver-side graph. Labels are int64
-hashes of node ids (monotonically non-increasing under min-propagation),
-so convergence is detected from the GLOBAL label sum, which strictly
-decreases until the fixpoint — one cheap aggregate per iteration
-instead of a diff join. The per-iteration label table (one row per
-node) is materialized: it is node-scale, not edge-scale, and feeding a
-lazy 10-join lineage into iteration N would re-execute every earlier
-round per consumer.
+TWO REGIMES, chosen by node count (the broadcast-vs-shuffle join rule
+applied to iteration state):
 
-Partitioning assumption: labels and messages shuffle on node id; skewed
-high-degree nodes cost one reducer their in-degree in messages per
-iteration (pre-aggregated per batch by the combiner before the global
-MIN, so the wire cost is capped at |distinct dst per batch|).
+- ``n_nodes > SMALL_GRAPH_NODES`` — the canonical Pregel-on-a-Dataset
+  loop: per iteration one hash join (state → edge endpoints) and one
+  grouped MIN/SUM — key-partitioned exchanges, no driver-side graph.
+  The per-iteration state table (one row per node) is materialized: it
+  is node-scale, not edge-scale, and feeding a lazy 10-join lineage
+  into iteration N would re-execute every earlier round per consumer.
+  Partitioning assumption: state and messages shuffle on node id;
+  skewed high-degree nodes cost one reducer their in-degree in messages
+  per iteration (pre-aggregated per batch by the combiner before the
+  global MIN/SUM, so the wire cost is capped at |distinct dst per
+  batch|).
+
+- ``n_nodes <= SMALL_GRAPH_NODES`` — node-scale state (a few MB of
+  vectors) is BROADCAST per iteration (``ray.put`` once, read zero-copy
+  in every task) while edges stay a distributed Dataset: one
+  ``map_batches`` pass emits sparse per-batch partials (unique dst,
+  combined value) that the driver folds into the state vector. This
+  removes BOTH per-iteration Dataset joins — each join spins up an
+  aggregator actor pool whose fixed cost (~seconds) dwarfs the work on
+  graphs that are node-small even when the EDGE list is large. Same
+  results as the shuffle regime (equivalence-tested); the threshold is
+  the point where node-state no longer fits one machine.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
 from ray.data.aggregate import Min
 
 from ..functions.hashing import stable_u64_array
+
+# Below this node count, iteration state lives in driver/broadcast
+# vectors (~16 MB of int64 labels at the limit); above it, state is a
+# sharded Dataset and every exchange is a key-partitioned shuffle.
+SMALL_GRAPH_NODES = 1_000_000
 
 
 def _label_of(ids: list[str]) -> np.ndarray:
@@ -36,11 +52,156 @@ def _label_of(ids: list[str]) -> np.ndarray:
     return (stable_u64_array(ids) >> np.uint64(1)).astype(np.int64)
 
 
+def _collect(ds: ray.data.Dataset) -> pa.Table:
+    """Node-scale driver materialization (small regime only)."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def _indexed_edges(
+    E: ray.data.Dataset, nodes_arr: pa.Array, ucol: str = "u", vcol: str = "v"
+) -> ray.data.Dataset:
+    """(u, v) string edges → (ui, vi) int64 index edges against the
+    broadcast node vocabulary — vectorized ``pc.index_in`` per batch,
+    shipped once via ``ray.put``."""
+    nodes_ref = ray.put(nodes_arr)
+
+    def to_idx(b: pa.Table) -> pa.Table:
+        vocab = ray.get(nodes_ref)
+        return pa.table(
+            {
+                "ui": pc.cast(pc.index_in(b.column(ucol), value_set=vocab), pa.int64()),
+                "vi": pc.cast(pc.index_in(b.column(vcol), value_set=vocab), pa.int64()),
+            }
+        )
+
+    return E.map_batches(to_idx, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+
+def _warn_not_converged(which: str, max_iters: int) -> None:
+    # No silent caps (same rule as dedup truncation): results are WRONG
+    # for components whose diameter exceeds max_iters — say so.
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s did NOT converge within max_iters=%d — some components carry "
+        "split labels; raise max_iters (label propagation needs ~graph "
+        "diameter rounds)", which, max_iters
+    )
+
+
+def _components_small(
+    und: ray.data.Dataset, labels_ds: ray.data.Dataset, max_iters: int
+) -> ray.data.Dataset:
+    """Small regime: label vector broadcast per round, edges distributed.
+
+    Each round is one map_batches over the (index-encoded, materialized)
+    edge list emitting sparse (dst, min incoming label) partials — the
+    same per-batch MIN combiner as the shuffle regime — folded into the
+    label vector driver-side with ``np.minimum.at``. Convergence is an
+    EXACT vector comparison per round."""
+    lab_tbl = _collect(labels_ds)
+    nodes_arr = lab_tbl.column("node").combine_chunks()
+    labels = lab_tbl.column("label").to_numpy(zero_copy_only=False).copy()
+    E_idx = _indexed_edges(und, nodes_arr)
+    converged = False
+    for _ in range(max_iters):
+        lab_ref = ray.put(labels)
+
+        def min_partial(b: pa.Table, _ref=lab_ref) -> pa.Table:
+            lab = ray.get(_ref)
+            ui = b.column("ui").to_numpy(zero_copy_only=False)
+            vi = b.column("vi").to_numpy(zero_copy_only=False)
+            uv, inv = np.unique(vi, return_inverse=True)
+            m = np.full(len(uv), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(m, inv, lab[ui])
+            return pa.table({"ci": pa.array(uv, pa.int64()), "m": pa.array(m, pa.int64())})
+
+        new = labels.copy()
+        for part in ray.get(
+            E_idx.map_batches(min_partial, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
+        ):
+            if part.num_columns == 0 or part.num_rows == 0:
+                continue
+            ci = part.column("ci").to_numpy(zero_copy_only=False)
+            m = part.column("m").to_numpy(zero_copy_only=False)
+            np.minimum.at(new, ci, m)
+        if np.array_equal(new, labels):
+            converged = True
+            break
+        labels = new
+    if not converged:
+        _warn_not_converged("connected_components", max_iters)
+    return ray.data.from_arrow(
+        pa.table({"node": nodes_arr, "label": pa.array(labels, pa.int64())})
+    )
+
+
+def _pagerank_small(
+    E: ray.data.Dataset,
+    nodes_ds: ray.data.Dataset,
+    degrees_ds: ray.data.Dataset,
+    n: int,
+    damping: float,
+    iters: int,
+) -> ray.data.Dataset:
+    """Small regime: rank/degree vectors broadcast per round, edges
+    distributed. Per round one map_batches over the index-encoded edge
+    list emits sparse (dst, summed contribution) partials — the same
+    per-batch SUM combiner as the shuffle regime — accumulated into the
+    rank vector driver-side. Identical update rule to the shuffle
+    regime (dangling mass redistributed uniformly; ranks sum to 1)."""
+    node_col = _collect(nodes_ds).column("node").combine_chunks()
+    nodes_arr = node_col.take(pc.sort_indices(node_col))  # deterministic index
+    deg = np.zeros(n, dtype=np.float64)
+    deg_tbl = _collect(degrees_ds)
+    if deg_tbl.num_rows:
+        pos = pc.index_in(deg_tbl.column("dnode").combine_chunks(), value_set=nodes_arr)
+        deg[pos.to_numpy(zero_copy_only=False)] = (
+            deg_tbl.column("deg").to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+    E_idx = _indexed_edges(E, nodes_arr)
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    safe_deg = np.where(deg > 0, deg, 1.0)
+    for _ in range(iters):
+        dangling = float(rank[deg == 0.0].sum())
+        share_ref = ray.put(np.where(deg > 0, rank / safe_deg, 0.0))
+
+        def contrib_partial(b: pa.Table, _ref=share_ref) -> pa.Table:
+            s = ray.get(_ref)
+            ui = b.column("ui").to_numpy(zero_copy_only=False)
+            vi = b.column("vi").to_numpy(zero_copy_only=False)
+            uv, inv = np.unique(vi, return_inverse=True)
+            c = np.bincount(inv, weights=s[ui])
+            return pa.table({"ci": pa.array(uv, pa.int64()), "c": pa.array(c, pa.float64())})
+
+        acc = np.zeros(n, dtype=np.float64)
+        for part in ray.get(
+            E_idx.map_batches(
+                contrib_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        ):
+            if part.num_columns == 0 or part.num_rows == 0:
+                continue
+            np.add.at(
+                acc,
+                part.column("ci").to_numpy(zero_copy_only=False),
+                part.column("c").to_numpy(zero_copy_only=False),
+            )
+        rank = (1.0 - damping) / n + damping * dangling / n + damping * acc
+    return ray.data.from_arrow(
+        pa.table({"node": nodes_arr, "rank": pa.array(rank, pa.float64())})
+    )
+
+
 def connected_components(
     edges: ray.data.Dataset,
     src_col: str = "src",
     dst_col: str = "dst",
     max_iters: int = 25,
+    small_graph_nodes: int = SMALL_GRAPH_NODES,
 ) -> ray.data.Dataset:
     """(node, component) for every node in the edge list.
 
@@ -73,6 +234,11 @@ def connected_components(
         .aggregate(Min("label", alias_name="label"))
         .materialize()
     )
+    n_nodes = labels.count()
+    if n_nodes == 0:
+        return labels
+    if n_nodes <= small_graph_nodes:
+        return _components_small(und, labels, max_iters)
     from ..config import shuffle_width
 
     nparts = shuffle_width()
@@ -129,15 +295,7 @@ def connected_components(
             break
         prev = cur
     if not converged:
-        # No silent caps (same rule as dedup truncation): labels are
-        # WRONG for components whose diameter exceeds max_iters — say so.
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "connected_components did NOT converge within max_iters=%d — "
-            "some components carry split labels; raise max_iters (label "
-            "propagation needs ~graph diameter rounds)", max_iters
-        )
+        _warn_not_converged("connected_components", max_iters)
     return labels
 
 
@@ -147,6 +305,7 @@ def pagerank(
     dst_col: str = "dst",
     damping: float = 0.85,
     iters: int = 10,
+    small_graph_nodes: int = SMALL_GRAPH_NODES,
 ) -> ray.data.Dataset:
     """PageRank over a directed edge list: (node, rank) after ``iters``
     power iterations.
@@ -182,6 +341,10 @@ def pagerank(
         .materialize()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
+        )
 
     def outdeg_rows(b: pa.Table) -> pa.Table:
         t = pa.table({"dnode": b.column("u")})
@@ -192,6 +355,8 @@ def pagerank(
         .groupby("dnode")
         .aggregate(Sum("deg", alias_name="deg"))
     )
+    if n_nodes <= small_graph_nodes:
+        return _pagerank_small(E, nodes, degrees, n_nodes, damping, iters)
     from ..config import shuffle_width
 
     nparts = shuffle_width()

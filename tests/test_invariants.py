@@ -201,3 +201,48 @@ def test_pagerank_vs_dense_reference():
     assert got.keys() == want.keys()
     assert max(abs(got[k] - want[k]) for k in want) < 1e-9
     assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_graph_regimes_agree():
+    """The broadcast small-graph regime and the Dataset-join shuffle
+    regime must produce identical components and tolerance-equal
+    PageRank on the same graph (small_graph_nodes=0 forces the shuffle
+    path)."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from antnre_ray.stages.graph_algos import connected_components, pagerank
+
+    rng = np.random.default_rng(11)
+    n = 40
+    src = [f"n{int(i)}" for i in rng.integers(0, n, 120)]
+    dst = [f"n{int(i)}" for i in rng.integers(0, n, 120)]
+    tbl = pa.table({"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+
+    def lab_map(out):
+        return {
+            r["node"]: r["label"]
+            for r in pa.concat_tables(
+                ray.get(out.to_arrow_refs()), promote_options="default"
+            ).to_pylist()
+        }
+
+    small = lab_map(connected_components(ds))
+    big = lab_map(connected_components(ds, small_graph_nodes=0))
+    assert small == big
+
+    def rank_map(out):
+        return {
+            r["node"]: r["rank"]
+            for r in pa.concat_tables(
+                ray.get(out.to_arrow_refs()), promote_options="default"
+            ).to_pylist()
+        }
+
+    rs = rank_map(pagerank(ds, iters=5))
+    rb = rank_map(pagerank(ds, iters=5, small_graph_nodes=0))
+    assert rs.keys() == rb.keys()
+    assert max(abs(rs[k] - rb[k]) for k in rs) < 1e-9
