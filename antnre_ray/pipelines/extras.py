@@ -332,3 +332,15 @@ def quarantine_report(sf_dir: str) -> ray.data.Dataset:
     out = ray.data.read_parquet(qdir)
     _ = n_clean
     return out
+
+
+def clear_memo_caches() -> None:
+    """Drop all in-process memoized Datasets (minhash pairs here, the
+    kg extraction/linked caches). bench.py calls this between timing
+    samples — otherwise a median-of-N over a memoized query measures
+    the cache, not the operator."""
+    _MINHASH_PAIRS_CACHE.clear()
+    from . import kg_queries
+
+    kg_queries._EXT_CACHE.clear()
+    kg_queries._LINKED_CACHE.clear()

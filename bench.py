@@ -96,11 +96,14 @@ def run_bench(sf_dir: str, num_cpus: int, samples: int = SAMPLES) -> dict:
     if os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY") != "1":
         from antnre_ray.pipelines.registry import load_all
 
+        from antnre_ray.pipelines.extras import clear_memo_caches
+
         queries = load_all()
         for name in QUERY_SET:
             fn, _sql = queries[name]
             ts = []
             for _ in range(samples):
+                clear_memo_caches()  # median must time the operator, not its memo
                 t0 = time.time()
                 out = fn(sf_dir)
                 if isinstance(out, ray.data.Dataset):
