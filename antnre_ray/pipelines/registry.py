@@ -46,6 +46,7 @@ _PREFIX = [
     # 2 — round-3 additions
     "text_shared_passages",
     "quarantine_report",
+    "b33_range_join",
     # 3 — rows-only, never driver-run
     "sim_ann_ivf",
     "dedup_clean_corpus",
@@ -90,7 +91,6 @@ _PREFIX = [
     "b28_knn",
     "b15_global_agg",
     "b05_filter",
-    "b17_distinct",
 ]
 assert len(_PREFIX) == SWEEP_CAP, len(_PREFIX)
 

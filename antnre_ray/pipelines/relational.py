@@ -515,6 +515,91 @@ def b14_asof_join(sf_dir: str) -> ray.data.Dataset:
     return both.groupby("shard").map_groups(merge_shard, batch_format="pyarrow")
 
 
+# ------------------------------------------------------ B33 range join
+
+@register(
+    "b33_range_join",
+    """SELECT a.event_id AS event_a, b.event_id AS event_b
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id
+        AND b.ts > a.ts
+        AND b.ts <= a.ts + INTERVAL 30 MINUTE""",
+)
+def b33_range_join(sf_dir: str) -> ray.data.Dataset:
+    """Interval (band) self-join — ALL follow-up events by the same user
+    within 30 minutes of each event, not just the nearest (that is the
+    b14 as-of family). Ray Data has no non-equi join; the composition
+    is the b14 shape: co-shuffle on key % SHARDS, one merge per shard.
+    Inside a shard, rows sort by (key, t); each key run answers every
+    probe with two vectorized searchsorteds (band endpoints), and the
+    matched pairs expand by repeat + range arithmetic — the per-run
+    loop is in-process (the minhash bucket pattern), never a Ray call
+    per key. Output size = true match count, never a cross product."""
+    from ..stages.dedup import SHARDS, _key_runs
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("user_id"), pa.int64())
+        return pa.table(
+            {
+                "shard": _key_shard(key, SHARDS),
+                "key": key,
+                "t": b.column("ts"),
+                "rid": b.column("event_id"),
+            }
+        )
+
+    window = np.timedelta64(30, "m")
+
+    def merge_shard(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"event_a": pa.array([], pa.int64()), "event_b": pa.array([], pa.int64())}
+        )
+        n = group.num_rows
+        if n < 2:
+            return empty
+        t = group.column("t").combine_chunks().to_numpy(zero_copy_only=False)
+        rid = group.column("rid").combine_chunks().to_numpy(zero_copy_only=False)
+        key = group.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, key))
+        t, rid, key = t[order], rid[order], key[order]
+        a_out, b_out = [], []
+        for s, e in zip(*_key_runs(key)):
+            if e - s < 2:
+                continue
+            run_t = t[s:e]
+            run_id = rid[s:e]
+            # followers with ts in (a.ts, a.ts + 30min]
+            lo = np.searchsorted(run_t, run_t, side="right")
+            hi = np.searchsorted(run_t, run_t + window, side="right")
+            cnt = hi - lo
+            keep = cnt > 0
+            if not keep.any():
+                continue
+            lo, cnt = lo[keep], cnt[keep]
+            total = int(cnt.sum())
+            base = np.repeat(lo, cnt)
+            excl = np.repeat(np.r_[0, np.cumsum(cnt)[:-1]], cnt)
+            b_idx = base + (np.arange(total) - excl)
+            a_out.append(np.repeat(run_id[keep], cnt))
+            b_out.append(run_id[b_idx])
+        if not a_out:
+            return empty
+        return pa.table(
+            {
+                "event_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "event_b": pa.array(np.concatenate(b_out), pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(merge_shard, batch_format="pyarrow")
+    )
+
+
 # --------------------------------------------------- B15 global aggregate
 
 @register(
