@@ -47,6 +47,7 @@ _PREFIX = [
     "text_shared_passages",
     "quarantine_report",
     "b33_range_join",
+    "b34_lag_delta",
     # 3 — rows-only, never driver-run
     "sim_ann_ivf",
     "dedup_clean_corpus",
@@ -90,7 +91,6 @@ _PREFIX = [
     "b26_window_agg",
     "b28_knn",
     "b15_global_agg",
-    "b05_filter",
 ]
 assert len(_PREFIX) == SWEEP_CAP, len(_PREFIX)
 

@@ -600,6 +600,72 @@ def b33_range_join(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# ----------------------------------------------------- B34 lag window
+
+@register(
+    "b34_lag_delta",
+    """SELECT user_id, event_id,
+              CAST(date_diff('second', lag(ts) OVER w, ts) AS BIGINT) AS gap_s
+       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def b34_lag_delta(sf_dir: str) -> ray.data.Dataset:
+    """LAG window function: seconds since the user's previous event
+    (NULL for each user's first). The remaining window-function class
+    beside rank (b27b) and frame aggregates (b26/b27): same shard
+    shape, one vectorized diff per shard. gap_s matches DuckDB's
+    date_diff('second') boundary-count semantics exactly via integer
+    epoch-second floors — no float comparison risk."""
+    from ..stages.dedup import SHARDS
+
+    def tag(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("user_id"), pa.int64())
+        return pa.table(
+            {
+                "shard": _key_shard(key, SHARDS),
+                "user_id": key,
+                "event_id": b.column("event_id"),
+                "ts": b.column("ts"),
+            }
+        )
+
+    def lag_shard(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "gap_s": pa.array([], pa.int64()),
+            }
+        )
+        n = group.num_rows
+        if n == 0:
+            return empty
+        uid = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = group.column("ts").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, ts = uid[order], eid[order], ts[order]
+        sec = ts.astype("datetime64[us]").astype(np.int64) // 1_000_000
+        gap = np.zeros(n, dtype=np.int64)
+        gap[1:] = sec[1:] - sec[:-1]
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "gap_s": pa.array(
+                    np.where(first, 0, gap), pa.int64(), mask=first
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(lag_shard, batch_format="pyarrow")
+    )
+
+
 # --------------------------------------------------- B15 global aggregate
 
 @register(
