@@ -30,7 +30,7 @@ import ray
 import ray.data
 
 from ..config import PipelineConfig
-from ..functions.embed import embed_string, embed_strings
+from ..functions.embed import embed_strings
 from ..functions.hashing import stable_hex
 from ..functions.normalize import normalize_surfaces
 from ..functions.reference_spec import SURFACES
