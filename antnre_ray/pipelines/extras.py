@@ -85,10 +85,19 @@ def _minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     Ray re-executes a lazy pipeline per consumer. Pairs are tiny."""
     key = source_tag(sf_dir)
     if key not in _MINHASH_PAIRS_CACHE:
+        _evict_same_path(_MINHASH_PAIRS_CACHE, sf_dir)
         _MINHASH_PAIRS_CACHE[key] = minhash_dedup_pairs(
             documents_with_dups(sf_dir), threshold=0.5
         ).materialize()
     return _MINHASH_PAIRS_CACHE[key]
+
+
+def _evict_same_path(cache: dict, sf_dir: str) -> None:
+    """Drop superseded entries for the same path before inserting a new
+    tag — otherwise every corpus regeneration pins another materialized
+    Dataset in the object store for the process lifetime."""
+    for k in [k for k in cache if k[0] == sf_dir]:
+        del cache[k]
 
 
 @register("dedup_minhash_pairs", None)
@@ -310,7 +319,14 @@ def quarantine_report(sf_dir: str) -> ray.data.Dataset:
     rows, validate with a quarantine_dir so violating ROWS side-write as
     (doc_id, reason) parquet while the clean stream continues, then
     return the quarantined rows. Deterministic: the planted set is a
-    pure function of doc_id, and the dir is wiped per run."""
+    pure function of doc_id, and the dir is wiped per run. The returned
+    Dataset is MATERIALIZED, so a later call's dir wipe cannot pull the
+    files out from under an unconsumed result.
+
+    Deployment constraint (same as similarity.build_ann_index): the
+    quarantine_dir must be a filesystem every node sees at the same
+    path — node-local /tmp works single-node only; multi-node clusters
+    need a shared mount or the report is silently partial."""
     import hashlib
     import shutil
 
@@ -329,7 +345,7 @@ def quarantine_report(sf_dir: str) -> ray.data.Dataset:
         return ray.data.from_arrow(
             pa.table({"doc_id": pa.array([], pa.string()), "reason": pa.array([], pa.string())})
         )
-    out = ray.data.read_parquet(qdir)
+    out = ray.data.read_parquet(qdir).materialize()
     _ = n_clean
     return out
 

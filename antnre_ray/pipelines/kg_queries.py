@@ -36,22 +36,24 @@ def _ext(sf_dir: str) -> ray.data.Dataset:
     """Memoized, materialized extractions Dataset (A2→A15) per sf_dir.
     Keyed by (path, size, mtime_ns) of the source parquet so a corpus
     regenerated at the same path is never served stale results."""
-    from .extras import source_tag
+    from .extras import _evict_same_path, source_tag
 
     key = source_tag(sf_dir)
     if key not in _EXT_CACHE:
+        _evict_same_path(_EXT_CACHE, sf_dir)
         _EXT_CACHE[key] = extractions_from_documents(_corpus(sf_dir)).materialize()
     return _EXT_CACHE[key]
 
 
 def _linked(sf_dir: str) -> ray.data.Dataset:
     """Memoized linked extractions (A2→A16), built on the cached A15."""
-    from .extras import source_tag
+    from .extras import _evict_same_path, source_tag
 
     key = source_tag(sf_dir)
     if key not in _LINKED_CACHE:
         from ..stages.link import link
 
+        _evict_same_path(_LINKED_CACHE, sf_dir)
         _LINKED_CACHE[key] = link(_ext(sf_dir), PipelineConfig()).materialize()
     return _LINKED_CACHE[key]
 

@@ -444,7 +444,7 @@ def b14_asof_join(sf_dir: str) -> ray.data.Dataset:
     its timestamp — no per-key loop at all. Partitioning assumption:
     one SHARD's rows fit one reducer; raise SHARDS with cluster size.
     """
-    from ..stages.dedup import SHARDS
+    from ..stages.dedup import SHARDS, _key_runs
 
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
@@ -496,8 +496,8 @@ def b14_asof_join(sf_dir: str) -> ray.data.Dataset:
         # oracle's `ts >= o_orderdate`.
         order = np.lexsort((is_ev, t, key))
         t, is_ev, eid, key = t[order], is_ev[order], eid[order], key[order]
-        starts = np.nonzero(np.r_[True, key[1:] != key[:-1]])[0]
-        run_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+        starts, ends = _key_runs(key)
+        run_start = np.repeat(starts, ends - starts)
         # Latest order position at-or-before each row; valid only if it
         # falls inside the row's own key run.
         cand = np.maximum.accumulate(np.where(~is_ev, np.arange(n), -1))
@@ -1711,7 +1711,7 @@ def b27b_topk_per_user(sf_dir: str) -> ray.data.Dataset:
     both engines. A per-batch top-3 combiner before the shuffle would
     cut wire volume further at scale; at these row counts the shuffle
     is not the bottleneck."""
-    from ..stages.dedup import SHARDS
+    from ..stages.dedup import SHARDS, _key_runs
 
     def add_shard(b: pa.Table) -> pa.Table:
         key = pc.cast(b.column("user_id"), pa.int64())
@@ -1740,8 +1740,8 @@ def b27b_topk_per_user(sf_dir: str) -> ray.data.Dataset:
             )
         order = np.lexsort((eids, -vals, uid))
         uid, vals, eids = uid[order], vals[order], eids[order]
-        starts = np.nonzero(np.r_[True, uid[1:] != uid[:-1]])[0]
-        pos = np.arange(n) - np.repeat(starts, np.diff(np.r_[starts, n]))
+        starts, ends = _key_runs(uid)
+        pos = np.arange(n) - np.repeat(starts, ends - starts)
         keep = pos < 3
         return pa.table(
             {

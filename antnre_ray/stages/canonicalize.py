@@ -49,10 +49,10 @@ MAX_ALIASES = 32
 # one map_groups Python call PER ENTITY (tens of millions of interpreter
 # calls at 100 TB). Instead both reduce phases group by
 # hash(entity_id) % SHARDS — one vectorized call per shard, with pure
-# Arrow group_by / sort_by + numpy reduceat inside (the same fix dedup
-# applies to its LSH buckets, stages/dedup.py SHARDS note). Raise SHARDS
-# as the cluster grows so a shard still fits one reducer.
-SHARDS = 251
+# Arrow group_by / sort_by + numpy reduceat inside. SHARDS is dedup's
+# constant (one raise-with-cluster-size knob for every sharded reducer
+# in the engine, stages/dedup.py SHARDS note).
+from .dedup import SHARDS
 
 
 def preagg_batch(batch: pa.Table, salt: int = 8) -> pa.Table:

@@ -170,8 +170,29 @@ class LinkerActor:
         import pyarrow.compute as pc
 
         combined = pc.binary_join_element_wise(norms_arr, types_arr, "\x1f")
-        comb = np.asarray(combined.to_pylist(), dtype=object)
-        _, first, inv = np.unique(comb, return_index=True, return_inverse=True)
+        comb = combined.combine_chunks() if isinstance(combined, pa.ChunkedArray) else combined
+        if comb.null_count == 0:
+            # C-native dedup: dictionary codes are the inverse mapping;
+            # first occurrence per code via a running minimum.
+            enc = comb.dictionary_encode()
+            inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            first = np.full(len(enc.dictionary), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(first, inv, np.arange(len(inv)))
+        else:
+            # Null surface/ent_type keys: fall back to a dict dedup (the
+            # None-tolerant path np.unique/dictionary codes can't give).
+            keys = comb.to_pylist()
+            seen: dict = {}
+            inv = np.empty(len(keys), dtype=np.int64)
+            first_list: list[int] = []
+            for i, k in enumerate(keys):
+                j = seen.get(k)
+                if j is None:
+                    j = len(first_list)
+                    seen[k] = j
+                    first_list.append(i)
+                inv[i] = j
+            first = np.asarray(first_list, dtype=np.int64)
         norms_all = norms_arr.to_pylist()
         types_all = types_arr.to_pylist()
         resolved = self._link_unique(

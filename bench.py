@@ -112,11 +112,12 @@ def run_bench(sf_dir: str, num_cpus: int, samples: int = SAMPLES) -> dict:
             qtimes[name] = _median(ts)
 
         # Iterative graph algos over the flagship run's own adjacency
-        # output (VERDICT r2 item #7): tracks the per-iteration
-        # join+groupby loop's wall-clock at bench scale.
+        # output (VERDICT r2 item #7). The adjacency is node-small, so
+        # the default entries exercise the broadcast regime; the
+        # *_shuffle entry forces the Dataset-join Pregel loop
+        # (small_graph_nodes=0) so a regression in the per-iteration
+        # join+groupby path stays visible in the artifact.
         import glob
-
-        import pyarrow as pa
 
         from antnre_ray.stages.graph_algos import connected_components, pagerank
 
@@ -125,6 +126,10 @@ def run_bench(sf_dir: str, num_cpus: int, samples: int = SAMPLES) -> dict:
             for gname, galgo in (
                 ("kg_components_bench", lambda e: connected_components(e)),
                 ("kg_pagerank_bench", lambda e: pagerank(e, iters=10)),
+                (
+                    "kg_components_shuffle_bench",
+                    lambda e: connected_components(e, small_graph_nodes=0),
+                ),
             ):
                 ts = []
                 for _ in range(samples):
