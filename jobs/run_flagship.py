@@ -22,8 +22,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# `python jobs/run_flagship.py` puts jobs/ (the script dir), not the
+# repo root, on sys.path — make the package importable either way
+# (ray job submit --working-dir ships the root as cwd too).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
