@@ -360,3 +360,25 @@ def clear_memo_caches() -> None:
 
     kg_queries._EXT_CACHE.clear()
     kg_queries._LINKED_CACHE.clear()
+
+
+@register("text_decontaminate", None)
+def text_decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Eval-set decontamination (GPT-3/Llama 13-gram rule) over the
+    documents table: a deterministic ~1/37 of docs plays the held-out
+    eval set (their texts' 13-gram hashes broadcast once, sorted); every
+    corpus doc sharing at least one 13-gram is marked. The eval-source
+    docs themselves are planted ground truth — tests assert they all
+    come back contaminated and the base rate elsewhere stays low."""
+    import pyarrow.parquet as pq
+
+    from ..stages.analyze import decontaminate
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_pylist()
+    eval_texts = [
+        t for i, t in zip(ids, tbl.column("text").to_pylist())
+        if stable_u64(f"eval|{i}") % 37 == 0
+    ]
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return decontaminate(ds, eval_texts, n=13)

@@ -192,3 +192,67 @@ def shared_passages(
         return b.filter(pc.greater_equal(b.column("n_shared_fps"), min_shared))
 
     return agg.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------- eval-set decontamination
+
+_DECON_PRIME = np.uint64(1099511628211)  # FNV-64 prime
+
+
+def _ngram_hashes(texts: list[str], n: int) -> list[np.ndarray]:
+    """Order-sensitive word n-gram hashes per text, fully vectorized:
+    hash each token once (polars_u64), then combine each sliding window
+    with a polynomial mix — no n-gram STRING is ever built."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from ..functions.hashing import polars_u64
+
+    out: list[np.ndarray] = []
+    for t in texts:
+        toks = (t or "").lower().split()
+        if len(toks) < n:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        th = polars_u64(pa.array(toks))
+        w = sliding_window_view(th, n)
+        h = w[:, 0].copy()
+        for i in range(1, n):  # loop over n (=13), not over windows
+            h = h * _DECON_PRIME + w[:, i]
+        out.append(h)
+    return out
+
+
+def decontaminate(
+    ds: ray.data.Dataset, eval_texts: list[str], n: int = 13
+) -> ray.data.Dataset:
+    """Eval-set decontamination (the GPT-3/Llama 13-gram rule): mark
+    every document sharing at least one word n-gram with any eval-set
+    text. Returns (doc_id, contaminated, n_hits).
+
+    Broadcast shape: the eval set's n-gram hashes are a SORTED uint64
+    array shipped once via ray.put (eval sets are ~1e4–1e6 grams — tiny
+    next to the corpus); each batch membership-tests its documents'
+    gram hashes with one np.searchsorted — no shuffle, no join, the
+    corpus streams through untouched."""
+    eval_set = np.unique(np.concatenate(_ngram_hashes(eval_texts, n) or [np.empty(0, np.uint64)]))
+    ref = ray.put(eval_set)
+
+    def mark(b: pa.Table) -> pa.Table:
+        ev = ray.get(ref)
+        texts = b.column("text").to_pylist()
+        hits = np.zeros(len(texts), dtype=np.int64)
+        if len(ev):
+            for i, h in enumerate(_ngram_hashes(texts, n)):
+                if len(h):
+                    pos = np.searchsorted(ev, h)
+                    pos[pos == len(ev)] = 0
+                    hits[i] = int((ev[pos] == h).sum())
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "contaminated": pa.array(hits > 0, pa.bool_()),
+                "n_hits": pa.array(hits, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)

@@ -385,3 +385,22 @@ def test_quarantine_report_catches_planted_violations(sf001):
     tbl2 = q["quarantine_report"][0](sf001).to_pandas()
     key = lambda t: sorted(zip(t["doc_id"].fillna(""), t["reason"]))  # noqa: E731
     assert key(tbl) == key(tbl2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_flags_eval_source_docs(sf001):
+    """Every doc whose text seeded the eval set must come back
+    contaminated (it shares all its own 13-grams); unrelated docs may
+    legitimately collide on templated corpora but stay a minority."""
+    from antnre_ray.functions.hashing import stable_u64
+    from antnre_ray.pipelines.registry import load_all
+
+    q = load_all()
+    tbl = q["text_decontaminate"][0](sf001).to_pandas()
+    eval_ids = {i for i in tbl["doc_id"] if stable_u64(f"eval|{i}") % 37 == 0}
+    assert eval_ids, "fixture must select a nonempty eval set"
+    flagged = set(tbl[tbl["contaminated"]]["doc_id"])
+    assert eval_ids <= flagged, eval_ids - flagged
+    assert len(flagged) < 0.9 * len(tbl), "decontamination flagged ~everything"
+    # hits are exact n-gram counts, so eval docs have >= 1
+    assert (tbl.set_index("doc_id").loc[sorted(eval_ids)]["n_hits"] >= 1).all()
