@@ -382,3 +382,40 @@ def text_decontaminate(sf_dir: str) -> ray.data.Dataset:
     ]
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return decontaminate(ds, eval_texts, n=13)
+
+
+@register("dedup_clusters", None)
+def dedup_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Transitive duplicate CLUSTERS: near-dup pairs → connected
+    components → (doc_id, cluster) with the cluster labeled by its
+    minimum member hash. The principled form of the drop-list rule:
+    A~B and B~C place all three in one cluster even when A~C was never
+    emitted as a pair, so keep-one-per-cluster survives chained
+    near-duplicates. Reuses the two-regime graph engine over the pair
+    list (pair graphs are node-small at any corpus scale — only docs
+    WITH a near-duplicate appear)."""
+    from ..stages.graph_algos import connected_components
+
+    pairs = _minhash_pairs(sf_dir)
+
+    def as_edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.compute.cast(b.column("doc_a"), pa.string()),
+                "dst": pa.compute.cast(b.column("doc_b"), pa.string()),
+            }
+        )
+
+    labels = connected_components(
+        pairs.map_batches(as_edges, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.compute.cast(b.column("node"), pa.int64()),
+                "cluster": b.column("label"),
+            }
+        )
+
+    return labels.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

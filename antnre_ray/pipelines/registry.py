@@ -49,6 +49,7 @@ _PREFIX = [
     "b33_range_join",
     "b34_lag_delta",
     "text_decontaminate",
+    "dedup_clusters",
     # 3 — rows-only, never driver-run
     "sim_ann_ivf",
     "dedup_clean_corpus",
@@ -88,7 +89,6 @@ _PREFIX = [
     "b11_hash_join",
     "b12_broadcast_join",
     "b13c_anti_join_large",
-    "b24_exact_dedup",
     "b28_knn",
     "b15_global_agg",
 ]

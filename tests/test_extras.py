@@ -404,3 +404,34 @@ def test_decontaminate_flags_eval_source_docs(sf001):
     assert len(flagged) < 0.9 * len(tbl), "decontamination flagged ~everything"
     # hits are exact n-gram counts, so eval docs have >= 1
     assert (tbl.set_index("doc_id").loc[sorted(eval_ids)]["n_hits"] >= 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_clusters_match_union_find(sf001):
+    """Cluster assignment == driver-side union-find over the same pair
+    list (transitive closure), and every planted twin shares its
+    source's cluster."""
+    from antnre_ray.pipelines.extras import _minhash_pairs
+    from antnre_ray.pipelines.registry import load_all
+
+    q = load_all()
+    got = q["dedup_clusters"][0](sf001).to_pandas()
+    pairs = _minhash_pairs(sf001).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        parent[find(a)] = find(b)
+    want_groups: dict[int, set] = {}
+    for x in list(parent):
+        want_groups.setdefault(find(x), set()).add(x)
+    got_groups: dict[int, set] = {}
+    for d, c in zip(got["doc_id"], got["cluster"]):
+        got_groups.setdefault(c, set()).add(d)
+    assert sorted(map(sorted, want_groups.values())) == sorted(map(sorted, got_groups.values()))
