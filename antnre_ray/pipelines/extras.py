@@ -374,12 +374,20 @@ def text_decontaminate(sf_dir: str) -> ray.data.Dataset:
 
     from ..stages.analyze import decontaminate
 
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ids = tbl.column("doc_id").to_pylist()
-    eval_texts = [
-        t for i, t in zip(ids, tbl.column("text").to_pylist())
-        if stable_u64(f"eval|{i}") % 37 == 0
-    ]
+    # Eval-set selection reads the id COLUMN (metadata-scale), then only
+    # the selected rows via a pushed-down filter — never the full text
+    # driver-side. A real deployment passes the (external, small) eval
+    # set straight into stages.analyze.decontaminate.
+    src = f"{sf_dir}/documents.parquet"
+    ids = pq.read_table(src, columns=["doc_id"]).column("doc_id").to_pylist()
+    eval_ids = [i for i in ids if stable_u64(f"eval|{i}") % 37 == 0]
+    eval_texts = (
+        pq.read_table(src, columns=["text"], filters=[("doc_id", "in", eval_ids)])
+        .column("text")
+        .to_pylist()
+        if eval_ids
+        else []
+    )
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return decontaminate(ds, eval_texts, n=13)
 
