@@ -48,6 +48,7 @@ _PREFIX = [
     "quarantine_report",
     "b33_range_join",
     "b34_lag_delta",
+    "b35_ntile",
     "text_decontaminate",
     "dedup_clusters",
     # 3 — rows-only, never driver-run
@@ -88,7 +89,6 @@ _PREFIX = [
     "q01_pricing_summary",
     "b11_hash_join",
     "b12_broadcast_join",
-    "b13c_anti_join_large",
     "b28_knn",
     "b15_global_agg",
 ]

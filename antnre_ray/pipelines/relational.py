@@ -666,6 +666,83 @@ def b34_lag_delta(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# ----------------------------------------------------- B35 ntile window
+
+@register(
+    "b35_ntile",
+    """SELECT user_id, event_id,
+              CAST(ntile(4) OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS BIGINT) AS quartile
+       FROM events""",
+)
+def b35_ntile(sf_dir: str) -> ray.data.Dataset:
+    """NTILE window function: per-user value quartiles. Completes the
+    window family (rank b27b, LAG b34, frame aggregates b26/b27) with
+    the equal-height bucketing class. Same shard shape; the tile
+    assignment is the SQL-standard split (first n%k tiles get one extra
+    row), computed with pure integer arithmetic per run — no float
+    comparison surface."""
+    from ..stages.dedup import SHARDS, _key_runs
+
+    K = 4
+
+    def tag(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("user_id"), pa.int64())
+        return pa.table(
+            {
+                "shard": _key_shard(key, SHARDS),
+                "user_id": key,
+                "event_id": b.column("event_id"),
+                "value": b.column("value"),
+            }
+        )
+
+    def ntile_shard(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "quartile": pa.array([], pa.int64()),
+            }
+        )
+        n = group.num_rows
+        if n == 0:
+            return empty
+        uid = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        val = group.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -val, uid))
+        uid, eid = uid[order], eid[order]
+        starts, ends = _key_runs(uid)
+        sizes = ends - starts
+        pos = np.arange(n) - np.repeat(starts, sizes)
+        run_n = np.repeat(sizes, sizes)
+        q, r = run_n // K, run_n % K
+        # rows before the boundary sit in the (q+1)-sized leading tiles
+        boundary = r * (q + 1)
+        tile = np.where(
+            pos < boundary,
+            pos // np.maximum(q + 1, 1),
+            r + (pos - boundary) // np.maximum(q, 1),
+        )
+        # runs smaller than K: q==0 → each row its own tile == pos
+        tile = np.where(run_n < K, pos, tile)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "quartile": pa.array(tile + 1, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_id", "value"])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(ntile_shard, batch_format="pyarrow")
+    )
+
+
 # --------------------------------------------------- B15 global aggregate
 
 @register(

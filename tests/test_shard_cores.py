@@ -16,7 +16,14 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-QUERIES = ["b14_asof_join", "b27_sessionize", "b27b_topk_per_user", "b33_range_join", "b34_lag_delta"]
+QUERIES = [
+    "b14_asof_join",
+    "b27_sessionize",
+    "b27b_topk_per_user",
+    "b33_range_join",
+    "b34_lag_delta",
+    "b35_ntile",
+]
 
 
 def _synth_sf(tmp_path, seed: int) -> str:
