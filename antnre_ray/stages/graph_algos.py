@@ -70,7 +70,12 @@ def _indexed_edges(
 ) -> ray.data.Dataset:
     """(u, v) string edges → (ui, vi) int64 index edges against the
     broadcast node vocabulary — vectorized ``pc.index_in`` per batch,
-    shipped once via ``ray.put``."""
+    shipped once via ``ray.put``. Coalesced to ~2× the shuffle width:
+    the iteration loop executes this Dataset once PER ROUND, so paying
+    one repartition here cuts per-round task count from |input blocks|
+    (e.g. one per adjacency shard file) to a CPU-sized constant."""
+    from ..config import shuffle_width
+
     nodes_ref = ray.put(nodes_arr)
 
     def to_idx(b: pa.Table) -> pa.Table:
@@ -82,7 +87,11 @@ def _indexed_edges(
             }
         )
 
-    return E.map_batches(to_idx, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    return (
+        E.map_batches(to_idx, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(max(2 * shuffle_width(), 8))
+        .materialize()
+    )
 
 
 def _warn_not_converged(which: str, max_iters: int) -> None:
