@@ -176,3 +176,32 @@ def test_linker_knn_ranks_within_type():
     # and the Loc query still gets the Loc entity (exact, cosine 1.0)
     eid2, score2 = actor._link_one("pariss h", "Loc")
     assert eid2 == "e:loc" and score2 > 0.99
+
+
+def test_linker_tolerates_null_surface_and_type():
+    """Mentions with null surface or ent_type must take the dict-dedup
+    fallback (the C-native dictionary path cannot represent null keys)
+    and link to deterministic canonical ids instead of crashing."""
+    import pyarrow as pa
+
+    from antnre_ray.stages.link import LinkerActor, build_linker_state
+
+    actor = LinkerActor(build_linker_state())
+    m = pa.array(
+        [[
+            {"start": 0, "end": 1, "ent_type": "Peop", "surface": None, "score": 0.5},
+            {"start": 1, "end": 2, "ent_type": None, "surface": "x", "score": 0.5},
+            {"start": 2, "end": 3, "ent_type": "Peop", "surface": "x", "score": 0.5},
+        ]],
+        pa.list_(pa.struct([
+            ("start", pa.int32()), ("end", pa.int32()), ("ent_type", pa.string()),
+            ("surface", pa.string()), ("score", pa.float32()),
+        ])),
+    )
+    out = actor(pa.table({"doc_id": pa.array(["d"]), "mentions": m}))
+    linked = out.column("mentions").combine_chunks().flatten()
+    eids = linked.field("entity_id").to_pylist()
+    assert len(eids) == 3 and all(e for e in eids)
+    # Determinism: same batch → same ids.
+    out2 = actor(pa.table({"doc_id": pa.array(["d"]), "mentions": m}))
+    assert out2.column("mentions").combine_chunks().flatten().field("entity_id").to_pylist() == eids
