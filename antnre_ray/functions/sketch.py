@@ -37,3 +37,59 @@ def kmv_estimate(sketch: np.ndarray, k: int = K_DEFAULT) -> float:
         return float(n)
     kth = float(sketch[k - 1])
     return (k - 1) * _U64_MAX / kth
+
+
+# --------------------------------------------------------- HyperLogLog
+
+HLL_P = 12  # 2^12 registers → standard error ≈ 1.04/sqrt(4096) ≈ 1.6%
+_HLL_M = 1 << HLL_P
+
+
+def hll_partial(values: pa.Array | pa.ChunkedArray, seed: int = 42) -> np.ndarray:
+    """One batch's HLL register vector (uint8[2^p]).
+
+    Vectorized rho: the leading-zero count of the post-index bits comes
+    from a 6-step binary search over bit shifts — no per-value Python.
+    Registers merge by ELEMENTWISE MAX (order-free, idempotent), the
+    property that makes HLL the canonical distributed cardinality
+    sketch next to KMV's k-smallest-union."""
+    h = polars_u64(values, seed=seed)
+    regs = np.zeros(_HLL_M, dtype=np.uint8)
+    if len(h) == 0:
+        return regs
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rem = (h << np.uint64(HLL_P)) | np.uint64(1 << (HLL_P - 1))  # never zero
+    # clz(rem) via binary search on the high bits.
+    lz = np.zeros(len(rem), dtype=np.uint8)
+    cur = rem.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+        lz[mask] += shift
+        cur[mask] = cur[mask] << np.uint64(shift)
+    rho = lz.astype(np.uint8) + 1  # position of first 1-bit in the suffix
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_merge(partials: list[np.ndarray]) -> np.ndarray:
+    if not partials:
+        return np.zeros(_HLL_M, dtype=np.uint8)
+    out = partials[0].copy()
+    for p in partials[1:]:
+        np.maximum(out, p, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Flajolet et al. bias-corrected estimate with the small-range
+    (linear counting) and large-range corrections."""
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / float(np.sum(np.ldexp(1.0, -regs.astype(np.int64))))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        return m * float(np.log(m / zeros))  # linear counting
+    two64 = float(2**64)
+    if est > two64 / 30.0:
+        return -two64 * float(np.log1p(-est / two64))
+    return est

@@ -856,6 +856,29 @@ def b18_approx_distinct(sf_dir: str) -> pa.Table:  # tested vs exact in tests/
     return pa.table({"approx_distinct_partkeys": pa.array([int(round(est))], pa.int64())})
 
 
+@register("b18b_hll_distinct", None)  # approximate → rows-only; tolerance
+def b18b_hll_distinct(sf_dir: str) -> pa.Table:  # tested vs exact in tests/
+    """HyperLogLog distinct-count over l_partkey — the register-merge
+    sketch family beside KMV's k-smallest-union (B18): per-batch uint8
+    register vectors (4 KB) merge by elementwise max driver-side;
+    ±1.6% at 2^12 registers."""
+    from ..functions.sketch import hll_estimate, hll_merge, hll_partial
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b.column("l_partkey")
+        regs = hll_partial(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        return pa.table({"regs": pa.array([regs.tolist()], pa.list_(pa.uint8()))})
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_partkey"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    regs = hll_merge([np.asarray(p["regs"], dtype=np.uint8) for p in parts])
+    est = hll_estimate(regs)
+    return pa.table({"hll_distinct_partkeys": pa.array([int(round(est))], pa.int64())})
+
+
 # --------------------------------------------------------- B19/B20 sort/topk
 
 @register(

@@ -84,6 +84,28 @@ def test_kmv_sketch_accuracy():
     assert kmv_estimate(kmv_merge([kmv_partial(small)])) == 100.0
 
 
+def test_hll_sketch_accuracy():
+    from antnre_ray.functions.sketch import hll_estimate, hll_merge, hll_partial
+
+    rng = np.random.default_rng(0)
+    values = pa.array([f"v{int(x)}" for x in rng.integers(0, 50_000, size=200_000)])
+    n = len(values)
+    partials = [hll_partial(values.slice(i * n // 8, n // 8)) for i in range(8)]
+    est = hll_estimate(hll_merge(partials))
+    exact = len(set(values.to_pylist()))
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    # merge is order-free and idempotent
+    import numpy as _np
+
+    m1 = hll_merge(partials)
+    m2 = hll_merge(list(reversed(partials)) + [partials[0]])
+    assert _np.array_equal(m1, m2)
+    # small-cardinality (linear counting) path stays tight
+    small = pa.array([f"s{i}" for i in range(100)])
+    est_small = hll_estimate(hll_merge([hll_partial(small)]))
+    assert abs(est_small - 100) / 100 < 0.05, est_small
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_b19_sort_order_is_correct(sf001):
     import ray
