@@ -427,3 +427,36 @@ def dedup_clusters(sf_dir: str) -> ray.data.Dataset:
         )
 
     return labels.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("dedup_incremental", None)
+def dedup_incremental(sf_dir: str) -> pa.Table:
+    """Continuous-ingest dedup: the BASE corpus is indexed once
+    (persisted LSH band table under /tmp, staleness-tagged, idempotent);
+    the planted mutated twins then arrive as the 'new batch' and are
+    checked against the index — only hit key-shards are read, the
+    corpus is never rescanned. Tests assert every planted twin finds
+    its source."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import build_minhash_index, query_minhash_index
+
+    tag = hashlib.sha256(repr(("mhidx", source_tag(sf_dir))).encode()).hexdigest()[:12]
+    index_path = f"/tmp/antnre_minhash_index/{tag}"
+    base = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    build_minhash_index(base, index_path)
+    new_docs_tbl = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+                .map_batches(_mutate_batch, batch_format="pyarrow", zero_copy_batch=True)
+                .to_arrow_refs()
+            )
+            if t.num_columns
+        ],
+        promote_options="default",
+    )
+    return query_minhash_index(index_path, new_docs_tbl, threshold=0.5)

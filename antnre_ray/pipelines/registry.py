@@ -51,6 +51,7 @@ _PREFIX = [
     "b35_ntile",
     "text_decontaminate",
     "dedup_clusters",
+    "dedup_incremental",
     "b18b_hll_distinct",
     # 3 — rows-only, never driver-run
     "sim_ann_ivf",
@@ -88,7 +89,6 @@ _PREFIX = [
     # 7 — proven oracle-backed fill
     "text_stats",
     "q01_pricing_summary",
-    "b11_hash_join",
     "b28_knn",
     "b15_global_agg",
 ]

@@ -451,3 +451,125 @@ def drop_list(pairs: ray.data.Dataset) -> ray.data.Dataset:
 
     dropped = pairs.map_batches(pick, batch_format="pyarrow")
     return dropped.groupby("doc_id").aggregate(Count(alias_name="_n")).select_columns(["doc_id"])
+
+
+# ------------------------------------- incremental dedup (persisted index)
+
+def build_minhash_index(
+    docs: ray.data.Dataset, index_path: str, overwrite: bool = False
+) -> str:
+    """Persist the corpus's LSH band table so NEW documents can be
+    deduped against an EXISTING corpus without rescanning it — the
+    production shape of continuous ingest at 100 TB. One streamed pass
+    over (doc_id, text): per-doc minhash signatures explode to one row
+    per band, written parquet-partitioned by ``key % SHARDS`` (251
+    dirs), so a query touches only the shards its band keys hash into.
+    Signatures (512 B/doc) are stored; text never is.
+
+    Idempotent via a ``_built`` marker + write-tmp-then-rename (the
+    lineage pattern). Same deployment constraint as
+    similarity.build_ann_index: index_path must be a filesystem every
+    node sees at the same path."""
+    import os
+    import shutil as _shutil
+    import uuid
+
+    marker = os.path.join(index_path, "_built")
+    if os.path.exists(marker) and not overwrite:
+        return index_path
+    tmp_path = f"{index_path}.tmp.{uuid.uuid4().hex[:8]}"
+
+    def rows(b: pa.Table) -> pa.Table:
+        t = minhash_band_rows(b)
+        # 'bshard' becomes the hive partition dir; 'shard' stays in-file
+        # (explicit file-list reads don't re-infer hive columns).
+        return t.append_column("bshard", t.column("shard"))
+
+    docs.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        tmp_path, partition_cols=["bshard"]
+    )
+    with open(os.path.join(tmp_path, "_built"), "w") as f:
+        f.write("ok")
+    if os.path.exists(index_path):
+        _shutil.rmtree(index_path)
+    os.replace(tmp_path, index_path)
+    return index_path
+
+
+def query_minhash_index(
+    index_path: str, new_docs: pa.Table, threshold: float = 0.5
+) -> pa.Table:
+    """Near-duplicate pairs between ``new_docs`` (doc_id, text — one
+    ingest batch, driver-sized) and the indexed corpus: (new_doc_id,
+    corpus_doc_id, est_jaccard ≥ threshold).
+
+    Reads ONLY the key-shard directories the new docs' band keys hash
+    into (≤ BANDS·|new| of 251), filters to exact (band, key) bucket
+    matches with one vectorized index_in, and estimates Jaccard by
+    signature agreement — the whole corpus is never touched."""
+    import os
+
+    import pyarrow.compute as pc
+
+    ids = new_docs.column("doc_id").to_numpy(zero_copy_only=False)
+    sigs = minhash_signatures(new_docs.column("text").to_pylist())
+    keys = band_keys(sigs)  # [n, BANDS] uint64
+    n = len(ids)
+    if n == 0:
+        return _pairs_schema("est_jaccard").empty_table()
+    band = np.tile(np.arange(BANDS, dtype=np.int64), n)
+    keys_flat = keys.reshape(-1)
+    shards = (keys_flat % np.uint64(SHARDS)).astype(np.int64)
+    # (band, key) lookup keys for the vectorized bucket match below.
+    probe = (band.astype(np.int64) << np.int64(48)) ^ keys_flat.view(np.int64)
+    files = [
+        os.path.join(d, f)
+        for d in (
+            f"{index_path}/bshard={s}"
+            for s in sorted(set(shards.tolist()))
+            if os.path.isdir(f"{index_path}/bshard={s}")
+        )
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        return _pairs_schema("est_jaccard").empty_table()
+    import pyarrow.parquet as pq
+
+    a_out, b_out, j_out = [], [], []
+    seen: set[tuple[int, int]] = set()
+    probe_arr = pa.array(probe, pa.int64())
+    for fpath in files:
+        t = pq.read_table(fpath, columns=["band", "key", "doc_id", "sig"])
+        if t.num_rows == 0:
+            continue
+        ib = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        ik = t.column("key").to_numpy(zero_copy_only=False)
+        idx_key = pa.array((ib << np.int64(48)) ^ ik, pa.int64())
+        pos = pc.index_in(idx_key, value_set=probe_arr)
+        hit = pc.is_valid(pos)
+        if not pc.any(hit).as_py():
+            continue
+        rows_hit = np.nonzero(hit.to_numpy(zero_copy_only=False))[0]
+        probe_pos = pos.to_numpy(zero_copy_only=False)[rows_hit]
+        new_i = (probe_pos // BANDS).astype(np.int64)  # probe row → new doc
+        corpus_ids = t.column("doc_id").to_numpy(zero_copy_only=False)[rows_hit]
+        sig_col = t.column("sig").combine_chunks()
+        corpus_sigs = (
+            sig_col.flatten().to_numpy(zero_copy_only=False).reshape(t.num_rows, NUM_PERM)[rows_hit]
+        )
+        est = (sigs[new_i].view(np.int64) == corpus_sigs).mean(axis=1)
+        for ni, ci, e in zip(new_i, corpus_ids, est):
+            key2 = (int(ids[ni]), int(ci))
+            if e >= threshold and key2 not in seen:
+                seen.add(key2)
+                a_out.append(key2[0])
+                b_out.append(key2[1])
+                j_out.append(float(e))
+    return pa.table(
+        {
+            "doc_a": pa.array(a_out, pa.int64()),
+            "doc_b": pa.array(b_out, pa.int64()),
+            "est_jaccard": pa.array(j_out, pa.float64()),
+        }
+    )

@@ -435,3 +435,24 @@ def test_dedup_clusters_match_union_find(sf001):
     for d, c in zip(got["doc_id"], got["cluster"]):
         got_groups.setdefault(c, set()).add(d)
     assert sorted(map(sorted, want_groups.values())) == sorted(map(sorted, got_groups.values()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_dedup_finds_planted_sources(sf001):
+    """Every planted mutated twin (the 'new ingest batch') must match
+    its base-corpus source through the persisted index, and a second
+    call must reuse the index (idempotent build) with identical pairs."""
+    from antnre_ray.pipelines.extras import (
+        DUP_OFFSET,
+        dedup_incremental,
+        planted_dup_ids,
+    )
+
+    t1 = dedup_incremental(sf001)
+    pairs = set(zip(t1.column("doc_a").to_pylist(), t1.column("doc_b").to_pylist()))
+    planted = planted_dup_ids(sf001)
+    found = sum(1 for i in planted if (i + DUP_OFFSET, i) in pairs)
+    assert found / len(planted) >= 0.9, f"recall {found}/{len(planted)}"
+    t2 = dedup_incremental(sf001)
+    pairs2 = set(zip(t2.column("doc_a").to_pylist(), t2.column("doc_b").to_pylist()))
+    assert pairs == pairs2
