@@ -43,6 +43,7 @@ QUERY_SET = [
     "b28_knn",
     "dedup_minhash_pairs",
     "text_stats",
+    "text_decontaminate",
 ]
 
 
