@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -460,3 +461,66 @@ def dedup_incremental(sf_dir: str) -> pa.Table:
         promote_options="default",
     )
     return query_minhash_index(index_path, new_docs_tbl, threshold=0.5)
+
+
+@register(
+    "text_pii_redact",
+    """WITH pii AS (
+           SELECT doc_id,
+                  text
+                  || CASE WHEN doc_id % 11 = 0
+                          THEN ' Contact user' || doc_id || '@example.com now.'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 13 = 0
+                          THEN ' Call 555-0123 or visit 10.0.0.1 today.'
+                          ELSE '' END AS text
+           FROM documents
+       )
+       SELECT doc_id,
+              len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+              len(regexp_extract_all(text,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips,
+              len(regexp_extract_all(text, '\\b\\d{3}-\\d{4}\\b')) AS n_phones,
+              regexp_replace(
+                  regexp_replace(
+                      regexp_replace(text,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                          '<EMAIL>', 'g'),
+                      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                  '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS clean_text
+       FROM pii""",
+)
+def text_pii_redact(sf_dir: str) -> ray.data.Dataset:
+    """PII scrub with a bytes-exact oracle: the corpus is amended with
+    deterministic synthetic PII (emails on doc_id%11, phone+IP on
+    doc_id%13 — the real tables contain none), then redacted by the
+    stages.analyze.redact_pii stage. Both the per-category counts and
+    the full redacted text hash-match DuckDB's regexp_replace chain
+    (both engines are RE2). Planting is part of the QUERY (test
+    harness), not the stage — redact_pii itself is a pure map stage."""
+    import numpy as np
+
+    from ..stages.analyze import redact_pii
+
+    def plant(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ids_str = did.astype("U20")
+        email_sfx = np.where(
+            did % 11 == 0,
+            np.char.add(
+                np.char.add(" Contact user", ids_str), "@example.com now."
+            ),
+            "",
+        )
+        phone_sfx = np.where(
+            did % 13 == 0, " Call 555-0123 or visit 10.0.0.1 today.", ""
+        )
+        sfx = pa.array(np.char.add(email_sfx, phone_sfx).tolist(), pa.string())
+        text = pc.binary_join_element_wise(b.column("text"), sfx, "")
+        return pa.table({"doc_id": b.column("doc_id"), "text": text})
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    return redact_pii(docs)

@@ -53,6 +53,9 @@ _PREFIX = [
     "dedup_clusters",
     "dedup_incremental",
     "b18b_hll_distinct",
+    "b36_running_sum",
+    "b37_cdc_diff",
+    "text_pii_redact",
     # 3 — rows-only, never driver-run
     "sim_ann_ivf",
     "dedup_clean_corpus",
@@ -87,10 +90,7 @@ _PREFIX = [
     "text_analysis",
     "b18_approx_distinct",
     # 7 — proven oracle-backed fill
-    "text_stats",
     "q01_pricing_summary",
-    "b28_knn",
-    "b15_global_agg",
 ]
 assert len(_PREFIX) == SWEEP_CAP, len(_PREFIX)
 

@@ -2363,3 +2363,180 @@ def b15c_grouped_quantiles(sf_dir: str) -> pa.Table:
             {"l_returnflag": flag, "median_qty": q_cont(0.5), "p90_qty": q_cont(0.9), "n": n}
         )
     return pa.Table.from_pylist(rows)
+
+
+# ------------------- B36: running total (cumulative window function)
+
+@register(
+    "b36_running_sum",
+    """SELECT user_id, event_id,
+              SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS cum_cents
+       FROM events""",
+)
+def b36_running_sum(sf_dir: str) -> ray.data.Dataset:
+    """Cumulative running total per user — the UNBOUNDED PRECEDING
+    window frame (vs b26 tumbling, b26b sliding, b34 LAG, b35 NTILE).
+    Same co-shuffle shape as b34: shard on user_id % SHARDS, one
+    map_groups call per shard, sort by (user_id, ts, event_id) inside,
+    then a single np.cumsum with per-user resets via cumsum-of-run-base
+    subtraction (no Python loop over keys). Values are summed as exact
+    integer cents (DuckDB round() is half-away-from-zero; mirrored by
+    _round_half_away) so the running total is order-independent-exact
+    and hash-matches the oracle bit-for-bit."""
+    from ..stages.dedup import SHARDS
+
+    def tag(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("user_id"), pa.int64())
+        val = b.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        cents = _round_half_away(val * 100.0, 0).astype(np.int64)
+        return pa.table(
+            {
+                "shard": _key_shard(key, SHARDS),
+                "user_id": key,
+                "event_id": b.column("event_id"),
+                "ts": b.column("ts"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def cum_shard(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "cum_cents": pa.array([], pa.int64()),
+            }
+        )
+        n = group.num_rows
+        if n == 0:
+            return empty
+        uid = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = group.column("ts").combine_chunks().to_numpy(zero_copy_only=False)
+        cents = group.column("cents").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, cents = uid[order], eid[order], cents[order]
+        total = np.cumsum(cents)
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        # cumulative BEFORE each user's first row, broadcast down the run
+        # (repeat, not accumulate: cents may be negative, so `total` is
+        # not monotone)
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, n])
+        base = np.repeat(total[starts] - cents[starts], lens)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "cum_cents": pa.array(total - base, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(cum_shard, batch_format="pyarrow")
+    )
+
+
+# ------------------- B37: CDC snapshot diff (change data capture)
+
+@register(
+    "b37_cdc_diff",
+    """WITH old AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+       ),
+       new AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN text || ' [rev2]'
+                       ELSE text END AS text
+           FROM documents WHERE doc_id % 5 <> 0
+       )
+       SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.doc_id IS NULL THEN 'added'
+                   WHEN n.doc_id IS NULL THEN 'removed'
+                   ELSE 'changed' END AS status
+       FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+       WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text""",
+)
+def b37_cdc_diff(sf_dir: str) -> ray.data.Dataset:
+    """Change-data-capture between two corpus snapshots: added / removed
+    / changed doc ids. The two snapshots are derived deterministically
+    from `documents` (old = doc_id % 7 != 0 with original text; new =
+    doc_id % 5 != 0 with text amended when doc_id % 3 == 0) so the
+    oracle can build the identical pair in SQL.
+
+    Scale shape: the payload NEVER enters the shuffle — each side maps
+    to (doc_id, side, fingerprint) where fingerprint is a 64-bit stable
+    content hash, then one co-shuffle on doc_id % SHARDS classifies
+    every key vectorized (one Python call per shard, not per doc).
+    At 100 TB this moves 24 bytes/doc instead of the document bodies;
+    a full-outer Dataset.join of the raw snapshots would move the
+    corpus twice."""
+    from ..functions.hashing import polars_u64
+    from ..stages.dedup import SHARDS
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fingerprint(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        text = b.column("text")
+        amended = pc.binary_join_element_wise(text, pa.scalar(" [rev2]"), "")
+        h_old = polars_u64(text).astype(np.int64)
+        h_new = np.where(
+            did % 3 == 0, polars_u64(amended).astype(np.int64), h_old
+        )
+        in_old = did % 7 != 0
+        in_new = did % 5 != 0
+        ids = np.r_[did[in_old], did[in_new]]
+        return pa.table(
+            {
+                "shard": pa.array((ids % SHARDS).astype(np.int32), pa.int32()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "side": pa.array(
+                    np.r_[
+                        np.zeros(int(in_old.sum()), np.int8),
+                        np.ones(int(in_new.sum()), np.int8),
+                    ],
+                    pa.int8(),
+                ),
+                "h": pa.array(np.r_[h_old[in_old], h_new[in_new]], pa.int64()),
+            }
+        )
+
+    def classify(group: pa.Table) -> pa.Table:
+        did = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        side = group.column("side").combine_chunks().to_numpy(zero_copy_only=False)
+        h = group.column("h").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, did))
+        did, side, h = did[order], side[order], h[order]
+        n = len(did)
+        first = np.r_[True, did[1:] != did[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, n])
+        # each doc appears at most once per side: len 1 → one-sided,
+        # len 2 → both sides (sorted old-then-new)
+        one = starts[lens == 1]
+        both = starts[lens == 2]
+        changed = both[h[both] != h[both + 1]]
+        ids = np.r_[did[one], did[changed]]
+        status = np.r_[
+            np.where(side[one] == 1, "added", "removed"),
+            np.full(len(changed), "changed", dtype=object),
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "status": pa.array(status.astype(object), pa.string()),
+            }
+        )
+
+    return (
+        docs.map_batches(fingerprint, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(classify, batch_format="pyarrow")
+    )

@@ -256,3 +256,41 @@ def decontaminate(
         )
 
     return ds.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------- PII redaction (training-data scrubbing)
+
+# RE2-only syntax: identical engines on both sides of the oracle
+# (Arrow's replace_substring_regex and DuckDB's regexp_replace are both
+# RE2), so the redacted text is bytes-exact comparable. Order matters:
+# emails first (their local/domain parts contain digit runs an IP or
+# phone pattern could eat), then IPs, then phones.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch PII scrub: counts each category on the ORIGINAL text,
+    then rewrites sequentially. Pure-Arrow (RE2 kernels) — no Python
+    row loop; safe as a plain task-pool map_batches stage."""
+    import pyarrow.compute as pc
+
+    text = batch.column("text")
+    cols: dict = {"doc_id": batch.column("doc_id")}
+    for name, pat, _ in PII_PATTERNS:
+        cols[f"n_{name}s"] = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+    for _, pat, repl in PII_PATTERNS:
+        text = pc.replace_substring_regex(text, pattern=pat, replacement=repl)
+    cols["clean_text"] = text
+    return pa.table(cols)
+
+
+def redact_pii(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """PII redaction over a (doc_id, text) corpus — emails, IPv4s, US
+    short phone numbers → typed placeholders, with per-doc match counts
+    for audit. Stateless and streaming: at 100 TB this is a pure
+    map-only stage, no shuffle."""
+    return ds.map_batches(redact_pii_batch, batch_format="pyarrow", zero_copy_batch=True)
