@@ -524,3 +524,62 @@ def text_pii_redact(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
     return redact_pii(docs)
+
+
+@register(
+    "data_mix_weighted",
+    """SELECT doc_id, source
+       FROM documents
+       WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+             < CAST(((CAST(substr(source, 4, 8) AS BIGINT) % 4) + 1)
+                    * 1073741824 AS HUGEINT)""",
+)
+def data_mix_weighted(sf_dir: str) -> ray.data.Dataset:
+    """Training-data MIXING: deterministic per-source subsampling at a
+    per-source rate (here derived from the source id: 25/50/75/100 %)
+    via a Knuth multiplicative hash of the doc key compared against an
+    integer threshold — the standard reproducible-mixture op for
+    assembling a training corpus from heterogeneous sources.
+
+    Scale shape: pure map-only filter, no shuffle, no RNG state; the
+    same doc always makes the same decision on any cluster size, so
+    re-runs and resumes are idempotent. Exact-integer oracle (no float
+    rate comparison): hash and threshold are both integers below 2^32."""
+
+    def mix(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        # Knuth multiplicative hash in uint64; doc_id < 2^32 so the
+        # product never wraps before the mod
+        h = (did.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        srcnum = pc.cast(
+            pc.utf8_slice_codeunits(b.column("source"), 3, 11), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        thr = ((srcnum % 4 + 1).astype(np.uint64)) * np.uint64(1 << 30)
+        keep = pa.array(h < thr)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").filter(keep),
+                "source": b.column("source").filter(keep),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(mix, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("text_pack_sequences", None)
+def text_pack_sequences(sf_dir: str) -> ray.data.Dataset:
+    """Sequence packing (training-batch assembly): docs → 512-token
+    context-window bins via shard-local best-fit-decreasing. Rows-only
+    driver check; the packing invariants (every doc exactly once, no
+    bin over budget, fill factor) are asserted in tests/test_pack.py."""
+    from ..stages.pack import pack_sequences
+
+    return pack_sequences(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        budget=512,
+        shards=8,  # harness corpora are small; at 100 TB track cluster size
+    )

@@ -56,6 +56,9 @@ _PREFIX = [
     "b36_running_sum",
     "b37_cdc_diff",
     "text_pii_redact",
+    "data_mix_weighted",
+    "text_pack_sequences",
+    "b15d_approx_quantiles",
     # 3 — rows-only, never driver-run
     "sim_ann_ivf",
     "dedup_clean_corpus",
@@ -85,10 +88,7 @@ _PREFIX = [
     "kg_eval_prf",
     "dedup_minhash_pairs",
     "dedup_drop_list",
-    "sim_ann_lsh",
-    "media_refs",
     "text_analysis",
-    "b18_approx_distinct",
     # 7 — proven oracle-backed fill
     "q01_pricing_summary",
 ]

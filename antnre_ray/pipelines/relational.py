@@ -2540,3 +2540,42 @@ def b37_cdc_diff(sf_dir: str) -> ray.data.Dataset:
         .groupby("shard")
         .map_groups(classify, batch_format="pyarrow")
     )
+
+
+# ------------------- B15d: approx quantiles (mergeable CDF sketch)
+
+@register("b15d_approx_quantiles", None)  # approximate → rows-only; tolerance
+def b15d_approx_quantiles(sf_dir: str) -> pa.Table:  # tested vs exact in tests/
+    """Approximate p50/p90/p99 of l_extendedprice via the mergeable
+    compressed-CDF sketch (functions/sketch.py): each batch compresses
+    to 256 weighted points (4 KB), merged + recompressed driver-side.
+    THE scale path for quantiles — b15b/b15c's exact histograms need
+    bounded distinct values, this bounds only rank error (≲1 % at two
+    merge levels). At 100 TB the partials would tree-merge through one
+    intermediate groupby level instead of a flat driver merge."""
+    from ..functions.sketch import quantile_merge, quantile_partial, quantile_query
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b.column("l_extendedprice")
+        vals = (col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col).to_numpy(
+            zero_copy_only=False
+        )
+        sk = quantile_partial(vals)
+        return pa.table(
+            {"sketch": pa.array([sk.reshape(-1).tolist()], pa.list_(pa.float64()))}
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    sketches = [np.asarray(p["sketch"], dtype=np.float64).reshape(-1, 2) for p in parts]
+    merged = quantile_merge(sketches)
+    return pa.table(
+        {
+            "p50_price": pa.array([quantile_query(merged, 0.50)], pa.float64()),
+            "p90_price": pa.array([quantile_query(merged, 0.90)], pa.float64()),
+            "p99_price": pa.array([quantile_query(merged, 0.99)], pa.float64()),
+        }
+    )

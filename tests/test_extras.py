@@ -456,3 +456,43 @@ def test_incremental_dedup_finds_planted_sources(sf001):
     t2 = dedup_incremental(sf001)
     pairs2 = set(zip(t2.column("doc_a").to_pylist(), t2.column("doc_b").to_pylist()))
     assert pairs == pairs2
+
+
+def test_approx_quantile_sketch_accuracy(ray_session, sf001):
+    """Merged-sketch quantiles within 2% RELATIVE rank error of exact
+    (the sketch bounds rank error; translate via the local density)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from antnre_ray.functions.sketch import (
+        quantile_merge,
+        quantile_partial,
+        quantile_query,
+    )
+
+    vals = (
+        pq.read_table(f"{sf001}/lineitem.parquet", columns=["l_extendedprice"])
+        .column("l_extendedprice")
+        .to_numpy(zero_copy_only=False)
+    )
+    rng = np.random.default_rng(0)
+    order = rng.permutation(len(vals))
+    chunks = np.array_split(vals[order], 13)
+    merged = quantile_merge([quantile_partial(c) for c in chunks])
+    svals = np.sort(vals)
+    for q in (0.5, 0.9, 0.99):
+        est = quantile_query(merged, q)
+        # rank of the estimate vs the target rank
+        rank = np.searchsorted(svals, est) / len(svals)
+        assert abs(rank - q) < 0.02, (q, est, rank)
+
+
+def test_quantile_sketch_merge_weight_exact(ray_session):
+    import numpy as np
+
+    from antnre_ray.functions.sketch import quantile_merge, quantile_partial
+
+    a = np.arange(10_000, dtype=np.float64)
+    parts = [quantile_partial(c) for c in np.array_split(a, 7)]
+    merged = quantile_merge(parts)
+    assert abs(merged[:, 1].sum() - 10_000) < 1e-6
