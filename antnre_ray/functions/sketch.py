@@ -145,3 +145,39 @@ def quantile_query(sketch: np.ndarray, q: float) -> float:
     cum = np.cumsum(w) - w / 2
     target = q * w.sum()
     return float(np.interp(target, cum, v))
+
+
+# ------------------- Bloom filter (join prefilter / membership)
+
+def bloom_build(
+    keys: np.ndarray, n_bits: int = 1 << 20, n_hashes: int = 5, seed: int = 42
+) -> np.ndarray:
+    """Bit array (packed uint64) with each key set by n_hashes probes.
+    Double hashing h1 + i*h2 over the key's u64 hash — the standard
+    Kirsch-Mitzenmacher construction, fully vectorized. At the default
+    1 Mbit / 5 hashes, false-positive rate ≈ 0.6 % at 100k keys."""
+    h = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ np.uint64(seed)
+    h1 = h >> np.uint64(32)
+    h2 = (h & np.uint64(0xFFFFFFFF)) | np.uint64(1)
+    bits = np.zeros(n_bits // 64, dtype=np.uint64)
+    for i in range(n_hashes):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+        np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    return bits
+
+
+def bloom_contains(
+    bits: np.ndarray, keys: np.ndarray, n_hashes: int = 5, seed: int = 42
+) -> np.ndarray:
+    """Vectorized membership probe; no false negatives."""
+    n_bits = len(bits) * 64
+    h = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ np.uint64(seed)
+    h1 = h >> np.uint64(32)
+    h2 = (h & np.uint64(0xFFFFFFFF)) | np.uint64(1)
+    hit = np.ones(len(keys), dtype=bool)
+    for i in range(n_hashes):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+        word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+    return hit

@@ -583,3 +583,16 @@ def text_pack_sequences(sf_dir: str) -> ray.data.Dataset:
         budget=512,
         shards=8,  # harness corpora are small; at 100 TB track cluster size
     )
+
+
+@register("text_bm25_search", None)
+def text_bm25_search(sf_dir: str) -> pa.Table:
+    """BM25 lexical top-10 over documents for a fixed probe query —
+    rows-only driver check; scoring parity vs a brute-force reference
+    and planted-relevant-doc ranking are asserted in tests."""
+    from ..stages.search import bm25_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bm25_topk(docs, "data processing pipeline", k=10)

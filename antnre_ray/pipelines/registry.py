@@ -59,6 +59,9 @@ _PREFIX = [
     "data_mix_weighted",
     "text_pack_sequences",
     "b15d_approx_quantiles",
+    "b13d_bloom_semi_join",
+    "b38_unpivot",
+    "text_bm25_search",
     # 3 — rows-only, never driver-run
     "sim_ann_ivf",
     "dedup_clean_corpus",
@@ -86,9 +89,6 @@ _PREFIX = [
     "kg_triples",
     # 6 — rows-only family representatives (r02-proven)
     "kg_eval_prf",
-    "dedup_minhash_pairs",
-    "dedup_drop_list",
-    "text_analysis",
     # 7 — proven oracle-backed fill
     "q01_pricing_summary",
 ]

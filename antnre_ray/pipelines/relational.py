@@ -2579,3 +2579,98 @@ def b15d_approx_quantiles(sf_dir: str) -> pa.Table:  # tested vs exact in tests/
             "p99_price": pa.array([quantile_query(merged, 0.99)], pa.float64()),
         }
     )
+
+
+# ------------------- B13d: bloom-prefiltered co-partition semi join
+
+@register(
+    "b13d_bloom_semi_join",
+    """SELECT l_orderkey, l_extendedprice FROM lineitem
+       WHERE l_orderkey IN
+             (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)""",
+)
+def b13d_bloom_semi_join(sf_dir: str) -> ray.data.Dataset:
+    """Large-large SEMI join with a broadcast BLOOM prefilter: the
+    selective build side (orders > 400k, ~2 % of orders) compresses to
+    a 128 KB bit array shipped once via ray.put; probe batches drop
+    non-members BEFORE the key shuffle (no false negatives, ~0.6 %
+    false positives), then the exact co-partition semi join runs on
+    the survivors only. Result is EXACTLY the plain semi join (the
+    oracle) — the bloom stage changes shuffle volume, never answers.
+    At 100 TB this is the difference between shuffling the full fact
+    table and shuffling ~2 % of it; the filter stays node-local shared
+    memory on every worker."""
+    from ..functions.sketch import bloom_build, bloom_contains
+
+    orders = _read_small(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    build = orders.filter(pc.greater(orders.column("o_totalprice"), 400000.0))
+    build_keys = build.column("o_orderkey").combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    bits_ref = ray.put(bloom_build(build_keys.astype(np.uint64)))
+
+    class BloomProbe:
+        def __init__(self, ref):
+            self.bits = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b.column("l_orderkey").combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            hit = bloom_contains(self.bits, keys.astype(np.uint64))
+            return b.filter(pa.array(hit))
+
+    survivors = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]).map_batches(
+        BloomProbe,
+        fn_constructor_args=(bits_ref,),
+        concurrency=(1, 4),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    build_ds = ray.data.from_arrow(
+        build.select(["o_orderkey"]).rename_columns(["l_orderkey"])
+    )
+    return survivors.join(
+        build_ds,
+        join_type="left_semi",
+        num_partitions=_join_partitions(),
+        on=("l_orderkey",),
+    )
+
+
+# ------------------- B38: unpivot / melt (inverse of B31 pivot)
+
+@register(
+    "b38_unpivot",
+    """SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+       FROM lineitem
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+       FROM lineitem
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem""",
+)
+def b38_unpivot(sf_dir: str) -> ray.data.Dataset:
+    """Wide → long melt: three metric columns become (metric, val)
+    rows. Pure per-batch Arrow concat (each batch melts locally — the
+    op is map-only, output 3× rows but no shuffle), the inverse shape
+    of b31's pivot."""
+    metrics = [("quantity", "l_quantity"), ("extendedprice", "l_extendedprice"), ("discount", "l_discount")]
+
+    def melt(b: pa.Table) -> pa.Table:
+        parts = [
+            pa.table(
+                {
+                    "l_orderkey": b.column("l_orderkey"),
+                    "l_linenumber": b.column("l_linenumber"),
+                    "metric": pa.array([name] * b.num_rows, pa.string()),
+                    "val": pc.cast(b.column(col), pa.float64()),
+                }
+            )
+            for name, col in metrics
+        ]
+        return pa.concat_tables(parts)
+
+    return _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
