@@ -44,6 +44,8 @@ QUERY_SET = [
     "dedup_minhash_pairs",
     "text_stats",
     "text_decontaminate",
+    "text_pii_redact",
+    "b13d_bloom_semi_join",
 ]
 
 
