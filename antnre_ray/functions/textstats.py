@@ -105,3 +105,45 @@ def winnow_fingerprint(text: str, k: int = 8, window: int = 4) -> list[int]:
     w = sliding_window_view(h, window)
     mins = w.min(axis=1)
     return sorted(set(int(x) for x in np.unique(mins)))
+
+
+def repetition_stats(text: str) -> tuple[float, float, float]:
+    """Gopher-style repetition signals for one document:
+    (dup_line_frac, top_2gram_frac, max_token_run_frac).
+
+    - dup_line_frac: fraction of non-empty lines that repeat an
+      earlier line verbatim.
+    - top_2gram_frac: fraction of tokens covered by the single most
+      frequent token 2-gram.
+    - max_token_run_frac: longest run of one repeated token over the
+      token count.
+    Per-doc scalar pass (intrinsic, like detect_language): the cost is
+    one split + one dict sweep per doc; the distributed stage stays a
+    map-only batch op."""
+    lines = [ln for ln in (s.strip() for s in text.splitlines()) if ln]
+    if lines:
+        seen: set[str] = set()
+        dups = 0
+        for ln in lines:
+            if ln in seen:
+                dups += 1
+            seen.add(ln)
+        dup_line_frac = dups / len(lines)
+    else:
+        dup_line_frac = 0.0
+    toks = text.split()
+    n = len(toks)
+    if n < 2:
+        return dup_line_frac, 0.0, 0.0
+    grams: dict[tuple[str, str], int] = {}
+    for pair in zip(toks, toks[1:]):
+        grams[pair] = grams.get(pair, 0) + 1
+    top = max(grams.values())
+    top_2gram_frac = (2 * top) / n if top > 1 else 0.0
+    best = run = 1
+    for a, b in zip(toks, toks[1:]):
+        run = run + 1 if a == b else 1
+        if run > best:
+            best = run
+    max_run_frac = best / n if best > 1 else 0.0
+    return dup_line_frac, top_2gram_frac, max_run_frac

@@ -596,3 +596,110 @@ def text_bm25_search(sf_dir: str) -> pa.Table:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return bm25_topk(docs, "data processing pipeline", k=10)
+
+
+@register(
+    "text_url_domains",
+    """WITH t AS (
+           SELECT doc_id,
+                  text || CASE WHEN doc_id % 9 = 0
+                               THEN ' See https://site' || (doc_id % 5)
+                                    || '.example.org/page' || doc_id
+                                    || ' for details.'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 27 = 0
+                               THEN ' Mirror: http://mirror.example.net/' || doc_id
+                               ELSE '' END AS text
+           FROM documents
+       ),
+       u AS (
+           SELECT doc_id,
+                  unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+')) AS url
+           FROM t
+       )
+       SELECT regexp_replace(url, '^https?://', '') AS domain,
+              count(*) AS n_urls,
+              count(DISTINCT doc_id) AS n_docs
+       FROM u GROUP BY domain""",
+)
+def text_url_domains(sf_dir: str) -> ray.data.Dataset:
+    """URL extraction + per-domain rollup (the provenance-audit op for
+    a web corpus). URLs are planted deterministically (the synthetic
+    corpus has none) so the oracle can plant identically. Extraction is
+    vectorized via polars str.extract_all over the Arrow column
+    (zero-copy in); each batch pre-aggregates (domain, doc_id) pair
+    counts — the combiner — so the shuffle carries pair counts, never
+    URLs; a final two-level groupby yields n_urls + distinct-doc
+    counts. At 100 TB the shuffled key space is |domains × docs-that-
+    cite-them|, orders of magnitude under the URL mention count."""
+    import polars as pl
+
+    def extract(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ids_str = did.astype("U20")
+        sfx1 = np.where(
+            did % 9 == 0,
+            np.char.add(
+                np.char.add(
+                    np.char.add(" See https://site", (did % 5).astype("U1")),
+                    np.char.add(".example.org/page", ids_str),
+                ),
+                " for details.",
+            ),
+            "",
+        )
+        sfx2 = np.where(
+            did % 27 == 0,
+            np.char.add(" Mirror: http://mirror.example.net/", ids_str),
+            "",
+        )
+        sfx = pa.array(np.char.add(sfx1, sfx2).tolist(), pa.string())
+        text = pc.binary_join_element_wise(b.column("text"), sfx, "")
+        s = pl.from_arrow(text)
+        urls = s.str.extract_all(r"https?://[A-Za-z0-9.-]+")
+        frame = pl.DataFrame({"doc_id": pl.from_arrow(pa.chunked_array([pa.array(did, pa.int64())])), "url": urls})
+        frame = frame.explode("url").drop_nulls("url")
+        frame = frame.with_columns(
+            pl.col("url").str.replace(r"^https?://", "").alias("domain")
+        )
+        pairs = frame.group_by(["domain", "doc_id"]).agg(pl.len().alias("n"))
+        t = pairs.to_arrow()
+        return pa.table(
+            {
+                "domain": pc.cast(t.column("domain"), pa.string()),
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    pairs = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["domain", "doc_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        g = b.group_by(["domain"]).aggregate([("n", "sum"), ("doc_id", "count")])
+        return g.rename_columns(["domain", "n_urls", "n_docs"])
+
+    return (
+        pairs.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("domain")
+        .aggregate(Sum("n_urls", alias_name="n_urls"), Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+@register("text_repetition_filter", None)
+def text_repetition_filter(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition quality gate — rows-only driver check;
+    planted repetitive docs are flag-tested in tests/test_extras.py."""
+    from ..stages.analyze import repetition_filter
+
+    return repetition_filter(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )

@@ -62,6 +62,10 @@ _PREFIX = [
     "b13d_bloom_semi_join",
     "b38_unpivot",
     "text_bm25_search",
+    "b11b_left_outer_join",
+    "b11c_full_outer_join",
+    "text_url_domains",
+    "text_repetition_filter",
     # 3 — rows-only, never driver-run
     "sim_ann_ivf",
     "dedup_clean_corpus",
@@ -74,12 +78,8 @@ _PREFIX = [
     "b26b_sliding_window",
     "b06b_regex_extract",
     "b15b_quantiles",
-    "b16b_string_agg",
-    "b16c_docs_by_source",
     "b23b_except",
     "b27b_topk_per_user",
-    "b10b_explode_tokens",
-    "b04b_null_semantics",
     # 5 — code paths changed in round 3 (shard-vectorized reducers,
     #     vectorized linker, canonicalize rewrite)
     "b14_asof_join",

@@ -2674,3 +2674,91 @@ def b38_unpivot(sf_dir: str) -> ray.data.Dataset:
     return _read(
         sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"]
     ).map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------- B11b/B11c: outer joins (left / full)
+
+@register(
+    "b11b_left_outer_join",
+    """SELECT o_orderkey, o_totalprice, l_linenumber, l_extendedprice
+       FROM orders o LEFT JOIN lineitem l
+         ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 45""",
+)
+def b11b_left_outer_join(sf_dir: str) -> ray.data.Dataset:
+    """LEFT OUTER hash join with a pushed-down probe-side predicate
+    (quantity > 45 keeps ~10% of lineitem, so most orders null-extend):
+    exercises null-producing join semantics plus filter-before-shuffle.
+    Same native Dataset.join shuffle as b11, width CPU/4."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("l_quantity"), 45.0))
+        return b.select(["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    probe = li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    j = orders.join(
+        probe,
+        join_type="left_outer",
+        num_partitions=_join_partitions(),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    return j.select_columns(["o_orderkey", "o_totalprice", "l_linenumber", "l_extendedprice"])
+
+
+@register(
+    "b11c_full_outer_join",
+    """WITH hi AS (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_totalprice > 300000),
+         r AS (SELECT l_orderkey, sum(l_quantity) AS ret_qty FROM lineitem
+               WHERE l_returnflag = 'R' GROUP BY l_orderkey)
+       SELECT COALESCE(hi.o_orderkey, r.l_orderkey) AS orderkey,
+              o_totalprice, ret_qty
+       FROM hi FULL OUTER JOIN r ON hi.o_orderkey = r.l_orderkey""",
+)
+def b11c_full_outer_join(sf_dir: str) -> ray.data.Dataset:
+    """FULL OUTER join of two derived sides (high-value orders vs
+    returned-quantity rollup) — rows survive from BOTH unmatched sides.
+    The returned-qty side pre-aggregates per batch before its groupby
+    (combiner), then one native full_outer shuffle; the COALESCEd key
+    is computed per batch after the join (map-only)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def hi_pre(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b.column("o_totalprice"), 300000.0))
+
+    hi = orders.map_batches(hi_pre, batch_format="pyarrow", zero_copy_batch=True)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
+
+    def r_pre(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        g = b.group_by(["l_orderkey"]).aggregate([("l_quantity", "sum")])
+        return g.rename_columns(["l_orderkey", "ret_qty"])
+
+    r = (
+        li.map_batches(r_pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("ret_qty", alias_name="ret_qty"))
+    )
+    j = hi.join(
+        r,
+        join_type="full_outer",
+        num_partitions=_join_partitions(),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        # Dataset.join(full_outer) already COALESCEs the key pair into
+        # the left key column, so only a rename remains
+        return pa.table(
+            {
+                "orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+                "o_totalprice": b.column("o_totalprice"),
+                "ret_qty": b.column("ret_qty"),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -294,3 +294,40 @@ def redact_pii(ds: ray.data.Dataset) -> ray.data.Dataset:
     for audit. Stateless and streaming: at 100 TB this is a pure
     map-only stage, no shuffle."""
     return ds.map_batches(redact_pii_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------- repetition / boilerplate quality gate
+
+# Gopher-style rejection thresholds
+REP_DUP_LINE_MAX = 0.30
+REP_TOP_2GRAM_MAX = 0.20
+REP_TOKEN_RUN_MAX = 0.20
+
+
+def repetition_filter_batch(batch: pa.Table) -> pa.Table:
+    from ..functions.textstats import repetition_stats
+
+    texts = batch.column("text").to_pylist()
+    stats = [repetition_stats(t or "") for t in texts]
+    dup = np.array([s[0] for s in stats])
+    gram = np.array([s[1] for s in stats])
+    run = np.array([s[2] for s in stats])
+    flagged = (dup > REP_DUP_LINE_MAX) | (gram > REP_TOP_2GRAM_MAX) | (run > REP_TOKEN_RUN_MAX)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "dup_line_frac": pa.array(dup, pa.float64()),
+            "top_2gram_frac": pa.array(gram, pa.float64()),
+            "max_token_run_frac": pa.array(run, pa.float64()),
+            "flagged": pa.array(flagged),
+        }
+    )
+
+
+def repetition_filter(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Repetition/boilerplate quality gate (the Gopher quality-rule
+    family): per-doc duplicate-line, dominant-2-gram and token-run
+    fractions with a flag at the standard thresholds. Map-only."""
+    return ds.map_batches(
+        repetition_filter_batch, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -496,3 +496,26 @@ def test_quantile_sketch_merge_weight_exact(ray_session):
     parts = [quantile_partial(c) for c in np.array_split(a, 7)]
     merged = quantile_merge(parts)
     assert abs(merged[:, 1].sum() - 10_000) < 1e-6
+
+
+def test_repetition_filter_flags_planted_docs(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from antnre_ray.stages.analyze import repetition_filter
+
+    rows = [
+        {"doc_id": 1, "text": "a perfectly normal sentence with varied words here"},
+        {"doc_id": 2, "text": "spam spam spam spam spam spam spam spam spam spam"},
+        {"doc_id": 3, "text": "line one\nline two\nline one\nline two\nline one"},
+        {"doc_id": 4, "text": "buy now " * 30},
+        {"doc_id": 5, "text": ""},
+    ]
+    out = pa.Table.from_pylist(
+        repetition_filter(ray.data.from_arrow(pa.Table.from_pylist(rows))).take_all()
+    ).to_pandas().set_index("doc_id").sort_index()
+    assert not out.loc[1].flagged
+    assert out.loc[2].flagged  # token run
+    assert out.loc[3].flagged  # duplicate lines
+    assert out.loc[4].flagged  # dominant 2-gram
+    assert not out.loc[5].flagged  # empty is not "repetitive"
