@@ -66,6 +66,7 @@ _PREFIX = [
     "b11c_full_outer_join",
     "text_url_domains",
     "text_repetition_filter",
+    "b39_cross_join",
     # 3 — rows-only, never driver-run
     "sim_ann_ivf",
     "dedup_clean_corpus",
@@ -89,8 +90,8 @@ _PREFIX = [
     "kg_triples",
     # 6 — rows-only family representatives (r02-proven)
     "kg_eval_prf",
-    # 7 — proven oracle-backed fill
-    "q01_pricing_summary",
+    # 7 — proven oracle-backed fill: none — every slot is spent on
+    #     un- or once-verified entries; q01 etc. stay gated by tests.
 ]
 assert len(_PREFIX) == SWEEP_CAP, len(_PREFIX)
 

@@ -2762,3 +2762,106 @@ def b11c_full_outer_join(sf_dir: str) -> ray.data.Dataset:
         )
 
     return j.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------- B15e: grouped approx quantiles (sketch per group)
+
+@register("b15e_grouped_approx_quantiles", None)  # approximate → rows-only
+def b15e_grouped_approx_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Per-group approximate p50/p90 via the mergeable CDF sketch,
+    composed with groupby: each batch emits one 4 KB sketch per
+    (group, batch) — the combiner — and map_groups merges per group.
+    Unlike b15c's exact histogram (shuffle size = distinct values),
+    the shuffle here is sketches × blocks regardless of value
+    cardinality — the grouped-quantile shape that survives continuous
+    value domains at 100 TB. Accuracy vs exact grouped order
+    statistics is asserted in tests."""
+    from ..functions.sketch import quantile_merge, quantile_partial, quantile_query
+
+    def partial(b: pa.Table) -> pa.Table:
+        # sort by flag and sketch each equal-key run in numpy — the
+        # flag loop runs once per DISTINCT flag in the batch (3 here),
+        # values never become Python objects
+        flag_col = b.column("l_returnflag").combine_chunks()
+        codes = pc.index_in(flag_col, value_set=flag_col.unique()).to_numpy(
+            zero_copy_only=False
+        )
+        price = b.column("l_extendedprice").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        order = np.argsort(codes, kind="stable")
+        codes, price = codes[order], price[order]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], len(codes)]
+        uniq = flag_col.unique()
+        flags, sketches = [], []
+        for s, e in zip(starts, ends):
+            flags.append(uniq[codes[s]].as_py())
+            sketches.append(quantile_partial(price[s:e]).reshape(-1).tolist())
+        return pa.table(
+            {
+                "l_returnflag": pa.array(flags, pa.string()),
+                "sketch": pa.array(sketches, pa.list_(pa.float64())),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        sketches = [
+            np.asarray(s, dtype=np.float64).reshape(-1, 2)
+            for s in group.column("sketch").to_pylist()
+        ]
+        merged = quantile_merge(sketches)
+        return pa.table(
+            {
+                "l_returnflag": pa.array([group.column("l_returnflag")[0].as_py()], pa.string()),
+                "p50_price": pa.array([quantile_query(merged, 0.5)], pa.float64()),
+                "p90_price": pa.array([quantile_query(merged, 0.9)], pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+# ------------------- B39: cross join (small × small)
+
+@register(
+    "b39_cross_join",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation""",
+)
+def b39_cross_join(sf_dir: str) -> ray.data.Dataset:
+    """Cartesian product with a BROADCAST side: the small side ships
+    once via ray.put and each batch expands locally (repeat × tile) —
+    never a shuffle. Only sane when one side is dimension-sized; the
+    batch-local expansion keeps output blocks bounded by
+    |batch| × |small|."""
+    region = _read_small(sf_dir, "region", ["r_name"])
+    r_ref = ray.put(region.column("r_name").combine_chunks())
+
+    class Cross:
+        def __init__(self, ref):
+            self.r = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = len(self.r)
+            n = b.num_rows
+            idx_n = pa.array(np.repeat(np.arange(n), k))
+            idx_r = pa.array(np.tile(np.arange(k), n))
+            return pa.table(
+                {
+                    "r_name": self.r.take(idx_r),
+                    "n_name": b.column("n_name").combine_chunks().take(idx_n),
+                }
+            )
+
+    return _read(sf_dir, "nation", ["n_name"]).map_batches(
+        Cross,
+        fn_constructor_args=(r_ref,),
+        concurrency=(1, 4),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

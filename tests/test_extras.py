@@ -519,3 +519,25 @@ def test_repetition_filter_flags_planted_docs(ray_session):
     assert out.loc[3].flagged  # duplicate lines
     assert out.loc[4].flagged  # dominant 2-gram
     assert not out.loc[5].flagged  # empty is not "repetitive"
+
+
+def test_grouped_approx_quantiles_accuracy(ray_session, sf001):
+    """b15e sketch quantiles within 2.5% rank error of exact per group."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from antnre_ray.pipelines.relational import b15e_grouped_approx_quantiles
+
+    got = pa.Table.from_pylist(
+        b15e_grouped_approx_quantiles(sf001).take_all()
+    ).to_pandas().set_index("l_returnflag")
+    tbl = pq.read_table(
+        f"{sf001}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    ).to_pandas()
+    for flag, grp in tbl.groupby("l_returnflag"):
+        vals = np.sort(grp.l_extendedprice.values)
+        for q, col in ((0.5, "p50_price"), (0.9, "p90_price")):
+            est = got.loc[flag, col]
+            rank = np.searchsorted(vals, est) / len(vals)
+            assert abs(rank - q) < 0.025, (flag, q, est, rank)
