@@ -181,3 +181,34 @@ def bloom_contains(
         word = bits[(pos >> np.uint64(6)).astype(np.int64)]
         hit &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
     return hit
+
+
+# ------------------- Misra-Gries heavy hitters (mergeable frequent items)
+
+MG_K = 64
+
+
+def mg_compress(items: np.ndarray, counts: np.ndarray, k: int = MG_K):
+    """Misra-Gries compression: keep at most k counters by subtracting
+    the (k+1)-th largest count from every counter and dropping the
+    non-positive ones. Any item's stored count underestimates its true
+    count by at most the total weight decremented, which across a whole
+    stream/merge tree is bounded by n/(k+1) (Agarwal et al. 2012,
+    "Mergeable summaries" — MG summaries merge by counter addition
+    followed by this same compression, preserving the bound)."""
+    if len(items) <= k:
+        return items, counts
+    order = np.argsort(counts)[::-1]
+    thresh = counts[order[k]]
+    kept = counts - thresh
+    mask = kept > 0
+    return items[mask], kept[mask]
+
+
+def mg_merge(partials: list[tuple[np.ndarray, np.ndarray]], k: int = MG_K):
+    """Merge MG partials: sum counters per item, then re-compress."""
+    items = np.concatenate([p[0] for p in partials])
+    counts = np.concatenate([p[1] for p in partials])
+    uniq, inv = np.unique(items, return_inverse=True)
+    summed = np.bincount(inv, weights=counts).astype(np.int64)
+    return mg_compress(uniq, summed, k)

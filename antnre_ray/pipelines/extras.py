@@ -703,3 +703,36 @@ def text_repetition_filter(sf_dir: str) -> ray.data.Dataset:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
     )
+
+
+@register(
+    "data_train_val_split",
+    """SELECT doc_id,
+              CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 10 < 8
+                   THEN 'train'
+                   WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 10 = 8
+                   THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents""",
+)
+def data_train_val_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic 80/10/10 train/val/test assignment: a Knuth
+    multiplicative hash of the doc key bucketed by its last decimal
+    digit — the reproducible-split op every training pipeline needs.
+    Pure map, no shuffle, no RNG state: the same doc lands in the same
+    split on any cluster size, under resume, and across corpus
+    re-shards (unlike ``ds.split_proportionately``, which is
+    partition-order-dependent). Exact-integer oracle, same hash family
+    as data_mix_weighted."""
+
+    def split(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        h = ((did.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)) % np.uint64(10)
+        out = np.where(h < 8, "train", np.where(h == 8, "val", "test"))
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "split": pa.array(out, pa.string())}
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(split, batch_format="pyarrow", zero_copy_batch=True)

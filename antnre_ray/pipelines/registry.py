@@ -67,6 +67,9 @@ _PREFIX = [
     "text_url_domains",
     "text_repetition_filter",
     "b39_cross_join",
+    "b40_global_row_number",
+    "b42_string_agg",
+    "data_train_val_split",
     # 3 — rows-only, never driver-run
     "sim_ann_ivf",
     "dedup_clean_corpus",
@@ -75,10 +78,9 @@ _PREFIX = [
     "kg_components",
     "kg_pagerank",
     "kg_adjacency_incremental",
-    # 4 — oracle-backed, verified in round 1 only
-    "b26b_sliding_window",
-    "b06b_regex_extract",
-    "b15b_quantiles",
+    # 4 — oracle-backed, verified in round 1 only (b26b/b06b/b15b were
+    #     also r1-verified but are code-unchanged since; they ceded their
+    #     slots to round-3 additions and stay gated by conformance tests)
     "b23b_except",
     "b27b_topk_per_user",
     # 5 — code paths changed in round 3 (shard-vectorized reducers,

@@ -2865,3 +2865,169 @@ def b39_cross_join(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# ------------------- B40: global row_number (range-partitioned rank)
+
+@register(
+    "b40_global_row_number",
+    """SELECT event_id,
+              ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+       FROM events""",
+)
+def b40_global_row_number(sf_dir: str) -> ray.data.Dataset:
+    """Globally-contiguous ROW_NUMBER over a total order — the classic
+    two-pass range-partitioned rank, never a single-node sort:
+
+    pass 1: per-bucket row counts (bucket = hour(ts), a grouped COUNT
+            whose result is #hours rows — driver-small at any data
+            scale) -> exclusive prefix offsets, broadcast;
+    pass 2: shuffle by bucket, sort each bucket locally, assign
+            offset[bucket] + local index.
+
+    Correctness is independent of bucket balance (any boundaries work
+    because buckets partition the sort order); balance only affects
+    parallelism, so production would derive boundaries from a quantile
+    sample of ts instead of fixed hour walls. Per-bucket memory is the
+    dial: narrow the bucket width if an hour of events outgrows a
+    worker."""
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        hours = pc.cast(
+            pc.floor_temporal(b.column("ts"), unit="hour"), pa.int64()
+        )
+        return b.append_column("bucket", hours)
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"]).map_batches(
+        bucketize, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = {
+        r["bucket"]: r["count()"]
+        for r in ev.groupby("bucket").count().take_all()
+    }
+    offsets, acc = {}, 0
+    for bkt in sorted(counts):
+        offsets[bkt] = acc
+        acc += counts[bkt]
+
+    def assign(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        base = offsets[g.column("bucket")[0].as_py()]
+        rn = np.empty(len(eid), dtype=np.int64)
+        rn[order] = base + 1 + np.arange(len(eid), dtype=np.int64)
+        return pa.table({"event_id": g.column("event_id"), "rn": pa.array(rn)})
+
+    return ev.groupby("bucket").map_groups(assign, batch_format="pyarrow")
+
+
+# ------------------- B41: heavy hitters (Misra-Gries mergeable sketch)
+
+@register("b41_heavy_hitters", None)  # approximate -> rows-only; bound in tests
+def b41_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Frequent-item (heavy hitter) sketch over l_partkey: per-batch
+    exact value_counts compressed to k=64 Misra-Gries counters (<=1 KB
+    per block), counter-addition merge driver-side. Every item with
+    true frequency > n/(k+1) is guaranteed reported, with count
+    underestimated by at most n/(k+1) — the bound tests assert. The
+    100-TB shape for top-k-frequent where an exact groupby would
+    shuffle every distinct key."""
+    from ..functions.sketch import MG_K, mg_compress, mg_merge
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b.column("l_partkey").combine_chunks())
+        items = vc.field("values").to_numpy(zero_copy_only=False)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        it, ct = mg_compress(items, counts)
+        return pa.table(
+            {
+                "items": pa.array([it.tolist()], pa.list_(pa.int64())),
+                "counts": pa.array([ct.tolist()], pa.list_(pa.int64())),
+                "n": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_partkey"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    items, est = mg_merge(
+        [
+            (np.asarray(p["items"], dtype=np.int64), np.asarray(p["counts"], dtype=np.int64))
+            for p in parts
+        ]
+    )
+    n = sum(p["n"] for p in parts)
+    order = np.argsort(est)[::-1]
+    return pa.table(
+        {
+            "l_partkey": pa.array(items[order], pa.int64()),
+            "est_count": pa.array(est[order], pa.int64()),
+            "max_underestimate": pa.array([n // (MG_K + 1) + 1] * len(items), pa.int64()),
+        }
+    )
+
+
+# ------------------- B42: grouped string_agg (ordered concat)
+
+@register(
+    "b42_string_agg",
+    """SELECT n_name,
+              string_agg(s_name, ',' ORDER BY s_name) AS members
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       GROUP BY n_name""",
+)
+def b42_string_agg(sf_dir: str) -> ray.data.Dataset:
+    """Ordered STRING_AGG per group: nation names broadcast (dimension
+    side never shuffles), suppliers shuffle once on the group key, one
+    sort + join per group. Grouped concat is inherently bounded by the
+    largest group's total string size — acceptable here because groups
+    are dimension-cardinality; for data-scale groups the answer itself
+    is the problem (emit a list column or cap with a LIMIT-per-group
+    instead)."""
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nmap_ref = ray.put(
+        dict(
+            zip(
+                nation.column("n_nationkey").to_pylist(),
+                nation.column("n_name").to_pylist(),
+            )
+        )
+    )
+
+    class AddNation:
+        def __init__(self, ref):
+            self.nmap = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b.column("s_nationkey").to_pylist()
+            return pa.table(
+                {
+                    "n_name": pa.array([self.nmap[k] for k in keys], pa.string()),
+                    "s_name": b.column("s_name"),
+                }
+            )
+
+    def concat(g: pa.Table) -> pa.Table:
+        names = np.sort(g.column("s_name").combine_chunks().to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "n_name": pa.array([g.column("n_name")[0].as_py()], pa.string()),
+                "members": pa.array([",".join(names)], pa.string()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_name"])
+        .map_batches(
+            AddNation,
+            fn_constructor_args=(nmap_ref,),
+            concurrency=(1, 4),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("n_name")
+        .map_groups(concat, batch_format="pyarrow")
+    )

@@ -541,3 +541,28 @@ def test_grouped_approx_quantiles_accuracy(ray_session, sf001):
             est = got.loc[flag, col]
             rank = np.searchsorted(vals, est) / len(vals)
             assert abs(rank - q) < 0.025, (flag, q, est, rank)
+
+
+def test_heavy_hitters_bound_and_coverage(ray_session, sf001):
+    """b41 MG estimates never exceed truth, underestimate within the
+    n/(k+1) bound, and every guaranteed-frequent item is reported."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from antnre_ray.pipelines.relational import b41_heavy_hitters
+
+    got = b41_heavy_hitters(sf001).to_pandas()
+    keys = pq.read_table(
+        f"{sf001}/lineitem.parquet", columns=["l_partkey"]
+    ).column("l_partkey").to_numpy()
+    vals, cnts = np.unique(keys, return_counts=True)
+    true = dict(zip(vals.tolist(), cnts.tolist()))
+    n = len(keys)
+    bound = got.max_underestimate.iloc[0]
+    assert bound >= n // 65  # k=64
+    for row in got.itertuples():
+        t = true[row.l_partkey]
+        assert row.est_count <= t, (row.l_partkey, row.est_count, t)
+        assert t - row.est_count <= bound
+    hot = {v for v, c in true.items() if c > bound}
+    assert hot <= set(got.l_partkey), hot - set(got.l_partkey)
