@@ -70,6 +70,9 @@ _PREFIX = [
     "b40_global_row_number",
     "b42_string_agg",
     "data_train_val_split",
+    "b11d_salted_skew_join",
+    "b21c_group_sample_bottomk",
+    "b44_group_mode",
     # 3 — rows-only, never driver-run
     "sim_ann_ivf",
     "dedup_clean_corpus",
@@ -87,11 +90,7 @@ _PREFIX = [
     #     vectorized linker, canonicalize rewrite)
     "b14_asof_join",
     "b27_sessionize",
-    "kg_entities",
     "kg_linked_triples",
-    "kg_triples",
-    # 6 — rows-only family representatives (r02-proven)
-    "kg_eval_prf",
     # 7 — proven oracle-backed fill: none — every slot is spent on
     #     un- or once-verified entries; q01 etc. stay gated by tests.
 ]

@@ -3031,3 +3031,202 @@ def b42_string_agg(sf_dir: str) -> ray.data.Dataset:
         .groupby("n_name")
         .map_groups(concat, batch_format="pyarrow")
     )
+
+
+# ------------------- B11d: salted shuffle join (hot-key mitigation)
+
+@register(
+    "b11d_salted_skew_join",
+    """SELECT o_orderkey, c_name
+       FROM orders JOIN customer ON o_custkey = c_custkey""",
+)
+def b11d_salted_skew_join(sf_dir: str, salts: int = 8) -> ray.data.Dataset:
+    """Skew-safe shuffle join: the probe side salts each row by a hash
+    of its OWN row key (so one hot join key fans out across `salts`
+    reducers instead of melting one), and the build side replicates
+    each row once per salt. Join on (key, salt) then drop the salt —
+    the answer is oracle-identical to the plain join; only the shuffle
+    layout changes. Cost model: build-side volume × salts, so salt
+    only when a key histogram (b41's MG sketch is the probe) shows
+    reducer-breaking heat; both TPC-H-ish sides here are uniform, the
+    query exists to keep the mechanism oracle-verified."""
+
+    def salt_probe(b: pa.Table) -> pa.Table:
+        okey = b.column("o_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+        s = ((okey.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)) % np.uint64(salts)
+        return b.append_column("salt", pa.array(s.astype(np.int64)))
+
+    def replicate_build(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        idx = pa.array(np.tile(np.arange(n), salts))
+        rep = b.take(idx)
+        return rep.append_column(
+            "salt", pa.array(np.repeat(np.arange(salts, dtype=np.int64), n))
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        salt_probe, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        replicate_build, batch_format="pyarrow", zero_copy_batch=True
+    )
+    j = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("o_custkey", "salt"),
+        right_on=("c_custkey", "salt"),
+    )
+    return j.select_columns(["o_orderkey", "c_name"])
+
+
+# ------------------- B21c: deterministic per-group sample (bottom-k by hash)
+
+@register(
+    "b21c_group_sample_bottomk",
+    """SELECT o_orderstatus, o_orderkey FROM (
+         SELECT o_orderstatus, o_orderkey,
+                (CAST(o_orderkey AS HUGEINT) * 2654435761) % 4294967296 AS h
+         FROM orders)
+       QUALIFY row_number() OVER (PARTITION BY o_orderstatus ORDER BY h, o_orderkey) <= 10""",
+)
+def b21c_group_sample_bottomk(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Uniform k-per-group sample WITHOUT RNG state: keep the k rows
+    with the smallest Knuth-hash values per group (bottom-k sketch —
+    the same order statistic KMV uses for cardinality). Deterministic,
+    so the oracle is exact and re-runs/resumes pick identical rows;
+    mergeable, so each batch contributes a ≤ k-row partial (the
+    combiner) and the per-group reduce touches ≤ k × blocks rows,
+    never the group's full population."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        okey = b.column("o_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+        h = (
+            (okey.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        ).astype(np.int64)
+        status = b.column("o_orderstatus").combine_chunks()
+        codes = pc.index_in(status, value_set=status.unique()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, h, codes))
+        codes_s = codes[order]
+        starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+        ends = np.r_[starts[1:], len(codes_s)]
+        keep = np.concatenate([order[s:min(s + k, e)] for s, e in zip(starts, ends)])
+        t = b.append_column("h", pa.array(h))
+        return t.take(pa.array(keep))
+
+    def final(g: pa.Table) -> pa.Table:
+        h = g.column("h").combine_chunks().to_numpy(zero_copy_only=False)
+        okey = g.column("o_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+        keep = np.lexsort((okey, h))[:k]
+        return g.select(["o_orderstatus", "o_orderkey"]).take(pa.array(keep))
+
+    return (
+        _read(sf_dir, "orders", ["o_orderstatus", "o_orderkey"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderstatus")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+# ------------------- B18c: grouped approx distinct (HLL per group)
+
+@register("b18c_grouped_hll", None)  # approximate -> rows-only; tolerance
+def b18c_grouped_hll(sf_dir: str) -> ray.data.Dataset:
+    """Per-group distinct-customer estimate: one HLL register vector
+    per (group, batch) — the combiner — merged per group by
+    elementwise max. Shuffle volume is 4 KB × groups × blocks
+    regardless of key cardinality; the grouped form of b18b, same
+    registers, accuracy-tested vs exact per-group counts."""
+    from ..functions.sketch import hll_estimate, hll_merge, hll_partial
+
+    def partial(b: pa.Table) -> pa.Table:
+        status = b.column("o_orderstatus").combine_chunks()
+        uniq = status.unique()
+        codes = pc.index_in(status, value_set=uniq).to_numpy(zero_copy_only=False)
+        cust = b.column("o_custkey").combine_chunks()
+        groups, regs = [], []
+        for gi in range(len(uniq)):  # once per DISTINCT group in the batch
+            groups.append(uniq[gi].as_py())
+            regs.append(hll_partial(cust.filter(pa.array(codes == gi))).tolist())
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(groups, pa.string()),
+                "regs": pa.array(regs, pa.list_(pa.uint8())),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        regs = hll_merge(
+            [np.asarray(r, dtype=np.uint8) for r in g.column("regs").to_pylist()]
+        )
+        return pa.table(
+            {
+                "o_orderstatus": pa.array([g.column("o_orderstatus")[0].as_py()], pa.string()),
+                "approx_distinct_custkeys": pa.array(
+                    [int(round(hll_estimate(regs)))], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_orderstatus", "o_custkey"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderstatus")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+# ------------------- B44: per-group mode (most frequent value)
+
+@register(
+    "b44_group_mode",
+    """SELECT o_orderstatus, o_orderpriority AS mode_priority FROM (
+         SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+         FROM orders GROUP BY 1, 2)
+       QUALIFY row_number() OVER (PARTITION BY o_orderstatus ORDER BY cnt DESC, o_orderpriority) = 1""",
+)
+def b44_group_mode(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-group MODE with a deterministic tie-break (smallest
+    value wins): per-batch (group, value) counts — the combiner that
+    shrinks the shuffle to distinct-pair cardinality — then one
+    grouped Sum and a per-group argmax. Scale note: cost tracks
+    distinct (group, value) pairs, not rows; for unbounded value
+    domains switch to b41's MG sketch per group."""
+
+    def precount(b: pa.Table) -> pa.Table:
+        return b.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("o_orderstatus", "count")]
+        ).rename_columns(["o_orderstatus", "o_orderpriority", "cnt"])
+
+    def argmax(g: pa.Table) -> pa.Table:
+        cnt = g.column("cnt").combine_chunks().to_numpy(zero_copy_only=False)
+        pri = g.column("o_orderpriority").combine_chunks().to_numpy(zero_copy_only=False)
+        best = np.lexsort((pri, -cnt))[0]
+        return pa.table(
+            {
+                "o_orderstatus": pa.array([g.column("o_orderstatus")[0].as_py()], pa.string()),
+                "mode_priority": pa.array([pri[best]], pa.string()),
+            }
+        )
+
+    counted = (
+        _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+        .map_batches(precount, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("cnt", alias_name="cnt_sum"))
+    )
+
+    def recount(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": b.column("o_orderstatus"),
+                "o_orderpriority": b.column("o_orderpriority"),
+                "cnt": b.column("cnt_sum"),
+            }
+        )
+
+    return (
+        counted.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderstatus")
+        .map_groups(argmax, batch_format="pyarrow")
+    )

@@ -566,3 +566,19 @@ def test_heavy_hitters_bound_and_coverage(ray_session, sf001):
         assert t - row.est_count <= bound
     hot = {v for v, c in true.items() if c > bound}
     assert hot <= set(got.l_partkey), hot - set(got.l_partkey)
+
+
+def test_grouped_hll_accuracy(ray_session, sf001):
+    """b18c per-group HLL within 5% of exact distinct counts."""
+    import pyarrow.parquet as pq
+
+    from antnre_ray.pipelines.relational import b18c_grouped_hll
+
+    got = b18c_grouped_hll(sf001).to_pandas().set_index("o_orderstatus")
+    tbl = pq.read_table(
+        f"{sf001}/orders.parquet", columns=["o_orderstatus", "o_custkey"]
+    ).to_pandas()
+    for status, grp in tbl.groupby("o_orderstatus"):
+        exact = grp.o_custkey.nunique()
+        est = got.loc[status, "approx_distinct_custkeys"]
+        assert abs(est - exact) / exact < 0.05, (status, est, exact)
