@@ -736,3 +736,19 @@ def data_train_val_split(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("text_tfidf_keywords", None)
+def text_tfidf_keywords(sf_dir: str) -> ray.data.Dataset:
+    """Top-3 TF-IDF keywords per document (keyword extraction /
+    content tagging for corpus curation) — rows-only driver check;
+    planted-keyword ranking and idf monotonicity are asserted in
+    tests."""
+    from ..stages.analyze import tfidf_keywords
+
+    return tfidf_keywords(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        top_k=3,
+    )

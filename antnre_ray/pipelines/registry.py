@@ -73,6 +73,7 @@ _PREFIX = [
     "b11d_salted_skew_join",
     "b21c_group_sample_bottomk",
     "b44_group_mode",
+    "b45_funnel",
     # 3 — rows-only, never driver-run
     "sim_ann_ivf",
     "dedup_clean_corpus",
@@ -90,7 +91,6 @@ _PREFIX = [
     #     vectorized linker, canonicalize rewrite)
     "b14_asof_join",
     "b27_sessionize",
-    "kg_linked_triples",
     # 7 — proven oracle-backed fill: none — every slot is spent on
     #     un- or once-verified entries; q01 etc. stay gated by tests.
 ]

@@ -3230,3 +3230,55 @@ def b44_group_mode(sf_dir: str) -> ray.data.Dataset:
         .groupby("o_orderstatus")
         .map_groups(argmax, batch_format="pyarrow")
     )
+
+
+# ------------------- B45: funnel analysis (conditional grouped mins)
+
+@register(
+    "b45_funnel",
+    """SELECT user_id, t_view, t_click, t_purchase FROM (
+         SELECT user_id,
+                min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+                min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+                min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+         FROM events GROUP BY user_id)
+       WHERE t_view < t_click AND t_click < t_purchase""",
+)
+def b45_funnel(sf_dir: str) -> ray.data.Dataset:
+    """view -> click -> purchase funnel: users whose FIRST view precedes
+    their first click precedes their first purchase. Entirely
+    conditional grouped MINs — per-batch masked mins (the combiner)
+    then one grouped Min per stage — so the shuffle carries three
+    int64s per (user, block) and there is no per-user Python anywhere.
+    The loose-funnel form; strict re-entrant funnels (click AFTER the
+    qualifying view) need b27's sessionize shape instead."""
+    stages = [("t_view", "view"), ("t_click", "click"), ("t_purchase", "purchase")]
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(b.column("ts"), pa.int64())
+        et = b.column("event_type")
+        cols = {"user_id": b.column("user_id")}
+        for alias, ev in stages:
+            cols[alias] = pc.if_else(pc.equal(et, ev), ts_us, pa.scalar(None, pa.int64()))
+        t = pa.table(cols)
+        agg = t.group_by("user_id").aggregate([(a, "min") for a, _ in stages])
+        return agg.rename_columns(["user_id"] + [a for a, _ in stages])
+
+    def keep(b: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.less(b.column("t_view"), b.column("t_click")),
+            pc.less(b.column("t_click"), b.column("t_purchase")),
+        )
+        return b.filter(pc.fill_null(ok, False))
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            Min("t_view", alias_name="t_view"),
+            Min("t_click", alias_name="t_click"),
+            Min("t_purchase", alias_name="t_purchase"),
+        )
+        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -331,3 +331,112 @@ def repetition_filter(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(
         repetition_filter_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ----------------------------------------------- TF-IDF keyword extraction
+
+TFIDF_BUCKETS = 1 << 20
+
+
+def _df_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch document-frequency partial over HASHED term buckets:
+    each doc contributes its unique buckets once; the partial is the
+    SPARSE (bucket, count) pairs — sketch-sized relative to the dense
+    2^20 table whenever a block's vocabulary is smaller than that."""
+    from ..functions.hashing import polars_u64
+
+    acc = np.zeros(0, dtype=np.int64)
+    seen_idx: list[np.ndarray] = []
+    for t in batch.column("text").to_pylist():
+        toks = (t or "").lower().split()
+        if not toks:
+            continue
+        th = polars_u64(pa.array(list(set(toks)))) % np.uint64(TFIDF_BUCKETS)
+        seen_idx.append(th.astype(np.int64))
+    if seen_idx:
+        all_idx = np.concatenate(seen_idx)
+        uniq, cnt = np.unique(all_idx, return_counts=True)
+    else:
+        uniq = cnt = np.empty(0, dtype=np.int64)
+    return pa.table(
+        {
+            "idx": pa.array([uniq.tolist()], pa.list_(pa.int64())),
+            "cnt": pa.array([cnt.tolist()], pa.list_(pa.int64())),
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+        }
+    )
+
+
+class _TfidfScorer:
+    """Actor-pool stage: df table (4 MB int32) fetched ONCE per actor."""
+
+    def __init__(self, df_ref, n_docs: int, top_k: int):
+        import ray
+
+        self.df = ray.get(df_ref)
+        self.n_docs = n_docs
+        self.top_k = top_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import polars_u64
+
+        doc_ids, terms, scores, ranks = [], [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            uq, tf = np.unique(toks, return_counts=True)
+            th = (polars_u64(pa.array(uq.tolist())) % np.uint64(TFIDF_BUCKETS)).astype(
+                np.int64
+            )
+            idf = np.log(self.n_docs / (1.0 + self.df[th]))
+            score = (tf / len(toks)) * idf
+            top = np.argsort(score)[::-1][: self.top_k]
+            for r, i in enumerate(top):
+                doc_ids.append(did)
+                terms.append(uq[i])
+                scores.append(float(score[i]))
+                ranks.append(r + 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tfidf": pa.array(scores, pa.float64()),
+                "rank": pa.array(ranks, pa.int64()),
+            }
+        )
+
+
+def tfidf_keywords(ds, top_k: int = 3):
+    """Top-k TF-IDF keywords per document, two streaming passes:
+
+    pass 1 folds per-block SPARSE df partials into one dense 2^20
+    int32 table driver-side (partials are vocabulary-sized, never
+    corpus-sized; a 256-node run would tree-merge them with a
+    map_batches reduce instead of the driver fold);
+    pass 2 broadcasts the df table once (``ray.put`` -> actor
+    ``__init__``) and scores each doc locally — no shuffle at all.
+    Hash-bucketed df (2^20) trades exact idf for bounded state; a
+    collision only perturbs idf of the colliding terms. The per-doc
+    token loop is intrinsic to per-document scalar text ops (langid
+    precedent); everything per-doc is numpy."""
+    import ray
+
+    parts = ds.map_batches(
+        _df_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    df = np.zeros(TFIDF_BUCKETS, dtype=np.int32)
+    n_docs = 0
+    for p in parts:
+        np.add.at(df, np.asarray(p["idx"], dtype=np.int64), np.asarray(p["cnt"], dtype=np.int64))
+        n_docs += p["n_docs"]
+    df_ref = ray.put(df)
+    return ds.map_batches(
+        _TfidfScorer,
+        fn_constructor_args=(df_ref, n_docs, top_k),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

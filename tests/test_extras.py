@@ -582,3 +582,26 @@ def test_grouped_hll_accuracy(ray_session, sf001):
         exact = grp.o_custkey.nunique()
         est = got.loc[status, "approx_distinct_custkeys"]
         assert abs(est - exact) / exact < 0.05, (status, est, exact)
+
+
+def test_tfidf_keywords_rank_planted_term(ray_session):
+    """A rare repeated term outranks corpus-wide stopwords."""
+    import pyarrow as pa
+    import ray.data
+
+    from antnre_ray.stages.analyze import tfidf_keywords
+
+    common = "the quick brown fox jumps over the lazy dog"
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(20)), pa.int64()),
+            "text": pa.array(
+                [f"{common} zebra zebra zebra" if i == 7 else common for i in range(20)]
+            ),
+        }
+    )
+    out = tfidf_keywords(ray.data.from_arrow(docs), top_k=2).to_pandas()
+    top = out[(out.doc_id == 7) & (out["rank"] == 1)].term.iloc[0]
+    assert top == "zebra", out[out.doc_id == 7]
+    # docs without the planted term must not surface it
+    assert "zebra" not in set(out[out.doc_id != 7].term)
