@@ -2783,9 +2783,15 @@ def b15e_grouped_approx_quantiles(sf_dir: str) -> ray.data.Dataset:
         # flag loop runs once per DISTINCT flag in the batch (3 here),
         # values never become Python objects
         flag_col = b.column("l_returnflag").combine_chunks()
-        codes = pc.index_in(flag_col, value_set=flag_col.unique()).to_numpy(
-            zero_copy_only=False
-        )
+        uniq = flag_col.unique()
+        if len(flag_col) == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "sketch": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        codes = pc.index_in(flag_col, value_set=uniq).to_numpy(zero_copy_only=False)
         price = b.column("l_extendedprice").combine_chunks().to_numpy(
             zero_copy_only=False
         )
@@ -2793,7 +2799,6 @@ def b15e_grouped_approx_quantiles(sf_dir: str) -> ray.data.Dataset:
         codes, price = codes[order], price[order]
         starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
         ends = np.r_[starts[1:], len(codes)]
-        uniq = flag_col.unique()
         flags, sketches = [], []
         for s, e in zip(starts, ends):
             flags.append(uniq[codes[s]].as_py())
@@ -2989,23 +2994,22 @@ def b42_string_agg(sf_dir: str) -> ray.data.Dataset:
     instead)."""
     nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
     nmap_ref = ray.put(
-        dict(
-            zip(
-                nation.column("n_nationkey").to_pylist(),
-                nation.column("n_name").to_pylist(),
-            )
+        (
+            nation.column("n_nationkey").combine_chunks(),
+            nation.column("n_name").combine_chunks(),
         )
     )
 
     class AddNation:
         def __init__(self, ref):
-            self.nmap = ray.get(ref)
+            keys, names = ray.get(ref)
+            self.keys, self.names = keys, names
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            keys = b.column("s_nationkey").to_pylist()
+            pos = pc.index_in(b.column("s_nationkey"), value_set=self.keys)
             return pa.table(
                 {
-                    "n_name": pa.array([self.nmap[k] for k in keys], pa.string()),
+                    "n_name": pc.take(self.names, pos),
                     "s_name": b.column("s_name"),
                 }
             )
@@ -3199,7 +3203,7 @@ def b44_group_mode(sf_dir: str) -> ray.data.Dataset:
         ).rename_columns(["o_orderstatus", "o_orderpriority", "cnt"])
 
     def argmax(g: pa.Table) -> pa.Table:
-        cnt = g.column("cnt").combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = g.column("cnt_sum").combine_chunks().to_numpy(zero_copy_only=False)
         pri = g.column("o_orderpriority").combine_chunks().to_numpy(zero_copy_only=False)
         best = np.lexsort((pri, -cnt))[0]
         return pa.table(
@@ -3209,24 +3213,11 @@ def b44_group_mode(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    counted = (
+    return (
         _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
         .map_batches(precount, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["o_orderstatus", "o_orderpriority"])
         .aggregate(Sum("cnt", alias_name="cnt_sum"))
-    )
-
-    def recount(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "o_orderstatus": b.column("o_orderstatus"),
-                "o_orderpriority": b.column("o_orderpriority"),
-                "cnt": b.column("cnt_sum"),
-            }
-        )
-
-    return (
-        counted.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("o_orderstatus")
         .map_groups(argmax, batch_format="pyarrow")
     )

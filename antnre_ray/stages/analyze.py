@@ -345,7 +345,6 @@ def _df_partial(batch: pa.Table) -> pa.Table:
     2^20 table whenever a block's vocabulary is smaller than that."""
     from ..functions.hashing import polars_u64
 
-    acc = np.zeros(0, dtype=np.int64)
     seen_idx: list[np.ndarray] = []
     for t in batch.column("text").to_pylist():
         toks = (t or "").lower().split()
