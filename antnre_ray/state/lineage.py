@@ -412,7 +412,20 @@ def run_flagship_resumable(
                 _pq.write_table(schema.empty_table(), os.path.join(d, "empty.parquet"))
             ents_n = adj_n = trip_n = 0
         else:
-            linked_all = ray.data.read_parquet(extract_files)
+            # Block-count sized to the data, not the file count: Ray's
+            # default split gave 80 blocks for a <1 MB extract output,
+            # and every downstream shuffle (2 sorts in canonicalize, 2
+            # in materialize) then pays per-block fixed task costs that
+            # dominate the graph stage (measured 3.4 s → 0.95 s for
+            # materialize at bench scale). ~16 MB of parquet per block;
+            # when the corpus-scale output exceeds file-count × 16 MB
+            # the cap is inactive and Ray's own splitting rules apply.
+            total_bytes = sum(os.path.getsize(f) for f in extract_files)
+            nb = int(total_bytes // (16 << 20)) + 1
+            if nb < len(extract_files):
+                linked_all = ray.data.read_parquet(extract_files, override_num_blocks=nb)
+            else:
+                linked_all = ray.data.read_parquet(extract_files)
             # Materialize the (small) exploded triples once: the lazy plan
             # would otherwise re-read + re-explode the extract parquet for
             # the adjacency write AND a third time for the count. Mentions
