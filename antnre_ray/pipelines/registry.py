@@ -74,6 +74,7 @@ _PREFIX = [
     "b21c_group_sample_bottomk",
     "b44_group_mode",
     "b45_funnel",
+    "b46_edit_distance_join",
     # 3 — rows-only, never driver-run
     "sim_ann_ivf",
     "dedup_clean_corpus",
@@ -82,10 +83,10 @@ _PREFIX = [
     "kg_components",
     "kg_pagerank",
     "kg_adjacency_incremental",
-    # 4 — oracle-backed, verified in round 1 only (b26b/b06b/b15b were
-    #     also r1-verified but are code-unchanged since; they ceded their
-    #     slots to round-3 additions and stay gated by conformance tests)
-    "b23b_except",
+    # 4 — oracle-backed, verified in round 1 only (b23b/b26b/b06b/b15b
+    #     were also r1-verified but are code-unchanged since; they ceded
+    #     their slots to round-3 additions and stay gated by conformance
+    #     tests)
     "b27b_topk_per_user",
     # 5 — code paths changed in round 3 (shard-vectorized reducers,
     #     vectorized linker, canonicalize rewrite)

@@ -3273,3 +3273,241 @@ def b45_funnel(sf_dir: str) -> ray.data.Dataset:
         )
         .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+# ------------------- B46: edit-distance join (PassJoin segment blocking)
+
+def _edit_le1(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact ``levenshtein(a[i], b[i]) <= 1`` per pair, vectorized.
+
+    Equal-length pairs (the dominant case): distance <= 1 iff at most
+    one codepoint differs — one padded-matrix comparison (NUL padding
+    is identical on both sides, so it never adds mismatches). Pairs
+    with |len diff| == 1: distance is 1 iff deleting the first
+    mismatching char of the longer yields the shorter (single indel);
+    rare enough to check per pair. |len diff| >= 2 is never emitted by
+    the blocking (length filter)."""
+    la = np.fromiter((len(x) for x in a), np.int64, len(a))
+    lb = np.fromiter((len(x) for x in b), np.int64, len(b))
+    ok = np.zeros(len(a), bool)
+    same = la == lb
+    if same.any():
+        w = max(int(la[same].max()), 1)
+        A = np.asarray(a[same], dtype=f"U{w}").view(np.uint32).reshape(-1, w)
+        B = np.asarray(b[same], dtype=f"U{w}").view(np.uint32).reshape(-1, w)
+        ok[same] = (A != B).sum(axis=1) <= 1
+    for i in np.nonzero(np.abs(la - lb) == 1)[0]:
+        x, y = (a[i], b[i]) if la[i] < lb[i] else (b[i], a[i])
+        j = 0
+        while j < len(x) and x[j] == y[j]:
+            j += 1
+        ok[i] = y[:j] + y[j + 1 :] == x
+    return ok
+
+
+_ED_OUT_SCHEMA = pa.schema(
+    [
+        ("s_suppkey", pa.int64()),
+        ("c_key", pa.int64()),
+        ("s_name", pa.string()),
+        ("c_name", pa.string()),
+    ]
+)
+
+
+def _ed_emit(b: pa.Table, side: int) -> pa.Table:
+    """PassJoin blocking rows for one batch of (rid, name), k = 1.
+
+    Indexed side (side=0): each string contributes its k+1 = 2 segments
+    keyed (target_len, seg_idx, seg_text). Probe side (side=1): for each
+    candidate target length len±1 and segment, every substring of the
+    segment's length whose start is within ±1 of the segment's home
+    position — the pigeonhole guarantee that any string within edit
+    distance 1 shares at least one key with its match. Length-grouped;
+    each distinct (length, window) slice is ONE numpy matrix slice, no
+    per-row Python string work."""
+    from ..functions.hashing import polars_u64
+    from ..stages.dedup import SHARDS
+
+    ids = b.column("rid").combine_chunks().to_numpy(zero_copy_only=False)
+    names = b.column("name").to_pylist()
+    lens = np.fromiter((len(x) for x in names), np.int64, len(names))
+    mix1, mix2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(1099511628211)
+    outs = []
+    for L in np.unique(lens):
+        L = int(L)
+        if L < 2:  # can't form 2 non-empty segments; match only via probe windows
+            continue
+        idx = np.nonzero(lens == L)[0]
+        arr = np.asarray([names[i] for i in idx], dtype=f"U{L}")
+        mat = arr.view(np.uint32).reshape(len(idx), L)
+
+        def slice_str(start: int, ln: int) -> pa.Array:
+            return pa.array(
+                np.ascontiguousarray(mat[:, start : start + ln]).view(f"U{ln}").ravel()
+            )
+
+        windows: list[tuple[int, int, int, int]] = []  # (target_len, seg_idx, start, seg_len)
+        if side == 0:
+            h = L // 2
+            windows = [(L, 0, 0, h), (L, 1, h, L - h)]
+        else:
+            for tl in (L - 1, L, L + 1):
+                if tl < 2:
+                    continue
+                th = tl // 2
+                for i, (home, ln) in enumerate(((0, th), (th, tl - th))):
+                    if not 0 < ln <= L:
+                        continue
+                    for st in range(max(0, home - 1), min(L - ln, home + 1) + 1):
+                        windows.append((tl, i, st, ln))
+        for tl, i, st, ln in windows:
+            h64 = polars_u64(slice_str(st, ln))
+            key = h64 * mix1 + np.uint64(tl) * mix2 + np.uint64(i)
+            outs.append(
+                pa.table(
+                    {
+                        "shard": pa.array((key % np.uint64(SHARDS)).astype(np.int32), pa.int32()),
+                        "key": pa.array(key.view(np.int64), pa.int64()),
+                        "side": pa.array(np.full(len(idx), side, np.int8), pa.int8()),
+                        "rid": pa.array(ids[idx], pa.int64()),
+                        "name": pa.array(arr),
+                    }
+                )
+            )
+    if not outs:
+        return pa.table(
+            {
+                "shard": pa.array([], pa.int32()),
+                "key": pa.array([], pa.int64()),
+                "side": pa.array([], pa.int8()),
+                "rid": pa.array([], pa.int64()),
+                "name": pa.array([], pa.string()),
+            }
+        )
+    return pa.concat_tables(outs)
+
+
+def _ed_pairs_shard(g: pa.Table) -> pa.Table:
+    """One key-shard of blocking rows → exact-verified match rows.
+
+    Sort by (key, side, rid), detect equal-key runs (each run = one
+    complete blocking bucket; a key pins its shard), pair builds x
+    probes inside each run, dedup pair ids within the shard, then the
+    exact :func:`_edit_le1` verify — hash collisions and window
+    over-generation die here, never in the output."""
+    from ..stages.dedup import _key_runs
+
+    n = g.num_rows
+    if n < 2:
+        return _ED_OUT_SCHEMA.empty_table()
+    keys = g.column("key").to_numpy(zero_copy_only=False)
+    side = g.column("side").to_numpy(zero_copy_only=False)
+    rid = g.column("rid").to_numpy(zero_copy_only=False)
+    names = np.asarray(g.column("name").to_pylist(), dtype=object)
+    order = np.lexsort((rid, side, keys))
+    keys, side, rid, names = keys[order], side[order], rid[order], names[order]
+    a_idx, b_idx = [], []
+    for s, e in zip(*_key_runs(keys)):
+        builds = s + np.nonzero(side[s:e] == 0)[0]
+        probes = s + np.nonzero(side[s:e] == 1)[0]
+        if len(builds) and len(probes):
+            a_idx.append(np.repeat(builds, len(probes)))
+            b_idx.append(np.tile(probes, len(builds)))
+    if not a_idx:
+        return _ED_OUT_SCHEMA.empty_table()
+    A, B = np.concatenate(a_idx), np.concatenate(b_idx)
+    # same pair from both segments of one bucket run: dedup in-shard
+    _, uniq = np.unique(np.stack([rid[A], rid[B]], axis=1), axis=0, return_index=True)
+    A, B = A[uniq], B[uniq]
+    keep = _edit_le1(names[A], names[B])
+    A, B = A[keep], B[keep]
+    return pa.table(
+        {
+            "s_suppkey": pa.array(rid[A], pa.int64()),
+            "c_key": pa.array(rid[B], pa.int64()),
+            "s_name": pa.array(names[A].tolist(), pa.string()),
+            "c_name": pa.array(names[B].tolist(), pa.string()),
+        },
+        schema=_ED_OUT_SCHEMA,
+    )
+
+
+def edit_distance_join(
+    build: ray.data.Dataset, probe: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Distributed edit-distance-1 join of two (rid, name) Datasets:
+    blocking emit on both sides → one sharded groupby → vectorized
+    pair + exact verify per shard → cross-shard pair dedup."""
+    b = build.map_batches(
+        _ed_emit, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"side": 0}
+    )
+    p = probe.map_batches(
+        _ed_emit, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"side": 1}
+    )
+    pairs = b.union(p).groupby("shard").map_groups(_ed_pairs_shard, batch_format="pyarrow")
+
+    def first(g: pa.Table) -> pa.Table:  # cross-shard dedup; output is
+        return g.slice(0, 1)  # bounded by TRUE matches, so per-pair cost is fine
+
+    return pairs.groupby(["s_suppkey", "c_key"]).map_groups(first, batch_format="pyarrow")
+
+
+@register(
+    "b46_edit_distance_join",
+    """WITH corrupted AS (
+         SELECT s_suppkey AS c_key,
+                substr(s_name, 1, 9 + (s_suppkey % 9)) || 'x' ||
+                substr(s_name, 11 + (s_suppkey % 9)) AS c_name
+         FROM supplier)
+       SELECT s.s_suppkey, c.c_key, s.s_name, c.c_name
+       FROM supplier s, corrupted c
+       WHERE levenshtein(s.s_name, c.c_name) <= 1""",
+)
+def b46_edit_distance_join(sf_dir: str) -> ray.data.Dataset:
+    """Approximate-string join: all (clean, corrupted) supplier-name
+    pairs within edit distance 1, found WITHOUT the oracle's cross
+    product.
+
+    Blocking is PassJoin's pigeonhole (Li et al., ICDE 2011, public):
+    split each indexed string into k+1 = 2 segments; any string within
+    distance k of it must contain one segment EXACTLY, at a position
+    shifted by at most k — so probes emit each segment-length substring
+    whose start lies within ±k of the segment's home position, for each
+    candidate target length in len±k (:func:`_ed_emit`). Candidates
+    meet in a (segment-key-hash % SHARDS) groupby — dedup's
+    sharded-bucket shape, one vectorized run-detection call per shard —
+    and are verified with the EXACT distance predicate
+    (:func:`_edit_le1`), so hash collisions and over-generation never
+    reach the output and the DuckDB ``levenshtein`` oracle matches
+    exactly.
+
+    The corrupted side is synthesized in-query (deterministic one-char
+    substitution mirroring the SQL expression, like text_pii_redact's
+    planted PII) — the TPC-H tables carry no typos of their own.
+
+    Scale note: pair generation is Σ_buckets |build|x|probe|; a shared
+    constant prefix (here "Supplier#") makes its segment a hot bucket
+    and degrades that bucket to verify-bound. Production mitigation:
+    more, shorter segments (larger k+1) or entropy-aware segment
+    boundaries; the verify stays exact either way."""
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        keys = b.column("s_suppkey").combine_chunks().to_numpy(zero_copy_only=False)
+        names = b.column("s_name").to_pylist()
+        out = [
+            nm[: 9 + (int(k) % 9)] + "x" + nm[10 + (int(k) % 9) :]
+            for k, nm in zip(keys, names)
+        ]
+        return pa.table(
+            {"rid": pa.array(keys, pa.int64()), "name": pa.array(out, pa.string())}
+        )
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    build = sup.map_batches(
+        lambda b: pa.table({"rid": b.column("s_suppkey"), "name": b.column("s_name")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    probe = sup.map_batches(corrupt, batch_format="pyarrow", zero_copy_batch=True)
+    return edit_distance_join(build, probe)

@@ -605,3 +605,84 @@ def test_tfidf_keywords_rank_planted_term(ray_session):
     assert top == "zebra", out[out.doc_id == 7]
     # docs without the planted term must not surface it
     assert "zebra" not in set(out[out.doc_id != 7].term)
+
+
+def test_edit_le1_matches_brute_force_dp():
+    """The b46 verifier vs a textbook Levenshtein DP, including the
+    indel cases the supplier fixture never produces."""
+    import numpy as np
+
+    from antnre_ray.pipelines.relational import _edit_le1
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    cases = [
+        ("abc", "abc"), ("abc", "abd"), ("abc", "xbc"), ("abc", "axc"),
+        ("abc", "ab"), ("ab", "abc"), ("abc", "bc"), ("abc", "ac"),
+        ("abc", "abcd"), ("abcd", "abc"), ("abc", "xyz"), ("abc", "acb"),
+        ("", "a"), ("a", ""), ("a", "a"), ("aa", "aba"), ("aba", "aa"),
+        ("kitten", "sitten"), ("kitten", "kittn"), ("kitten", "sitting"),
+    ]
+    a = np.asarray([x for x, _ in cases], dtype=object)
+    b = np.asarray([y for _, y in cases], dtype=object)
+    got = _edit_le1(a, b)
+    want = np.array([lev(x, y) <= 1 for x, y in cases])
+    assert (got == want).all(), list(zip(cases, got, want))
+
+
+def test_edit_distance_join_blocking_recall_on_indels(ray_session):
+    """PassJoin blocking must surface INSERT/DELETE matches (length ±1)
+    too, not just the substitutions the supplier fixture plants: run the
+    full distributed join over a hand-built corpus with planted indels
+    and compare the pair set against brute-force Levenshtein."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+
+    from antnre_ray.pipelines.relational import edit_distance_join
+
+    clean = ["alpha-node-01", "beta-node-02", "gamma-node-03", "delta-node-04"]
+    # deletion, insertion, substitution, unrelated, and an exact copy
+    dirty = ["alpha-node-1", "beta-nodeX-02", "gamma-node-93", "zzzz", "delta-node-04"]
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j)
+        for i, c in enumerate(clean)
+        for j, d in enumerate(dirty)
+        if lev(c, d) <= 1
+    }
+    assert len(want) >= 4  # del, ins, sub, exact all planted
+
+    build = ray.data.from_arrow(
+        pa.table({"rid": pa.array(range(len(clean)), pa.int64()), "name": pa.array(clean)})
+    )
+    probe = ray.data.from_arrow(
+        pa.table({"rid": pa.array(range(len(dirty)), pa.int64()), "name": pa.array(dirty)})
+    )
+    out = edit_distance_join(build, probe)
+    tbl = pa.concat_tables(
+        [t for t in ray.get(out.to_arrow_refs()) if t.num_columns > 0],
+        promote_options="default",
+    )
+    got = set(
+        zip(tbl.column("s_suppkey").to_pylist(), tbl.column("c_key").to_pylist())
+    )
+    assert got == want
