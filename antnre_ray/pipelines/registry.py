@@ -75,10 +75,10 @@ _PREFIX = [
     "b44_group_mode",
     "b45_funnel",
     "b46_edit_distance_join",
+    "b47_max_concurrency",
     # 3 — rows-only, never driver-run
     "sim_ann_ivf",
     "dedup_clean_corpus",
-    "media_frames",
     "kg_span_integrity",
     "kg_components",
     "kg_pagerank",

@@ -3511,3 +3511,121 @@ def b46_edit_distance_join(sf_dir: str) -> ray.data.Dataset:
     )
     probe = sup.map_batches(corrupt, batch_format="pyarrow", zero_copy_batch=True)
     return edit_distance_join(build, probe)
+
+
+# ------------------- B47: interval max-concurrency (distributed sweep-line)
+
+@register(
+    "b47_max_concurrency",
+    """WITH b AS (
+         SELECT ts AS t, 1 AS d FROM events
+         UNION ALL
+         SELECT ts + INTERVAL 30 MINUTE AS t, -1 AS d FROM events),
+       r AS (
+         SELECT t, sum(d) OVER (ORDER BY t, d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         FROM b)
+       SELECT date_trunc('hour', t) AS hour_ts,
+              CAST(max(c) AS BIGINT) AS max_concurrent
+       FROM r GROUP BY hour_ts""",
+)
+def b47_max_concurrency(sf_dir: str, duration_us: int = 1_800_000_000) -> ray.data.Dataset:
+    """Peak concurrent 30-minute sessions per hour — the sweep-line
+    algorithm, distributed as a two-pass global prefix sum (b40's
+    range-partitioned shape composed with b36's run-base cumsum).
+
+    Each event opens the interval [ts, ts+30min): boundaries are
+    (+1 at start, -1 at end), concurrency is the running sum over
+    boundaries ordered by (t, d) — d = -1 first at equal t, i.e.
+    half-open intervals — and the per-hour output is the max of that
+    running sum over the hour's boundaries. Pass A computes per-hour
+    boundary-delta totals (per-batch combiner + one grouped Sum; the
+    hour histogram is a driver-side scalar partial, never data), whose
+    exclusive prefix gives every hour's entry concurrency. Pass B
+    shuffles boundaries once on hour % SHARDS and, per shard, does one
+    vectorized sort + cumsum with per-hour run-base subtraction plus
+    the broadcast offsets — no per-hour Python. Tie semantics match
+    the oracle's ROWS frame exactly: rows tied on (t, d) produce the
+    same running-sum multiset under any tie order, so the per-hour max
+    is deterministic.
+
+    Scale note: offsets are one int64 per time bucket; at corpus scale
+    pick the bucket width (minutes→hours→days) so the offset table
+    stays broadcastable, exactly like b40's range walls."""
+    from ..stages.dedup import SHARDS, _key_runs
+
+    HOUR_US = 3_600_000_000
+
+    def boundaries(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        t = np.concatenate([ts, ts + duration_us])
+        d = np.concatenate(
+            [np.ones(len(ts), np.int64), np.full(len(ts), -1, np.int64)]
+        )
+        bucket = t // HOUR_US
+        return pa.table(
+            {
+                "t": pa.array(t, pa.int64()),
+                "d": pa.array(d, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+                "shard": pa.array((bucket % SHARDS).astype(np.int32), pa.int32()),
+            }
+        )
+
+    bnds = _read(sf_dir, "events", ["ts"]).map_batches(
+        boundaries, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # Pass A: per-hour delta totals -> exclusive prefix = hour entry level.
+    def bucket_sums(b: pa.Table) -> pa.Table:  # per-batch combiner
+        g = b.select(["bucket", "d"]).group_by("bucket").aggregate([("d", "sum")])
+        return g.rename_columns(["bucket", "d"])
+
+    totals = _collect(
+        bnds.map_batches(bucket_sums, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("d", alias_name="d_sum"))
+    )
+    buckets = totals.column("bucket").to_numpy(zero_copy_only=False)
+    sums = totals.column("d_sum").to_numpy(zero_copy_only=False)
+    order = np.argsort(buckets)
+    buckets_sorted = buckets[order]
+    offsets = np.r_[0, np.cumsum(sums[order])[:-1]]
+
+    # Pass B: one shuffle on hour % SHARDS; vectorized sweep per shard.
+    def sweep_shard(
+        g: pa.Table, buckets_sorted: np.ndarray, offsets: np.ndarray
+    ) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "hour_ts": pa.array([], pa.timestamp("us")),
+                    "max_concurrent": pa.array([], pa.int64()),
+                }
+            )
+        t = g.column("t").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False)
+        bucket = g.column("bucket").to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, t, bucket))
+        bucket, d = bucket[o], d[o]
+        t = t[o]
+        cs = np.cumsum(d)
+        starts, _ends = _key_runs(bucket)
+        base = np.repeat(np.r_[0, cs[starts[1:] - 1]], np.diff(np.r_[starts, len(cs)]))
+        entry = offsets[np.searchsorted(buckets_sorted, bucket[starts])]
+        conc = cs - base + np.repeat(entry, np.diff(np.r_[starts, len(cs)]))
+        peak = np.maximum.reduceat(conc, starts)
+        return pa.table(
+            {
+                "hour_ts": pa.array(
+                    (bucket[starts] * HOUR_US).astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "max_concurrent": pa.array(peak, pa.int64()),
+            }
+        )
+
+    return bnds.groupby("shard").map_groups(
+        sweep_shard,
+        batch_format="pyarrow",
+        fn_kwargs={"buckets_sorted": buckets_sorted, "offsets": offsets},
+    )

@@ -686,3 +686,59 @@ def test_edit_distance_join_blocking_recall_on_indels(ray_session):
         zip(tbl.column("s_suppkey").to_pylist(), tbl.column("c_key").to_pylist())
     )
     assert got == want
+
+
+def test_max_concurrency_tie_semantics(ray_session, tmp_path):
+    """Sweep-line tie handling: ends must apply before starts at the
+    same instant (half-open intervals), including the case where an
+    interval's end coincides exactly with another's start — brute-force
+    reference over a dense planted timeline."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from antnre_ray.pipelines.relational import b47_max_concurrency
+
+    dur = 1_800_000_000
+    hour = 3_600_000_000
+    base = 400 * hour
+    # ends colliding with starts: events at t and exactly t+30min;
+    # plus bursts of identical timestamps
+    starts = np.array(
+        [base, base, base, base + dur, base + dur, base + 2 * dur, base + hour * 5]
+        + [base + hour * 2] * 10,
+        dtype=np.int64,
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array(starts.astype("datetime64[us]"), pa.timestamp("us"))}),
+        sf / "events.parquet",
+    )
+    out = b47_max_concurrency(str(sf))
+    tbl = pa.concat_tables(
+        [t for t in ray.get(out.to_arrow_refs()) if t.num_columns > 0],
+        promote_options="default",
+    )
+    got = dict(
+        zip(
+            pa.Array.to_numpy(
+                tbl.column("hour_ts").combine_chunks(), zero_copy_only=False
+            ).astype("int64"),
+            tbl.column("max_concurrent").to_pylist(),
+        )
+    )
+
+    # brute force: running sum over boundaries sorted by (t, d)
+    bts = np.concatenate([starts, starts + dur])
+    bd = np.concatenate([np.ones(len(starts), np.int64), -np.ones(len(starts), np.int64)])
+    o = np.lexsort((bd, bts))
+    bts, bd = bts[o], bd[o]
+    conc = np.cumsum(bd)
+    want: dict[int, int] = {}
+    for t, c in zip(bts, conc):
+        h = (t // hour) * hour
+        want[h] = max(want.get(h, -(10**9)), int(c))
+    assert got == want
