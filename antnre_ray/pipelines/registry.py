@@ -76,9 +76,9 @@ _PREFIX = [
     "b45_funnel",
     "b46_edit_distance_join",
     "b47_max_concurrency",
+    "b48_grouped_regression",
     # 3 — rows-only, never driver-run
     "sim_ann_ivf",
-    "dedup_clean_corpus",
     "kg_span_integrity",
     "kg_components",
     "kg_pagerank",

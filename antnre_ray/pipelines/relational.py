@@ -3629,3 +3629,88 @@ def b47_max_concurrency(sf_dir: str, duration_us: int = 1_800_000_000) -> ray.da
         batch_format="pyarrow",
         fn_kwargs={"buckets_sorted": buckets_sorted, "offsets": offsets},
     )
+
+
+# ------------------- B48: grouped OLS regression (sufficient statistics)
+
+@register(
+    "b48_grouped_regression",
+    """WITH s AS (
+         SELECT l_returnflag,
+                count(*) AS n,
+                SUM(CAST(l_quantity AS BIGINT)) AS sx,
+                SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sy,
+                SUM(CAST(l_quantity AS BIGINT)
+                    * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sxy,
+                SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx
+         FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag,
+              n,
+              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents_per_unit
+       FROM s""",
+)
+def b48_grouped_regression(sf_dir: str) -> ray.data.Dataset:
+    """Per-group least-squares slope (price-cents vs quantity) from
+    EXACT integer sufficient statistics — the mergeable-moments shape
+    every streaming statistical aggregate (covariance, correlation,
+    variance) shares.
+
+    Each batch contributes one (n, Σx, Σy, Σxy, Σx²) row per group in
+    int64 cents (Arrow group_by — exact, order-independent), one
+    grouped Sum merges them, and the closed-form slope is a single
+    float64 expression evaluated on identical integer operands in the
+    SAME operation order as the oracle's SQL — so even the DOUBLE
+    output hash-matches (the b36 exact-cents rule extended to second
+    moments). Shuffle volume: 5 ints per (group, block). Scale note:
+    Σxy here stays ≤ 2^53-exact through the float cast; corpus-scale
+    sums need int128 / per-group offsetting, same as any exact-moments
+    plan."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b.column("l_quantity").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.round(
+            b.column("l_extendedprice").combine_chunks().to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "n": pa.array(np.ones(len(x), np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+            }
+        )
+        g = t.group_by("l_returnflag").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxy", "sum"), ("sxx", "sum")]
+        )
+        return g.rename_columns(["l_returnflag", "n", "sx", "sy", "sxy", "sxx"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        f = lambda c: b.column(c).combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        n, sx, sy, sxy, sxx = f("n"), f("sx"), f("sy"), f("sxy"), f("sxx")
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "n": b.column("n"),
+                "slope_cents_per_unit": pa.array(slope, pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    )
