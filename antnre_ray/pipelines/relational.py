@@ -2370,10 +2370,10 @@ def b15c_grouped_quantiles(sf_dir: str) -> pa.Table:
 @register(
     "b36_running_sum",
     """SELECT user_id, event_id,
-              SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+              CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
                   PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-              ) AS cum_cents
+              ) AS BIGINT) AS cum_cents
        FROM events""",
 )
 def b36_running_sum(sf_dir: str) -> ray.data.Dataset:

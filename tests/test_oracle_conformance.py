@@ -41,14 +41,40 @@ def _all_sql_queries():
     return [(n, fn, sql) for n, (fn, sql) in load_all().items() if sql is not None]
 
 
+def _to_arrow(x) -> pa.Table | None:
+    """Materialize a query result to ONE Arrow table (None for pandas
+    results, which carry no Arrow schema to pin)."""
+    import ray
+    import ray.data
+
+    if isinstance(x, ray.data.Dataset):
+        tbls = [t for t in ray.get(x.to_arrow_refs()) if t.num_columns > 0]
+        x = pa.concat_tables(tbls, promote_options="default") if tbls else None
+    return x if isinstance(x, pa.Table) else None
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_all_sql_queries_match_oracle(sf001, oracle):
     failures = []
     for name, fn, sql in _all_sql_queries():
-        got = _canon(fn(sf001))
+        raw = fn(sf001)
+        tbl = _to_arrow(raw)
+        out = tbl if tbl is not None else raw
+        got_schema = (
+            {f.name: str(f.type) for f in out.schema} if isinstance(out, pa.Table) else None
+        )
+        want_schema = {
+            f.name: str(f.type) for f in oracle.execute(sql).fetch_arrow_table().schema
+        }
+        got = _canon(out)
         want = _canon(oracle.execute(sql).fetchdf())
         try:
             assert list(got.columns) == list(want.columns), f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+            # the driver compares Arrow schemas exactly — a DuckDB HUGEINT
+            # (decimal128) vs int64 divergence is a red cell even when the
+            # values are numerically equal (caught live on b36)
+            if got_schema is not None:
+                assert got_schema == want_schema, f"{name}: schema {got_schema} != {want_schema}"
             assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
             pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
         except AssertionError as e:
