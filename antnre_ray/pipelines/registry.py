@@ -77,12 +77,12 @@ _PREFIX = [
     "b46_edit_distance_join",
     "b47_max_concurrency",
     "b48_grouped_regression",
+    "b45b_strict_funnel",
     # 3 — rows-only, never driver-run
     "sim_ann_ivf",
     "kg_span_integrity",
     "kg_components",
     "kg_pagerank",
-    "kg_adjacency_incremental",
     # 4 — oracle-backed, verified in round 1 only (b23b/b26b/b06b/b15b
     #     were also r1-verified but are code-unchanged since; they ceded
     #     their slots to round-3 additions and stay gated by conformance

@@ -3241,8 +3241,8 @@ def b45_funnel(sf_dir: str) -> ray.data.Dataset:
     conditional grouped MINs — per-batch masked mins (the combiner)
     then one grouped Min per stage — so the shuffle carries three
     int64s per (user, block) and there is no per-user Python anywhere.
-    The loose-funnel form; strict re-entrant funnels (click AFTER the
-    qualifying view) need b27's sessionize shape instead."""
+    The loose-funnel form; b45b_strict_funnel implements the strict
+    ordering (click AFTER the qualifying view) with one sharded sweep."""
     stages = [("t_view", "view"), ("t_click", "click"), ("t_purchase", "purchase")]
 
     def partial(b: pa.Table) -> pa.Table:
@@ -3713,4 +3713,101 @@ def b48_grouped_regression(sf_dir: str) -> ray.data.Dataset:
             Sum("sxx", alias_name="sxx"),
         )
         .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+# ------------------- B45b: strict-order funnel (sequential first-times)
+
+@register(
+    "b45b_strict_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t_view
+                  FROM events WHERE event_type = 'view' GROUP BY user_id),
+       c AS (SELECT e.user_id, min(e.ts) AS t_click
+             FROM events e JOIN v USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > v.t_view
+             GROUP BY e.user_id),
+       p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+             FROM events e JOIN c USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+             GROUP BY e.user_id)
+       SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+       FROM v JOIN c USING (user_id) JOIN p USING (user_id)""",
+)
+def b45b_strict_funnel(sf_dir: str) -> ray.data.Dataset:
+    """STRICT-ordering funnel — the qualifying click must come after
+    the first view, the qualifying purchase after that click (the
+    semantics b45's loose conditional-MIN form defers to sessionize).
+
+    Where the oracle needs three grouped-min CTEs and two join-backs,
+    the distributed form is ONE shuffle: b27's shard shape (user_id %
+    SHARDS, one Python call per shard), then per shard a vectorized
+    3-step masked sweep — first view per user run (reduceat over a
+    +inf-masked ts copy), first click with ts > that view (the
+    per-user threshold broadcast back by run repeat), first purchase
+    with ts > that click. No per-user Python, three masked reduceats
+    total."""
+    from ..stages.dedup import SHARDS, _key_runs
+
+    INF = np.int64(2**62)
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts": pc.cast(b.column("ts"), pa.int64()),
+                "event_type": b.column("event_type"),
+                "shard": _key_shard(b.column("user_id"), SHARDS),
+            }
+        )
+
+    def funnel_shard(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "t_view": pa.array([], pa.timestamp("us")),
+                "t_click": pa.array([], pa.timestamp("us")),
+                "t_purchase": pa.array([], pa.timestamp("us")),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        et = g.column("event_type").combine_chunks()
+        is_stage = [
+            pc.equal(et, s).to_numpy(zero_copy_only=False) for s in ("view", "click", "purchase")
+        ]
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        is_stage = [m[order] for m in is_stage]
+        starts, ends = _key_runs(uid)
+        runs = np.repeat(np.arange(len(starts)), ends - starts)  # row -> user run
+
+        def first_after(mask: np.ndarray, thresh: np.ndarray) -> np.ndarray:
+            """Per user run: min ts among rows with mask AND ts > that
+            run's threshold (+inf when none)."""
+            t = np.where(mask & (ts > thresh[runs]), ts, INF)
+            return np.minimum.reduceat(t, starts)
+
+        zero = np.full(len(starts), -INF)
+        t_view = first_after(is_stage[0], zero)
+        t_click = first_after(is_stage[1], t_view)
+        t_purchase = first_after(is_stage[2], t_click)
+        keep = t_purchase < INF  # implies view and click exist too
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts][keep], pa.int64()),
+                "t_view": pa.array(t_view[keep].astype("datetime64[us]"), pa.timestamp("us")),
+                "t_click": pa.array(t_click[keep].astype("datetime64[us]"), pa.timestamp("us")),
+                "t_purchase": pa.array(
+                    t_purchase[keep].astype("datetime64[us]"), pa.timestamp("us")
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(funnel_shard, batch_format="pyarrow")
     )
