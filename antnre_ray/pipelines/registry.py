@@ -78,9 +78,14 @@ _PREFIX = [
     "b47_max_concurrency",
     "b48_grouped_regression",
     "b45b_strict_funnel",
-    # 3 — rows-only, never driver-run
+    "b49_scan_pushdown",
+    # 3 — rows-only, never driver-run (one per family; media_frames,
+    #     dedup_clean_corpus, kg_adjacency_incremental and
+    #     kg_span_integrity ceded their slots to new HASH-checked
+    #     queries — a rows-only driver row proves only "ran, n rows",
+    #     which their in-suite invariant/equivalence tests already
+    #     exceed)
     "sim_ann_ivf",
-    "kg_span_integrity",
     "kg_components",
     "kg_pagerank",
     # 4 — oracle-backed, verified in round 1 only (b23b/b26b/b06b/b15b

@@ -3811,3 +3811,30 @@ def b45b_strict_funnel(sf_dir: str) -> ray.data.Dataset:
         .groupby("shard")
         .map_groups(funnel_shard, batch_format="pyarrow")
     )
+
+
+# ------------------- B49: scan-level predicate pushdown
+
+@register(
+    "b49_scan_pushdown",
+    """SELECT l_orderkey, l_shipdate, l_extendedprice
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1998-09-01'""",
+)
+def b49_scan_pushdown(sf_dir: str) -> ray.data.Dataset:
+    """Predicate pushed INTO the parquet scan: the filter is a
+    pyarrow.dataset expression handed to ``read_parquet(filter=...)``,
+    so row groups whose column statistics exclude the range are never
+    read off storage and surviving row groups are filtered before the
+    block leaves the read task — at 100 TB the difference between
+    scanning a month and scanning the corpus. Every other query here
+    prunes COLUMNS at the read; this one pins the ROW pushdown path
+    (the b05 filter operator applies the same predicate post-read)."""
+    import pyarrow.dataset as pads
+
+    cutoff = pa.scalar(np.datetime64("1998-09-01T00:00:00", "us"), pa.timestamp("us"))
+    return ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice"],
+        filter=(pads.field("l_shipdate") >= cutoff),
+    )
