@@ -752,3 +752,17 @@ def text_tfidf_keywords(sf_dir: str) -> ray.data.Dataset:
         ),
         top_k=3,
     )
+
+
+@register("text_lm_perplexity", None)
+def text_lm_perplexity(sf_dir: str) -> ray.data.Dataset:
+    """Unigram-LM perplexity quality gate — rows-only driver check;
+    gibberish-scores-worse and determinism are tested in
+    tests/test_extras.py."""
+    from ..stages.analyze import lm_perplexity
+
+    return lm_perplexity(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )

@@ -439,3 +439,105 @@ def tfidf_keywords(ds, top_k: int = 3):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# --------------------------------------------- unigram LM perplexity scorer
+
+LM_BUCKETS = 1 << 20
+
+
+def _tf_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch TERM-frequency partial over hashed buckets (the df
+    partial's sibling: counts every occurrence, not every document)."""
+    from ..functions.hashing import polars_u64
+
+    idx: list[np.ndarray] = []
+    n_tokens = 0
+    for t in batch.column("text").to_pylist():
+        toks = (t or "").lower().split()
+        if not toks:
+            continue
+        n_tokens += len(toks)
+        th = polars_u64(pa.array(toks)) % np.uint64(LM_BUCKETS)
+        idx.append(th.astype(np.int64))
+    if idx:
+        uniq, cnt = np.unique(np.concatenate(idx), return_counts=True)
+    else:
+        uniq = cnt = np.empty(0, dtype=np.int64)
+    return pa.table(
+        {
+            "idx": pa.array([uniq.tolist()], pa.list_(pa.int64())),
+            "cnt": pa.array([cnt.tolist()], pa.list_(pa.int64())),
+            "n_tokens": pa.array([n_tokens], pa.int64()),
+        }
+    )
+
+
+class _PerplexityScorer:
+    """Actor-pool stage: the corpus unigram table (4 MB int32) is
+    fetched once per actor; each doc scores locally, no shuffle."""
+
+    def __init__(self, tf_ref, total_tokens: int):
+        import ray
+
+        self.tf = ray.get(tf_ref)
+        self.total = float(total_tokens)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import polars_u64
+
+        doc_ids, ns, ppl = [], [], []
+        denom = self.total + LM_BUCKETS  # add-one smoothing over buckets
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            uq, tf = np.unique(toks, return_counts=True)
+            th = (polars_u64(pa.array(uq.tolist())) % np.uint64(LM_BUCKETS)).astype(np.int64)
+            logp = np.log2((self.tf[th] + 1.0) / denom)
+            h = -(tf * logp).sum() / tf.sum()  # cross-entropy, bits/token
+            doc_ids.append(did)
+            ns.append(int(tf.sum()))
+            ppl.append(float(2.0**h))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(ns, pa.int64()),
+                "perplexity": pa.array(ppl, pa.float64()),
+            }
+        )
+
+
+def lm_perplexity(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Unigram-LM perplexity per document — the model-based quality
+    gate beside the heuristic stats (Gopher/CCNet precedent: docs far
+    from the corpus distribution score high and get filtered or
+    down-weighted).
+
+    Two streaming passes, same shape as :func:`tfidf_keywords`: pass 1
+    folds sparse per-block hashed term-count partials into one dense
+    2^20 int32 table driver-side (vocabulary-sized, never corpus-
+    sized; tree-merge at cluster scale); pass 2 broadcasts the table
+    once and scores every doc locally with add-one smoothing over the
+    bucket space. Deterministic and partition-independent: the model
+    is a pure function of corpus counts, each doc scores alone."""
+    import ray
+
+    parts = ds.map_batches(
+        _tf_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    tf = np.zeros(LM_BUCKETS, dtype=np.int32)
+    total = 0
+    for p in parts:
+        np.add.at(tf, np.asarray(p["idx"], dtype=np.int64), np.asarray(p["cnt"], dtype=np.int64))
+        total += p["n_tokens"]
+    tf_ref = ray.put(tf)
+    return ds.map_batches(
+        _PerplexityScorer,
+        fn_constructor_args=(tf_ref, total),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

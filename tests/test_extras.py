@@ -742,3 +742,44 @@ def test_max_concurrency_tie_semantics(ray_session, tmp_path):
         h = (t // hour) * hour
         want[h] = max(want.get(h, -(10**9)), int(c))
     assert got == want
+
+
+def test_lm_perplexity_flags_gibberish(ray_session):
+    """The unigram-LM gate must score an out-of-distribution gibberish
+    doc above every natural-ish doc, and be deterministic across input
+    partitionings (the model is a pure function of corpus counts)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+
+    from antnre_ray.stages.analyze import lm_perplexity
+
+    rng_words = ["the", "cat", "sat", "on", "a", "mat", "and", "dogs", "ran", "far"]
+    natural = [
+        " ".join(rng_words[(i + j) % len(rng_words)] for j in range(60)) for i in range(40)
+    ]
+    gibberish = " ".join(f"zq{i}xv{i * 7}" for i in range(60))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(41), pa.int64()),
+            "text": pa.array(natural + [gibberish], pa.string()),
+        }
+    )
+
+    def run(nblocks: int) -> dict[int, float]:
+        ds = ray.data.from_arrow(docs).repartition(nblocks)
+        out = lm_perplexity(ds)
+        t = pa.concat_tables(
+            [x for x in ray.get(out.to_arrow_refs()) if x.num_columns > 0],
+            promote_options="default",
+        )
+        return dict(zip(t.column("doc_id").to_pylist(), t.column("perplexity").to_pylist()))
+
+    p2 = run(2)
+    assert len(p2) == 41
+    gib = p2[40]
+    assert all(gib > v for k, v in p2.items() if k != 40), (gib, max(v for k, v in p2.items() if k != 40))
+    p8 = run(8)
+    assert p2 == p8  # partition-count invariance, bit-exact
