@@ -373,3 +373,22 @@ def kg_eval_prf(sf_dir: str):
     f1 = 2 * p * r / (p + r) if p + r else 0.0
     m = {"precision": p, "recall": r, "f1": f1, "tp": tp, "fp": fp, "fn": fn}
     return pa.table({k: pa.array([float(v)], pa.float64()) for k, v in m.items()})
+
+
+@register("kg_triangles", None)
+def kg_triangles(sf_dir: str):
+    """Exact triangle count of the materialized KG — the clustering/
+    cohesion statistic beside components and PageRank; degree-ordered
+    wedge join (stages/graph_algos.triangle_count), verified against
+    brute force on planted graphs in tests."""
+    import pyarrow as pa
+
+    from ..stages.graph_algos import triangle_count
+
+    adj = _graph(sf_dir)["adjacency"]
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column("src"), "dst": b.column("dst")})
+
+    edges = adj.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.table({"n_triangles": pa.array([triangle_count(edges)], pa.int64())})

@@ -506,3 +506,181 @@ def components_local(edge_pairs: list[tuple[str, str]]) -> dict[str, int]:
         for n in nodes:
             out[n] = lab
     return out
+
+
+# ------------------------------------------------------- triangle counting
+
+def triangle_count(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> int:
+    """Exact triangle count of the undirected graph (self-loops and
+    duplicate/reverse edges collapsed first).
+
+    The classic degree-ordered wedge join: every edge is oriented from
+    its lower-(degree, id) endpoint to the higher one, so each node's
+    out-neighborhood is O(sqrt(m)) and total wedge volume is bounded by
+    m^1.5 instead of sum(deg^2) — the orientation is what makes hub
+    nodes survivable. Wedges (pairs of one node's out-neighbors) then
+    co-shuffle with the canonical edge set on hash(a, b) % SHARDS and
+    one vectorized run-detection pass per shard counts the wedges whose
+    closing edge exists. No per-node or per-wedge Python: out-neighbor
+    pair expansion is the repeat/offset-range trick, matching is a
+    lexsort + run mask.
+
+    Degrees ride along as broadcast node-scale state (same regime rule
+    as components/pagerank: fine below SMALL_GRAPH_NODES; above it the
+    degree attach becomes one more key-partitioned join)."""
+    from ..functions.hashing import polars_u64
+    from ..stages.dedup import SHARDS, _key_runs
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = _label_of(b.column(src_col).to_pylist())
+        d = _label_of(b.column(dst_col).to_pylist())
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        keep = lo != hi
+        t = pa.table({"a": pa.array(lo[keep], pa.int64()), "b": pa.array(hi[keep], pa.int64())})
+        return (
+            t.group_by(["a", "b"]).aggregate([([], "count_all")]).select(["a", "b"])
+        )
+
+    E = (
+        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"])
+        .aggregate(Min("a", alias_name="_drop"))
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [b.column("a").combine_chunks(), b.column("b").combine_chunks()]
+        )
+        t = pa.table({"node": both})
+        g = t.group_by("node").aggregate([([], "count_all")])
+        return g.rename_columns(["node", "cnt"])
+
+    from ray.data.aggregate import Sum
+
+    deg_tbl = _collect(
+        E.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Sum("cnt", alias_name="deg"))
+    )
+    if deg_tbl.num_columns == 0 or deg_tbl.num_rows == 0:
+        return 0
+    nodes = deg_tbl.column("node").to_numpy(zero_copy_only=False)
+    degs = deg_tbl.column("deg").to_numpy(zero_copy_only=False)
+    o = np.argsort(nodes)
+    nodes, degs = nodes[o], degs[o]
+    deg_ref = ray.put((nodes, degs))
+
+    class OrientEmit:
+        """Orient each edge low→high by (degree, id); key rows for the
+        wedge stage by the SOURCE node."""
+
+        def __init__(self, ref):
+            self.nodes, self.degs = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            a = b.column("a").to_numpy(zero_copy_only=False)
+            bb = b.column("b").to_numpy(zero_copy_only=False)
+            da = self.degs[np.searchsorted(self.nodes, a)]
+            db = self.degs[np.searchsorted(self.nodes, bb)]
+            swap = (db < da) | ((db == da) & (bb < a))
+            u = np.where(swap, bb, a)
+            w = np.where(swap, a, bb)
+            return pa.table(
+                {
+                    "u": pa.array(u, pa.int64()),
+                    "w": pa.array(w, pa.int64()),
+                    "shard": pa.array(
+                        ((u.astype(np.uint64) >> np.uint64(1)) % np.uint64(SHARDS)).astype(
+                            np.int32
+                        ),
+                        pa.int32(),
+                    ),
+                }
+            )
+
+    oriented = E.map_batches(
+        OrientEmit,
+        fn_constructor_args=(deg_ref,),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def wedges_shard(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "side": pa.array([], pa.int8())}
+        )
+        if g.num_rows < 2:
+            return empty
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        o = np.lexsort((w, u))
+        u, w = u[o], w[o]
+        starts, ends = _key_runs(u)
+        # per row: pairs with every LATER out-neighbor in its run
+        counts = np.repeat(ends, ends - starts) - np.arange(len(u)) - 1
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        left = np.repeat(np.arange(len(u)), counts)
+        right = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts) + left + 1
+        v1, v2 = w[left], w[right]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(v1, v2), pa.int64()),
+                "b": pa.array(np.maximum(v1, v2), pa.int64()),
+                "side": pa.array(np.ones(total, np.int8), pa.int8()),
+            }
+        )
+
+    wedges = oriented.groupby("shard").map_groups(wedges_shard, batch_format="pyarrow")
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": b.column("a"),
+                "b": b.column("b"),
+                "side": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    def add_pair_shard(b: pa.Table) -> pa.Table:
+        key = polars_u64(b.column("a").combine_chunks()) ^ (
+            polars_u64(b.column("b").combine_chunks()) * np.uint64(0x9E3779B97F4A7C15)
+        )
+        return b.append_column(
+            "pshard", pa.array((key % np.uint64(SHARDS)).astype(np.int32), pa.int32())
+        )
+
+    both = (
+        wedges.union(E.map_batches(tag_edges, batch_format="pyarrow", zero_copy_batch=True))
+        .map_batches(add_pair_shard, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def count_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        o = np.lexsort((side, b, a))
+        a, b, side = a[o], b[o], side[o]
+        boundary = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        starts = np.nonzero(boundary)[0]
+        ends = np.r_[starts[1:], len(a)]
+        has_edge = side[starts] == 0  # side sorts edges (0) first in a run
+        wedge_counts = (ends - starts) - has_edge.astype(np.int64)
+        n = int((wedge_counts * has_edge).sum())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    partials = _collect(both.groupby("pshard").map_groups(count_shard, batch_format="pyarrow"))
+    if partials.num_columns == 0:
+        return 0
+    return int(pc.sum(partials.column("n")).as_py() or 0)

@@ -783,3 +783,50 @@ def test_lm_perplexity_flags_gibberish(ray_session):
     assert all(gib > v for k, v in p2.items() if k != 40), (gib, max(v for k, v in p2.items() if k != 40))
     p8 = run(8)
     assert p2 == p8  # partition-count invariance, bit-exact
+
+
+def test_triangle_count_matches_brute_force(ray_session):
+    """Degree-ordered wedge join vs a set-intersection reference, over
+    graphs that exercise hubs, shared edges, duplicates/reverses/self-
+    loops, and a random graph."""
+    import collections
+    import random
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from antnre_ray.stages.graph_algos import triangle_count
+
+    def ref(pairs):
+        adj = collections.defaultdict(set)
+        for u, v in pairs:
+            if u != v:
+                adj[u].add(v)
+                adj[v].add(u)
+        return sum(
+            len(adj[u] & adj[v] & {x for x in adj if x > v})
+            for u in adj
+            for v in adj[u]
+            if v > u
+        )
+
+    random.seed(7)
+    nodes = [f"r{i}" for i in range(60)]
+    cases = [
+        [(f"n{i}", f"n{j}") for i in range(5) for j in range(i + 1, 5)],  # K5 -> 10
+        [(f"c{i}", f"c{(i + 1) % 6}") for i in range(6)],  # cycle -> 0
+        [("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"), ("c", "a"), ("c", "a")],
+        [("h", f"s{i}") for i in range(20)] + [("s0", "s1"), ("s1", "s2")],
+        [tuple(random.sample(nodes, 2)) for _ in range(300)],
+    ]
+    for pairs in cases:
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([p[0] for p in pairs]),
+                    "dst": pa.array([p[1] for p in pairs]),
+                }
+            )
+        ).repartition(3)
+        assert triangle_count(ds) == ref(pairs)
