@@ -3323,9 +3323,14 @@ def _ed_emit(b: pa.Table, side: int) -> pa.Table:
     candidate target length len±1 and segment, every substring of the
     segment's length whose start is within ±1 of the segment's home
     position — the pigeonhole guarantee that any string within edit
-    distance 1 shares at least one key with its match. Length-grouped;
-    each distinct (length, window) slice is ONE numpy matrix slice, no
-    per-row Python string work."""
+    distance 1 shares at least one key with its match. Strings of
+    length <= k can't form k+1 non-empty segments, so the pigeonhole
+    doesn't hold for them: they join a per-target-length SHORT class
+    (segment index 2, empty segment text) that pairs every short build
+    with every length-compatible probe — a bounded bucket the exact
+    verify then filters (PassJoin's standard short-string rule).
+    Length-grouped; each distinct (length, window) slice is ONE numpy
+    matrix slice, no per-row Python string work."""
     from ..functions.hashing import polars_u64
     from ..stages.dedup import SHARDS
 
@@ -3334,47 +3339,56 @@ def _ed_emit(b: pa.Table, side: int) -> pa.Table:
     lens = np.fromiter((len(x) for x in names), np.int64, len(names))
     mix1, mix2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(1099511628211)
     outs = []
+
+    def emit(idx: np.ndarray, arr: np.ndarray, tl: int, i: int, substrs: pa.Array) -> None:
+        h64 = polars_u64(substrs)
+        key = h64 * mix1 + np.uint64(tl) * mix2 + np.uint64(i)
+        outs.append(
+            pa.table(
+                {
+                    "shard": pa.array((key % np.uint64(SHARDS)).astype(np.int32), pa.int32()),
+                    "key": pa.array(key.view(np.int64), pa.int64()),
+                    "side": pa.array(np.full(len(idx), side, np.int8), pa.int8()),
+                    "rid": pa.array(ids[idx], pa.int64()),
+                    "name": pa.array(arr.tolist(), pa.string()),
+                }
+            )
+        )
+
     for L in np.unique(lens):
         L = int(L)
-        if L < 2:  # can't form 2 non-empty segments; match only via probe windows
-            continue
         idx = np.nonzero(lens == L)[0]
-        arr = np.asarray([names[i] for i in idx], dtype=f"U{L}")
-        mat = arr.view(np.uint32).reshape(len(idx), L)
+        arr = np.asarray([names[i] for i in idx], dtype=object)
+        empty_seg = pa.array([""] * len(idx), pa.string())
+        if L >= 1:
+            umat = np.asarray(arr.tolist(), dtype=f"U{L}")
+            mat = umat.view(np.uint32).reshape(len(idx), L)
 
         def slice_str(start: int, ln: int) -> pa.Array:
             return pa.array(
                 np.ascontiguousarray(mat[:, start : start + ln]).view(f"U{ln}").ravel()
             )
 
-        windows: list[tuple[int, int, int, int]] = []  # (target_len, seg_idx, start, seg_len)
         if side == 0:
-            h = L // 2
-            windows = [(L, 0, 0, h), (L, 1, h, L - h)]
+            if L <= 1:
+                emit(idx, arr, L, 2, empty_seg)  # short class, keyed by own length
+            else:
+                h = L // 2
+                emit(idx, arr, L, 0, slice_str(0, h))
+                emit(idx, arr, L, 1, slice_str(h, L - h))
         else:
             for tl in (L - 1, L, L + 1):
-                if tl < 2:
+                if tl < 0:
+                    continue
+                if tl <= 1:  # short-class targets: meet every short build of that length
+                    emit(idx, arr, tl, 2, empty_seg)
                     continue
                 th = tl // 2
                 for i, (home, ln) in enumerate(((0, th), (th, tl - th))):
                     if not 0 < ln <= L:
                         continue
                     for st in range(max(0, home - 1), min(L - ln, home + 1) + 1):
-                        windows.append((tl, i, st, ln))
-        for tl, i, st, ln in windows:
-            h64 = polars_u64(slice_str(st, ln))
-            key = h64 * mix1 + np.uint64(tl) * mix2 + np.uint64(i)
-            outs.append(
-                pa.table(
-                    {
-                        "shard": pa.array((key % np.uint64(SHARDS)).astype(np.int32), pa.int32()),
-                        "key": pa.array(key.view(np.int64), pa.int64()),
-                        "side": pa.array(np.full(len(idx), side, np.int8), pa.int8()),
-                        "rid": pa.array(ids[idx], pa.int64()),
-                        "name": pa.array(arr),
-                    }
-                )
-            )
+                        emit(idx, arr, tl, i, slice_str(st, ln))
     if not outs:
         return pa.table(
             {

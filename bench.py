@@ -46,6 +46,8 @@ QUERY_SET = [
     "text_decontaminate",
     "text_pii_redact",
     "b13d_bloom_semi_join",
+    "media_features",  # the interleaved-payload actor-pool path
+    "text_lm_perplexity",  # two-pass broadcast-stats quality gate
 ]
 
 

@@ -650,9 +650,13 @@ def test_edit_distance_join_blocking_recall_on_indels(ray_session):
 
     from antnre_ray.pipelines.relational import edit_distance_join
 
-    clean = ["alpha-node-01", "beta-node-02", "gamma-node-03", "delta-node-04"]
-    # deletion, insertion, substitution, unrelated, and an exact copy
-    dirty = ["alpha-node-1", "beta-nodeX-02", "gamma-node-93", "zzzz", "delta-node-04"]
+    clean = ["alpha-node-01", "beta-node-02", "gamma-node-03", "delta-node-04",
+             "a", "xy", ""]
+    # deletion, insertion, substitution, unrelated, exact copy, and the
+    # short-string class (len <= k): single-char swap, len-1/len-2
+    # cross-matches, empty vs single char
+    dirty = ["alpha-node-1", "beta-nodeX-02", "gamma-node-93", "zzzz",
+             "delta-node-04", "b", "ab", "x"]
 
     def lev(a: str, b: str) -> int:
         prev = list(range(len(b) + 1))
@@ -669,7 +673,7 @@ def test_edit_distance_join_blocking_recall_on_indels(ray_session):
         for j, d in enumerate(dirty)
         if lev(c, d) <= 1
     }
-    assert len(want) >= 4  # del, ins, sub, exact all planted
+    assert len(want) >= 8  # del, ins, sub, exact, and short-class pairs
 
     build = ray.data.from_arrow(
         pa.table({"rid": pa.array(range(len(clean)), pa.int64()), "name": pa.array(clean)})
