@@ -212,3 +212,46 @@ def mg_merge(partials: list[tuple[np.ndarray, np.ndarray]], k: int = MG_K):
     uniq, inv = np.unique(items, return_inverse=True)
     summed = np.bincount(inv, weights=counts).astype(np.int64)
     return mg_compress(uniq, summed, k)
+
+
+# ------------------------------------------------- Count-Min (point frequency)
+
+CM_D = 4        # rows (independent hash functions)
+CM_W = 1 << 14  # columns per row → ε = e/W ≈ 1.7e-4 of total count
+
+
+def cm_partial(values: pa.Array | pa.ChunkedArray, seed: int = 42) -> np.ndarray:
+    """Per-batch Count-Min partial: a (CM_D, CM_W) uint64 counter grid.
+    Each value increments one counter per row, rows indexed by the
+    Kirsch-Mitzenmacher double-hash family (h1 + i*h2, the same
+    construction the Bloom filter uses). Mergeable by elementwise
+    addition — counts are exact sums, only the point QUERY overcounts
+    (collisions only ever add), giving the classic one-sided bound
+    true <= est <= true + (e/W)·N with prob 1 - e^-D."""
+    h1 = polars_u64(values if isinstance(values, pa.Array) else values.combine_chunks(), seed=seed)
+    h2 = polars_u64(values if isinstance(values, pa.Array) else values.combine_chunks(), seed=seed + 1) | np.uint64(1)
+    grid = np.zeros((CM_D, CM_W), dtype=np.uint64)
+    for d in range(CM_D):
+        idx = ((h1 + np.uint64(d) * h2) % np.uint64(CM_W)).astype(np.int64)
+        np.add.at(grid[d], idx, 1)
+    return grid
+
+
+def cm_merge(partials: list[np.ndarray]) -> np.ndarray:
+    """Counter addition — associative, commutative, order-independent."""
+    out = np.zeros((CM_D, CM_W), dtype=np.uint64)
+    for p in partials:
+        out += p
+    return out
+
+
+def cm_query(grid: np.ndarray, values: pa.Array | pa.ChunkedArray, seed: int = 42) -> np.ndarray:
+    """Vectorized point-frequency estimates: min over the D counters."""
+    v = values if isinstance(values, pa.Array) else values.combine_chunks()
+    h1 = polars_u64(v, seed=seed)
+    h2 = polars_u64(v, seed=seed + 1) | np.uint64(1)
+    est = np.full(len(v), np.iinfo(np.uint64).max, dtype=np.uint64)
+    for d in range(CM_D):
+        idx = ((h1 + np.uint64(d) * h2) % np.uint64(CM_W)).astype(np.int64)
+        est = np.minimum(est, grid[d][idx])
+    return est.astype(np.int64)

@@ -3852,3 +3852,37 @@ def b49_scan_pushdown(sf_dir: str) -> ray.data.Dataset:
         columns=["l_orderkey", "l_shipdate", "l_extendedprice"],
         filter=(pads.field("l_shipdate") >= cutoff),
     )
+
+
+# ------------------- B50: Count-Min point-frequency sketch
+
+@register("b50_count_min", None)  # approximate -> rows-only; bounds tested
+def b50_count_min(sf_dir: str) -> pa.Table:
+    """Point-frequency estimates for a probe set of customers from a
+    Count-Min sketch — the frequency sibling of b41's Misra-Gries:
+    MG answers "which keys are frequent", CM answers "how often is
+    THIS key" for any key, without ever shuffling the key space.
+    One (4 x 16384) uint64 grid per block (the combiner), counter-
+    addition merge driver-side (tree-merge at cluster scale), then one
+    vectorized min-of-rows query per probe. Estimates are exact counts
+    plus one-sided collision noise: true <= est <= true + (e/W)·N with
+    probability 1 - e^-4 (bounds asserted in tests)."""
+    from ..functions.sketch import cm_merge, cm_partial, cm_query
+
+    def partial(b: pa.Table) -> pa.Table:
+        grid = cm_partial(b.column("o_custkey").combine_chunks().cast(pa.string()))
+        return pa.table({"grid": pa.array([grid.reshape(-1).view(np.int64).tolist()], pa.list_(pa.int64()))})
+
+    parts = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    from ..functions.sketch import CM_D, CM_W
+
+    grid = cm_merge(
+        [np.asarray(p["grid"], dtype=np.int64).view(np.uint64).reshape(CM_D, CM_W) for p in parts]
+    )
+    probes = pa.array([str(k) for k in range(1, 21)], pa.string())
+    est = cm_query(grid, probes)
+    return pa.table({"o_custkey": probes.cast(pa.int64()), "est_orders": pa.array(est, pa.int64())})

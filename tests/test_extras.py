@@ -834,3 +834,39 @@ def test_triangle_count_matches_brute_force(ray_session):
             )
         ).repartition(3)
         assert triangle_count(ds) == ref(pairs)
+
+
+def test_count_min_bounds_and_merge(ray_session, sf001):
+    """CM guarantees: est >= true always; est <= true + (e/W)*N with
+    overwhelming probability at this scale; merged grid equals the
+    single-pass grid (counter addition is order-independent)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from antnre_ray.functions.sketch import CM_W, cm_merge, cm_partial, cm_query
+    from antnre_ray.pipelines.relational import b50_count_min
+
+    con = duckdb.connect()
+    truth = dict(
+        con.execute(
+            f"SELECT o_custkey, count(*) FROM read_parquet('{sf001}/orders.parquet') "
+            f"WHERE o_custkey BETWEEN 1 AND 20 GROUP BY 1"
+        ).fetchall()
+    )
+    n_total = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf001}/orders.parquet')"
+    ).fetchone()[0]
+    out = b50_count_min(sf001)
+    eps_n = (np.e / CM_W) * n_total + 1
+    for k, est in zip(out.column("o_custkey").to_pylist(), out.column("est_orders").to_pylist()):
+        true = truth.get(k, 0)
+        assert est >= true, (k, est, true)
+        assert est <= true + eps_n, (k, est, true, eps_n)
+
+    # merge == single pass
+    vals = pa.array([str(i % 50) for i in range(1000)])
+    whole = cm_partial(vals)
+    halves = cm_merge([cm_partial(vals.slice(0, 400)), cm_partial(vals.slice(400))])
+    assert (whole == halves).all()
+    assert (cm_query(whole, pa.array(["7"]))[0]) == 20  # 1000/50 exact here
