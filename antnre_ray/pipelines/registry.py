@@ -49,23 +49,15 @@ _PREFIX = [
     "b33_range_join",
     "b34_lag_delta",
     "b35_ntile",
-    "text_decontaminate",
-    "dedup_clusters",
-    "dedup_incremental",
-    "b18b_hll_distinct",
     "b36_running_sum",
     "b37_cdc_diff",
     "text_pii_redact",
     "data_mix_weighted",
-    "text_pack_sequences",
-    "b15d_approx_quantiles",
     "b13d_bloom_semi_join",
     "b38_unpivot",
-    "text_bm25_search",
     "b11b_left_outer_join",
     "b11c_full_outer_join",
     "text_url_domains",
-    "text_repetition_filter",
     "b39_cross_join",
     "b40_global_row_number",
     "b42_string_agg",
@@ -79,20 +71,27 @@ _PREFIX = [
     "b48_grouped_regression",
     "b45b_strict_funnel",
     "b49_scan_pushdown",
+    # 2b — round-3 sixth wave: the TPC-H tail + dense rank, all
+    #      hash-exact vs DuckDB at sf0.001 and sf0.01 locally
+    "q08_market_share",
+    "q12_late_lineitems",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q21_blocking_supplier",
+    "q22_idle_rich_customers",
+    "b51_dense_rank",
     # 3 — rows-only, never driver-run (one per family; media_frames,
-    #     dedup_clean_corpus, kg_adjacency_incremental and
-    #     kg_span_integrity ceded their slots to new HASH-checked
-    #     queries — a rows-only driver row proves only "ran, n rows",
-    #     which their in-suite invariant/equivalence tests already
-    #     exceed)
+    #     dedup_clean_corpus, kg_adjacency_incremental, kg_span_integrity,
+    #     kg_pagerank, dedup_clusters, the sketch entries (b18b/b15d),
+    #     bm25, packing, repetition filter and b27b_topk_per_user ceded
+    #     their slots to new HASH-checked queries — a rows-only driver
+    #     row proves only "ran, n rows", which their in-suite
+    #     invariant/equivalence tests already exceed)
     "sim_ann_ivf",
     "kg_components",
-    "kg_pagerank",
-    # 4 — oracle-backed, verified in round 1 only (b23b/b26b/b06b/b15b
-    #     were also r1-verified but are code-unchanged since; they ceded
-    #     their slots to round-3 additions and stay gated by conformance
-    #     tests)
-    "b27b_topk_per_user",
+    "text_decontaminate",
+    "dedup_incremental",
     # 5 — code paths changed in round 3 (shard-vectorized reducers,
     #     vectorized linker, canonicalize rewrite)
     "b14_asof_join",

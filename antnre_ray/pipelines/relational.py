@@ -3886,3 +3886,572 @@ def b50_count_min(sf_dir: str) -> pa.Table:
     probes = pa.array([str(k) for k in range(1, 21)], pa.string())
     est = cm_query(grid, probes)
     return pa.table({"o_custkey": probes.cast(pa.int64()), "est_orders": pa.array(est, pa.int64())})
+
+
+# ======================= TPC-H tail: Q8/Q12/Q13/Q15/Q17/Q21/Q22 shapes
+# (adapted to the trimmed testdata schema: no l_shipmode / l_commitdate
+# / p_container columns, so Q12 uses shipdate-vs-orderdate lateness and
+# Q21/Q22 use the columns that exist; the relational SHAPE each query
+# exercises — conditional aggregates over a 6-way join, left-outer
+# count distribution, argmax-on-aggregate, correlated-avg subquery,
+# grouped argmax + regroup, scalar-subquery anti join — is the TPC-H
+# one).
+
+
+@register(
+    "q08_market_share",
+    """SELECT year(o_orderdate) AS o_year,
+              ROUND(sum(CASE WHEN n2.n_name = 'NATION_7'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END), 4) AS nation_rev,
+              ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+       FROM lineitem
+         JOIN orders    ON l_orderkey = o_orderkey
+         JOIN customer  ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region    ON n1.n_regionkey = r_regionkey
+         JOIN supplier  ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       WHERE r_name = 'ASIA'
+       GROUP BY o_year""",
+)
+def q08_market_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q8 (national market share): per order-year, revenue from
+    one supplier nation vs total, restricted to customers in one region.
+    ONE large-large hash join (lineitem⋈orders); the four dimension hops
+    (customer→nation→region, supplier→nation) collapse into two dense
+    broadcast boolean arrays probed per batch; each batch reduces to
+    per-year (nation_rev, total_rev) partials via bincount."""
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _read_small(sf_dir, "region", ["r_regionkey", "r_name"])
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    asia_regions = set(
+        region.filter(pc.equal(region.column("r_name"), "ASIA")).column("r_regionkey").to_pylist()
+    )
+    nk = nation.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nat_in_region = np.zeros(int(nk.max()) + 1, dtype=bool)
+    nat_in_region[nk] = np.isin(
+        nation.column("n_regionkey").to_numpy(zero_copy_only=False), list(asia_regions)
+    )
+    target_nations = set(
+        nation.filter(pc.equal(nation.column("n_name"), "NATION_7")).column("n_nationkey").to_pylist()
+    )
+
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    cust_in_region = np.zeros(int(ck.max()) + 2, dtype=bool)
+    cust_in_region[ck] = nat_in_region[
+        cust.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    ]
+    sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    supp_is_target = np.zeros(int(sk.max()) + 2, dtype=bool)
+    supp_is_target[sk] = np.isin(
+        supp.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64),
+        list(target_nations),
+    )
+    ref = ray.put((cust_in_region, supp_is_target))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    j = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(b: pa.Table, ref=ref) -> pa.Table:
+        cust_in_region, supp_is_target = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        c = np.clip(
+            b.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64),
+            0,
+            len(cust_in_region) - 1,
+        )
+        m = cust_in_region[c]
+        if not m.any():
+            return pa.table(
+                {
+                    "o_year": pa.array([], pa.int64()),
+                    "nation_rev": pa.array([], pa.float64()),
+                    "total_rev": pa.array([], pa.float64()),
+                }
+            )
+        b = b.filter(pa.array(m))
+        s = np.clip(
+            b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64),
+            0,
+            len(supp_is_target) - 1,
+        )
+        is_target = supp_is_target[s]
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = price * (1.0 - disc)
+        year = (
+            pc.year(b.column("o_orderdate")).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        y0 = year.min()
+        idx = year - y0
+        total = np.bincount(idx, weights=rev)
+        nat = np.bincount(idx, weights=np.where(is_target, rev, 0.0))
+        present = np.nonzero(np.bincount(idx))[0]
+        return pa.table(
+            {
+                "o_year": pa.array(present + y0, pa.int64()),
+                "nation_rev": pa.array(nat[present], pa.float64()),
+                "total_rev": pa.array(total[present], pa.float64()),
+            }
+        )
+
+    out = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("nation_rev", alias_name="nation_rev"), Sum("total_rev", alias_name="total_rev"))
+    )
+    return _round_cols(out, {"nation_rev": 4, "total_rev": 4})
+
+
+@register(
+    "q12_late_lineitems",
+    """SELECT o_orderpriority,
+              CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                            THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+              count(*) AS n_items
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority""",
+)
+def q12_late_lineitems(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q12 shape (shipping lateness by priority; the trimmed
+    schema has no l_shipmode/commitdate, so 'late' = shipped more than
+    90 days after the order date). One hash join, then each batch
+    collapses to at most 5 (priority, late, total) partial rows — pure
+    integer counts, exact at any scale. The oracle CASTs its CASE-sum
+    back to BIGINT (DuckDB integer SUM yields HUGEINT)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    j = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    lag = np.timedelta64(90, "D")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        odate = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        late = pa.array(ship > (odate + lag))
+        t = pa.table({"o_orderpriority": b.column("o_orderpriority"), "late": pc.cast(late, pa.int64())})
+        g = t.group_by(["o_orderpriority"]).aggregate([("late", "sum"), ("late", "count")])
+        return g.rename_columns(["o_orderpriority", "late_count", "n_items"])
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("late_count", alias_name="late_count"), Sum("n_items", alias_name="n_items"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """SELECT c_count, count(*) AS custdist
+       FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey) cc
+       GROUP BY c_count""",
+)
+def q13_customer_distribution(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q13 (customer order-count distribution): per-batch count
+    combiner over orders → grouped Sum per custkey → LEFT OUTER join to
+    customer so order-less customers survive as NULL→0 → second grouped
+    count over the distribution key. Both shuffles move one row per
+    (batch, key) / per customer — never the fact table."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        g = b.group_by(["o_custkey"]).aggregate([("o_custkey", "count")])
+        return g.rename_columns(["o_custkey", "n"])
+
+    counts = (
+        orders.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    j = cust.join(
+        counts,
+        join_type="left_outer",
+        num_partitions=_join_partitions(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def fill(b: pa.Table) -> pa.Table:
+        c = pc.coalesce(pc.cast(b.column("c_count"), pa.int64()), pa.scalar(0, pa.int64()))
+        t = pa.table({"c_count": c})
+        g = t.group_by(["c_count"]).aggregate([("c_count", "count")])
+        return g.rename_columns(["c_count", "custdist"])
+
+    return (
+        j.map_batches(fill, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """WITH rev AS (SELECT l_suppkey,
+                           ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+                    FROM lineitem
+                    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                      AND l_shipdate <  TIMESTAMP '1996-04-01'
+                    GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_rev
+       FROM supplier JOIN rev ON s_suppkey = l_suppkey
+       WHERE total_rev = (SELECT max(total_rev) FROM rev)""",
+)
+def q15_top_supplier(sf_dir: str) -> pa.Table:
+    """TPC-H Q15 (top supplier by quarterly revenue): combiner-first
+    grouped sum per suppkey over the shipdate slice, 4-decimal rounding
+    (exact — disc-prices are exact 4-decimal values, see _round_cols),
+    then an argmax-equality filter like q02 and a broadcast name attach.
+    The revenue table is supplier-cardinality, so the max + filter runs
+    on a dimension-scale Dataset."""
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1996-04-01", "us")
+
+    def pre(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        m = (ship >= lo) & (ship < hi)
+        b = b.filter(pa.array(m))
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_suppkey": b.column("l_suppkey"),
+                "rev": pa.array(price * (1.0 - disc), pa.float64()),
+            }
+        )
+        g = t.group_by(["l_suppkey"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_suppkey", "rev"])
+
+    rev = (
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+    rev = _collect(_round_cols(rev, {"rev": 4}))
+    total = rev.column("rev").to_numpy(zero_copy_only=False)
+    best = total.max()
+    winners = rev.filter(pa.array(total == best))
+
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    names = np.empty(int(sk.max()) + 1, dtype=object)
+    names[sk] = np.asarray(supp.column("s_name").to_pylist(), dtype=object)
+    wk = winners.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "s_suppkey": pa.array(wk, pa.int64()),
+            "s_name": pa.array(list(names[wk]), pa.string()),
+            "total_rev": winners.column("rev"),
+        }
+    )
+
+
+@register(
+    "q17_small_quantity",
+    """SELECT ROUND(sum(l_extendedprice), 2) AS total_price, count(*) AS n_rows
+       FROM lineitem l JOIN part p ON p_partkey = l_partkey
+       WHERE p_brand = 'Brand#1'
+         AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""",
+)
+def q17_small_quantity(sf_dir: str) -> pa.Table:
+    """TPC-H Q17 (small-quantity revenue): a correlated per-part AVG
+    subquery. Pass 1 computes (sum_qty, count) per partkey with per-batch
+    combiners (part-cardinality result → dense broadcast arrays); pass 2
+    filters lineitem vectorized against 0.5·avg and reduces to one
+    (sum, count) partial per batch. Quantities are integer-valued, so
+    every partial sum is exact in float64 and the avg division is the
+    SAME IEEE operation DuckDB performs — the float threshold compare
+    is bit-identical, not approximately equal."""
+
+    def qpre(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_partkey"]).aggregate([("l_quantity", "sum"), ("l_quantity", "count")])
+        return g.rename_columns(["l_partkey", "sum_qty", "n_qty"])
+
+    per_part = _collect(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+        .map_batches(qpre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_partkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n_qty", alias_name="n_qty"))
+    )
+    pk = per_part.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_brand"])
+    ppk = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    maxk = int(max(pk.max(), ppk.max()))
+    thr = np.full(maxk + 2, -np.inf)  # no stats → no row passes qty < thr
+    thr[pk] = 0.5 * (
+        per_part.column("sum_qty").to_numpy(zero_copy_only=False)
+        / per_part.column("n_qty").to_numpy(zero_copy_only=False)
+    )
+    brand = np.zeros(maxk + 2, dtype=bool)
+    brands = np.asarray(part.column("p_brand").to_pylist(), dtype=object)
+    brand[ppk[brands == "Brand#1"]] = True
+    ref = ray.put((thr, brand))
+
+    def partial(b: pa.Table, ref=ref) -> pa.Table:
+        thr, brand = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        k = np.clip(
+            b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64), 0, len(thr) - 1
+        )
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        m = brand[k] & (qty < thr[k])
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "total_price": pa.array([float(price[m].sum())], pa.float64()),
+                "n_rows": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    total = float(_round_half_away(np.array([sum(p["total_price"] for p in parts)]), 2)[0])
+    return pa.table(
+        {
+            "total_price": pa.array([total], pa.float64()),
+            "n_rows": pa.array([sum(p["n_rows"] for p in parts)], pa.int64()),
+        }
+    )
+
+
+@register(
+    "q21_blocking_supplier",
+    """WITH mx AS (SELECT l_orderkey AS okey, max(l_shipdate) AS max_ship
+                   FROM lineitem GROUP BY l_orderkey),
+         last AS (SELECT DISTINCT l_orderkey, l_suppkey
+                  FROM lineitem JOIN mx
+                    ON l_orderkey = okey AND l_shipdate = max_ship)
+       SELECT s_suppkey, s_name, count(*) AS n_blocking
+       FROM last JOIN supplier ON s_suppkey = l_suppkey
+       GROUP BY s_suppkey, s_name""",
+)
+def q21_blocking_supplier(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q21 shape (which supplier shipped LAST on each order —
+    the order's blocker), as a grouped argmax + regroup in ONE shuffle:
+    co-shuffle (orderkey, suppkey, shipdate) on orderkey % SHARDS, one
+    vectorized pass per shard finds each order run's max shipdate and
+    keeps the distinct (order, supplier) argmax pairs, then a per-batch
+    count combiner + grouped Sum per supplier and a broadcast name
+    attach. Dates and counts are exact integers end-to-end."""
+    from ..stages.dedup import SHARDS
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("l_orderkey"), pa.int64())
+        return pa.table(
+            {
+                "shard": _key_shard(key, SHARDS),
+                "okey": key,
+                "skey": pc.cast(b.column("l_suppkey"), pa.int64()),
+                "ship": b.column("l_shipdate"),
+            }
+        )
+
+    def argmax_shard(group: pa.Table) -> pa.Table:
+        ok = group.column("okey").combine_chunks().to_numpy(zero_copy_only=False)
+        sk = group.column("skey").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = group.column("ship").combine_chunks().to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        if len(ok) == 0:
+            return pa.table({"skey": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        order = np.lexsort((ts, ok))
+        ok, sk, ts = ok[order], sk[order], ts[order]
+        starts = np.nonzero(np.r_[True, ok[1:] != ok[:-1]])[0]
+        run_max = np.maximum.reduceat(ts, starts)
+        keep = ts == np.repeat(run_max, np.diff(np.r_[starts, len(ok)]))
+        pairs = np.unique(np.stack([ok[keep], sk[keep]], axis=1), axis=0)
+        sup, cnt = np.unique(pairs[:, 1], return_counts=True)
+        return pa.table({"skey": pa.array(sup, pa.int64()), "n": pa.array(cnt, pa.int64())})
+
+    counts = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(argmax_shard, batch_format="pyarrow")
+        .groupby("skey")
+        .aggregate(Sum("n", alias_name="n_blocking"))
+    )
+
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    names = np.empty(int(sk.max()) + 2, dtype=object)
+    names[sk] = np.asarray(supp.column("s_name").to_pylist(), dtype=object)
+    ref = ray.put(names)
+
+    def attach(b: pa.Table, ref=ref) -> pa.Table:
+        names = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        k = b.column("skey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(k, pa.int64()),
+                "s_name": pa.array(list(names[np.clip(k, 0, len(names) - 1)]), pa.string()),
+                "n_blocking": b.column("n_blocking"),
+            }
+        )
+
+    return counts.map_batches(attach, batch_format="pyarrow")
+
+
+@register(
+    "q22_idle_rich_customers",
+    """WITH stats AS (SELECT count(*) AS cnt,
+                             sum(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS total_cents
+                      FROM customer WHERE c_acctbal > 0)
+       SELECT c_custkey, c_name, c_acctbal
+       FROM customer
+       WHERE c_acctbal > 0
+         AND CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * (SELECT cnt FROM stats)
+             > (SELECT total_cents FROM stats)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c_custkey
+                           AND o.o_orderpriority = '1-URGENT')""",
+)
+def q22_idle_rich_customers(sf_dir: str) -> pa.Table:
+    """TPC-H Q22 shape (above-average-balance customers with no
+    qualifying orders): the global-average filter runs in EXACT integer
+    cents — bal·100·count > Σcents avoids the order-dependent float
+    mean entirely (both sides of the oracle use the same integers) —
+    and the NOT EXISTS is the broadcast anti join (urgent orders'
+    custkeys ship once via ray.put, vectorized is_in per batch).
+    Schema-pinned collect: the survivor set can be small/empty."""
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        pos = bal[bal > 0]
+        cents = np.rint(pos * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "cnt": pa.array([len(pos)], pa.int64()),
+                "cents": pa.array([int(cents.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(stats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    cnt = sum(p["cnt"] for p in parts)
+    total_cents = sum(p["cents"] for p in parts)
+
+    urgent = _read_small(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    urgent = urgent.filter(pc.equal(urgent.column("o_orderpriority"), "1-URGENT"))
+    key_ref = ray.put(pc.unique(urgent.column("o_custkey").combine_chunks()))
+
+    def fn(b: pa.Table, ref=key_ref, cnt=cnt, total=total_cents) -> pa.Table:
+        keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.rint(bal * 100.0).astype(np.int64)
+        rich = (bal > 0) & (cents * cnt > total)
+        idle = pc.invert(pc.is_in(b.column("c_custkey"), value_set=keys)).to_numpy(
+            zero_copy_only=False
+        )
+        return b.filter(pa.array(rich & idle)).select(["c_custkey", "c_name", "c_acctbal"])
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+    schema = pa.schema(
+        [("c_custkey", pa.int64()), ("c_name", pa.string()), ("c_acctbal", pa.float64())]
+    )
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    return pa.concat_tables([t.cast(schema) for t in tables]) if tables else schema.empty_table()
+
+
+# --------------------------- B51: DENSE_RANK (completes the rank family)
+
+@register(
+    "b51_dense_rank",
+    """SELECT user_id, event_type, n_events, dr
+       FROM (SELECT user_id, event_type, count(*) AS n_events,
+                    DENSE_RANK() OVER (PARTITION BY user_id
+                                       ORDER BY count(*) DESC) AS dr
+             FROM events GROUP BY user_id, event_type) t""",
+)
+def b51_dense_rank(sf_dir: str) -> ray.data.Dataset:
+    """DENSE_RANK over a grouped aggregate (per-user event-type counts
+    ranked by frequency): count combiner + grouped Sum shrinks events to
+    (user, type) cardinality, then the b27 shard shape ranks each user
+    run in one vectorized pass — dense rank = cumsum of value-change
+    flags with per-run base subtraction; ties (equal counts) share a
+    rank with NO order dependence, so the result is deterministic
+    without a tie-break column. Completes the window-rank family
+    (ROW_NUMBER b40, NTILE b35, LAG b34, running SUM b36)."""
+    from ..stages.dedup import SHARDS
+
+    def pre(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"]).aggregate([("event_type", "count")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    counts = (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("user_id"), pa.int64())
+        return pa.table(
+            {
+                "shard": _key_shard(key, SHARDS),
+                "user_id": key,
+                "event_type": b.column("event_type"),
+                "n_events": pc.cast(b.column("n_events"), pa.int64()),
+            }
+        )
+
+    def rank_shard(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        n = group.column("n_events").combine_chunks().to_numpy(zero_copy_only=False)
+        et = group.column("event_type").combine_chunks()
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "dr": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((-n, uid))
+        uid, n = uid[order], n[order]
+        et = et.take(pa.array(order))
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        new_val = new_user | np.r_[False, n[1:] != n[:-1]]
+        csum = np.cumsum(new_val)
+        run_base = csum[np.nonzero(new_user)[0]] - 1
+        runs = np.diff(np.r_[np.nonzero(new_user)[0], len(uid)])
+        dr = csum - np.repeat(run_base, runs)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_type": et,
+                "n_events": pa.array(n, pa.int64()),
+                "dr": pa.array(dr, pa.int64()),
+            }
+        )
+
+    return (
+        counts.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rank_shard, batch_format="pyarrow")
+    )
