@@ -81,6 +81,8 @@ _PREFIX = [
     "q21_blocking_supplier",
     "q22_idle_rich_customers",
     "b51_dense_rank",
+    "b11e_skew_join_auto",
+    "b52_moving_frame",
     # 3 — rows-only, never driver-run (one per family; media_frames,
     #     dedup_clean_corpus, kg_adjacency_incremental, kg_span_integrity,
     #     kg_pagerank, dedup_clusters, the sketch entries (b18b/b15d),
@@ -88,9 +90,7 @@ _PREFIX = [
     #     their slots to new HASH-checked queries — a rows-only driver
     #     row proves only "ran, n rows", which their in-suite
     #     invariant/equivalence tests already exceed)
-    "sim_ann_ivf",
     "kg_components",
-    "text_decontaminate",
     "dedup_incremental",
     # 5 — code paths changed in round 3 (shard-vectorized reducers,
     #     vectorized linker, canonicalize rewrite)

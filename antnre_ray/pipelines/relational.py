@@ -4455,3 +4455,221 @@ def b51_dense_rank(sf_dir: str) -> ray.data.Dataset:
         .groupby("shard")
         .map_groups(rank_shard, batch_format="pyarrow")
     )
+
+
+# ------------- B11e: AUTO skew join (MG heat probe routes hot keys)
+
+@register(
+    "b11e_skew_join_auto",
+    """WITH probe AS (SELECT user_id, value FROM events
+                      UNION ALL
+                      SELECT 1 AS user_id, l_extendedprice AS value
+                      FROM lineitem),
+         dim AS (SELECT c_custkey AS user_id, c_name FROM customer)
+       SELECT p.user_id, d.c_name, p.value
+       FROM probe p JOIN dim d ON p.user_id = d.user_id""",
+)
+def b11e_skew_join_auto(sf_dir: str) -> ray.data.Dataset:
+    """AUTOMATIC skew-handling join (the AQE pattern): a Misra-Gries
+    pass over the probe keys (1 KB per block, counter-addition merge)
+    finds keys whose estimated share alone would fill half a reducer
+    (est ≥ rows / (2·shuffle_width)); their dim rows ship broadcast and
+    join map-side with NO shuffle, while the cold majority takes the
+    normal hash join — so one scorching key can never melt a reducer,
+    and the uniform keys never pay b11d's build×salts replication.
+    The probe here is CONSTRUCTED skewed in a SQL-expressible way
+    (every lineitem row re-keyed to user 1: ~86% of probe rows on one
+    key) so the hot path is actually exercised and oracle-checked; the
+    events side stays uniform so the cold path is too. The broadcast
+    hot path requires the dim to be unique-keyed on the join key
+    (asserted) — exactly the precondition that makes broadcasting it
+    safe. Answer is oracle-identical to the plain join; only the
+    physical layout differs."""
+    from ..functions.sketch import mg_compress, mg_merge
+
+    events = _read(sf_dir, "events", ["user_id", "value"])
+
+    def rekey(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "value": b.column("l_extendedprice"),
+            }
+        )
+
+    hot_slice = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        rekey, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def cast_probe(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": pc.cast(b.column("user_id"), pa.int64()), "value": b.column("value")}
+        )
+
+    probe = events.map_batches(cast_probe, batch_format="pyarrow", zero_copy_batch=True).union(
+        hot_slice
+    )
+
+    # Heat probe: one MG partial per block, merged driver-side (the
+    # b41 sketch as a *planner input* rather than a query result).
+    def heat(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b.column("user_id").combine_chunks())
+        items, counts = mg_compress(
+            vc.field("values").to_numpy(zero_copy_only=False),
+            vc.field("counts").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "items": pa.array([items.tolist()], pa.list_(pa.int64())),
+                "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
+                "n": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    parts = probe.map_batches(heat, batch_format="pyarrow").take_all()
+    total = sum(p["n"] for p in parts)
+    items, counts = mg_merge(
+        [
+            (np.asarray(p["items"], dtype=np.int64), np.asarray(p["counts"], dtype=np.int64))
+            for p in parts
+        ]
+    )
+    threshold = max(1, total // (2 * _join_partitions()))
+    hot = np.sort(items[counts >= threshold])
+
+    dim = _read_small(sf_dir, "customer", ["c_custkey", "c_name"])
+    dk = dim.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    assert len(np.unique(dk)) == len(dk), "hot-path broadcast needs a unique-keyed dim"
+    hot_mask = np.isin(dk, hot)
+    hot_dim = dim.filter(pa.array(hot_mask))
+    hot_keys = pa.array(hot, pa.int64())
+    hot_names = np.empty(len(hot), dtype=object)
+    hd_keys = hot_dim.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.searchsorted(hot, hd_keys)
+    hot_names[pos] = np.asarray(hot_dim.column("c_name").to_pylist(), dtype=object)
+    hot_has_dim = np.zeros(len(hot), dtype=bool)
+    hot_has_dim[pos] = True
+    ref = ray.put((hot_keys, hot_names, hot_has_dim))
+
+    def hot_join(b: pa.Table, ref=ref) -> pa.Table:
+        hot_keys, hot_names, hot_has_dim = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        idx = pc.index_in(b.column("user_id"), value_set=hot_keys)
+        m = idx.to_numpy(zero_copy_only=False)
+        is_hot = ~np.isnan(m) if m.dtype.kind == "f" else np.full(len(m), True)
+        mi = np.where(is_hot, np.nan_to_num(m, nan=0).astype(np.int64), 0)
+        keep = is_hot & hot_has_dim[mi]
+        b = b.filter(pa.array(keep))
+        names = hot_names[mi[keep]]
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "c_name": pa.array(list(names), pa.string()),
+                "value": b.column("value"),
+            }
+        )
+
+    hot_out = probe.map_batches(hot_join, batch_format="pyarrow")
+
+    hot_ref = ray.put(hot_keys)
+
+    def cold_filter(b: pa.Table, ref=hot_ref) -> pa.Table:
+        keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        return b.filter(pc.invert(pc.is_in(b.column("user_id"), value_set=keys)))
+
+    cold_probe = probe.map_batches(cold_filter, batch_format="pyarrow")
+    cold_dim = ray.data.from_arrow(dim.filter(pa.array(~hot_mask))).map_batches(
+        lambda b: pa.table(
+            {"user_id": pc.cast(b.column("c_custkey"), pa.int64()), "c_name": b.column("c_name")}
+        ),
+        batch_format="pyarrow",
+    )
+    cold_out = cold_probe.join(
+        cold_dim,
+        join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("user_id",),
+        right_on=("user_id",),
+    ).select_columns(["user_id", "c_name", "value"])
+    return hot_out.union(cold_out)
+
+
+# --------------- B52: bounded window-frame aggregate (moving sum/count)
+
+@register(
+    "b52_moving_frame",
+    """SELECT user_id, event_id,
+              CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS frame_cents,
+              count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS frame_n
+       FROM (SELECT user_id, ts, event_id,
+                    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+             FROM events) t""",
+)
+def b52_moving_frame(sf_dir: str) -> ray.data.Dataset:
+    """BOUNDED window frame (ROWS 3 PRECEDING — the moving-average
+    shape), completing the frame family: b36 is the UNBOUNDED prefix,
+    this is the sliding band. Same one-shuffle shard shape; inside each
+    shard one global cumsum serves every user run — frame sum =
+    csum[i] − csum[frame_lo−1], where frame_lo clamps to the run start
+    (subtracting the PREVIOUS run's prefix exactly cancels the carried
+    cumsum, so runs never need separate passes). Values go through the
+    oracle's own ROUND(·,0) half-away rule into exact integer cents;
+    output is (sum, count), not the float mean, so every byte is
+    integer-exact."""
+    from ..stages.dedup import SHARDS
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("user_id"), pa.int64())
+        cents = _round_half_away(
+            b.column("value").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "shard": _key_shard(key, SHARDS),
+                "user_id": key,
+                "ts": b.column("ts"),
+                "event_id": pc.cast(b.column("event_id"), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def frame_shard(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "frame_cents": pa.array([], pa.int64()),
+                    "frame_n": pa.array([], pa.int64()),
+                }
+            )
+        ts = group.column("ts").combine_chunks().to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        cents = group.column("cents").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, cents = uid[order], eid[order], cents[order]
+        starts = np.nonzero(np.r_[True, uid[1:] != uid[:-1]])[0]
+        pos = np.arange(n) - np.repeat(starts, np.diff(np.r_[starts, n]))
+        width = np.minimum(pos, 3) + 1
+        csum = np.cumsum(cents)
+        lo = np.arange(n) - width  # global index just before the frame
+        frame = csum - np.where(lo >= 0, csum[np.maximum(lo, 0)], 0)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "frame_cents": pa.array(frame, pa.int64()),
+                "frame_n": pa.array(width, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(frame_shard, batch_format="pyarrow")
+    )
