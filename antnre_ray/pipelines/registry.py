@@ -21,7 +21,10 @@ def register(name: str, sql: str | None):
 # budget, ordered by marginal evidence value:
 #   1. oracle-backed queries NEVER driver-verified (9 round-2 additions),
 #   2. new round-3 queries,
-#   3. rows-only queries never driver-run,
+#   3. rows-only queries never driver-run (kg_components and
+#      dedup_incremental ceded the last two slots to b40b/b53 —
+#      46 unverified oracle queries + 2 re-confirms + 2 rows-only
+#      representatives fill the window exactly),
 #   4. oracle-backed queries verified only in round 1 (re-confirm),
 #   5. queries whose code paths changed this round (re-confirm),
 #   6. one representative per rows-only family,
@@ -83,6 +86,8 @@ _PREFIX = [
     "b51_dense_rank",
     "b11e_skew_join_auto",
     "b52_moving_frame",
+    "b40b_row_number_rangepart",
+    "b53_fk_audit",
     # 3 — rows-only, never driver-run (one per family; media_frames,
     #     dedup_clean_corpus, kg_adjacency_incremental, kg_span_integrity,
     #     kg_pagerank, dedup_clusters, the sketch entries (b18b/b15d),
@@ -90,8 +95,6 @@ _PREFIX = [
     #     their slots to new HASH-checked queries — a rows-only driver
     #     row proves only "ran, n rows", which their in-suite
     #     invariant/equivalence tests already exceed)
-    "kg_components",
-    "dedup_incremental",
     # 5 — code paths changed in round 3 (shard-vectorized reducers,
     #     vectorized linker, canonicalize rewrite)
     "b14_asof_join",

@@ -4673,3 +4673,145 @@ def b52_moving_frame(sf_dir: str) -> ray.data.Dataset:
         .groupby("shard")
         .map_groups(frame_shard, batch_format="pyarrow")
     )
+
+
+# -------- B40b: ROW_NUMBER over quantile-derived range partitions
+
+@register(
+    "b40b_row_number_rangepart",
+    """SELECT event_id,
+              ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+       FROM events""",
+)
+def b40b_row_number_rangepart(sf_dir: str, n_parts: int = 16) -> ray.data.Dataset:
+    """b40's global ROW_NUMBER with PRODUCTION boundaries: instead of
+    fixed hour walls, the bucket edges come from a one-pass mergeable
+    quantile sketch over ts (stages/partition.py), so the buckets are
+    ≈ equal-row on ANY time distribution — a bursty corpus can no
+    longer pile 90% of rows into one wall-clock hour's reducer. Same
+    two-pass rank: per-bucket counts → broadcast exclusive prefix →
+    local sort + offset. Correctness is boundary-independent (the
+    oracle is identical to b40's); the sketch only buys balance."""
+    from ..stages.partition import assign_range_partition, quantile_range_boundaries
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+    bounds = quantile_range_boundaries(
+        ev, "ts", n_parts, _cast=lambda x: x.astype("datetime64[us]").view(np.int64)
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        ts = (
+            b.column("ts")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        return b.append_column("bucket", pa.array(assign_range_partition(ts, bounds)))
+
+    ev = ev.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    counts = {r["bucket"]: r["count()"] for r in ev.groupby("bucket").count().take_all()}
+    offsets, acc = {}, 0
+    for bkt in sorted(counts):
+        offsets[bkt] = acc
+        acc += counts[bkt]
+
+    def assign(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        base = offsets[g.column("bucket")[0].as_py()]
+        rn = np.empty(len(eid), dtype=np.int64)
+        rn[order] = base + 1 + np.arange(len(eid), dtype=np.int64)
+        return pa.table({"event_id": g.column("event_id"), "rn": pa.array(rn)})
+
+    return ev.groupby("bucket").map_groups(assign, batch_format="pyarrow")
+
+
+# ----------------------- B53: referential-integrity (FK orphan) audit
+
+@register(
+    "b53_fk_audit",
+    """SELECT rel, orphans FROM (
+         SELECT 'orders.custkey' AS rel, count(*) AS orphans
+         FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+         UNION ALL
+         SELECT 'lineitem.orderkey', count(*)
+         FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+         UNION ALL
+         SELECT 'lineitem.partkey', count(*)
+         FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+         UNION ALL
+         SELECT 'lineitem.suppkey', count(*)
+         FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+         UNION ALL
+         SELECT 'customer.nationkey', count(*)
+         FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+       ) t""",
+)
+def b53_fk_audit(sf_dir: str) -> pa.Table:
+    """Data-quality audit: orphan counts for every foreign-key edge of
+    the star schema, in one row per relationship. Two physical shapes,
+    chosen by PARENT size exactly as a 100-TB run must: dimension
+    parents (customer/part/supplier/nation) broadcast their key set
+    once and each child batch anti-probes with a vectorized is_in,
+    collapsing to one partial count per batch; the fact-sized parent
+    (orders, for lineitem.orderkey) would never fit a broadcast, so
+    that edge is the b13c co-partitioned left_anti join with per-batch
+    pre-distinct, counted distributed. Counts are exact integers."""
+
+    def _orphans_broadcast(child: str, ckey: str, parent: str, pkey: str) -> int:
+        keys = pc.unique(_read_small(sf_dir, parent, [pkey]).column(pkey).combine_chunks())
+        ref = ray.put(keys)
+
+        def part(b: pa.Table, ref=ref) -> pa.Table:
+            ks = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            miss = pc.invert(pc.is_in(pc.cast(b.column(ckey), ks.type), value_set=ks))
+            return pa.table({"n": pa.array([pc.sum(miss).as_py() or 0], pa.int64())})
+
+        rows = _read(sf_dir, child, [ckey]).map_batches(
+            part, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        return sum(r["n"] for r in rows)
+
+    def _orphans_antijoin() -> int:
+        li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+        def pre(b: pa.Table) -> pa.Table:
+            return b.group_by(["l_orderkey"]).aggregate([]).rename_columns(["l_orderkey"])
+
+        child_keys = li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        parents = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+            lambda b: b.group_by(["o_orderkey"]).aggregate([]).rename_columns(["l_orderkey"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        orphan_keys = child_keys.join(
+            parents, join_type="left_anti", num_partitions=_join_partitions(), on=("l_orderkey",)
+        )
+        bad = {r["l_orderkey"] for r in orphan_keys.take_all()}
+        if not bad:
+            return 0
+        ref = ray.put(pa.array(sorted(bad), pa.int64()))
+
+        def cnt(b: pa.Table, ref=ref) -> pa.Table:
+            ks = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            hit = pc.is_in(b.column("l_orderkey"), value_set=ks)
+            return pa.table({"n": pa.array([pc.sum(hit).as_py() or 0], pa.int64())})
+
+        rows = li.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        return sum(r["n"] for r in rows)
+
+    rels = [
+        ("orders.custkey", _orphans_broadcast("orders", "o_custkey", "customer", "c_custkey")),
+        ("lineitem.orderkey", _orphans_antijoin()),
+        ("lineitem.partkey", _orphans_broadcast("lineitem", "l_partkey", "part", "p_partkey")),
+        ("lineitem.suppkey", _orphans_broadcast("lineitem", "l_suppkey", "supplier", "s_suppkey")),
+        ("customer.nationkey", _orphans_broadcast("customer", "c_nationkey", "nation", "n_nationkey")),
+    ]
+    return pa.table(
+        {
+            "rel": pa.array([r[0] for r in rels], pa.string()),
+            "orphans": pa.array([int(r[1]) for r in rels], pa.int64()),
+        }
+    )
