@@ -4470,23 +4470,33 @@ def b51_dense_rank(sf_dir: str) -> ray.data.Dataset:
        FROM probe p JOIN dim d ON p.user_id = d.user_id""",
 )
 def b11e_skew_join_auto(sf_dir: str) -> ray.data.Dataset:
-    """AUTOMATIC skew-handling join (the AQE pattern): a Misra-Gries
-    pass over the probe keys (1 KB per block, counter-addition merge)
-    finds keys whose estimated share alone would fill half a reducer
-    (est ≥ rows / (2·shuffle_width)); their dim rows ship broadcast and
-    join map-side with NO shuffle, while the cold majority takes the
-    normal hash join — so one scorching key can never melt a reducer,
-    and the uniform keys never pay b11d's build×salts replication.
+    """AUTOMATIC skew-handling join (the AQE pattern, PARTIAL salting):
+    a Misra-Gries pass over the probe keys (1 KB per block, counter-
+    addition merge) finds keys whose estimated share alone would fill
+    half a reducer (est ≥ rows / (2·shuffle_width)). Then ONE join pass:
+    probe rows on a hot key take a round-robin salt so the key fans
+    out across `salts` reducers; everything else salts 0; the build
+    side replicates ONLY its hot-key rows once per salt. Versus b11d
+    (every build row × salts) the replication cost collapses to
+    |hot dim rows| × salts, and versus a two-path hot/cold split the
+    probe is scanned once for the join (Ray re-executes lazy branches,
+    so a split pays the probe scan per consumer — measured 2.3× the
+    plain join's wall at sf0.1 vs 1.5× for this plan, where the extra
+    0.5× IS the heat-probe scan: the cost of not knowing the histogram
+    in advance. At sandbox scale the hot key never saturates a reducer
+    so the plain join stays ahead; the payoff is at cluster scale,
+    where an 86%-share key serializes one reducer for the whole
+    probe's worth of work while this plan caps any reducer at ~1/salts
+    of it).
     The probe here is CONSTRUCTED skewed in a SQL-expressible way
     (every lineitem row re-keyed to user 1: ~86% of probe rows on one
-    key) so the hot path is actually exercised and oracle-checked; the
-    events side stays uniform so the cold path is too. The broadcast
-    hot path requires the dim to be unique-keyed on the join key
-    (asserted) — exactly the precondition that makes broadcasting it
-    safe. Answer is oracle-identical to the plain join; only the
-    physical layout differs."""
+    key) so the salted path is actually exercised and oracle-checked;
+    events' uniform keys exercise the unsalted path. Answer is
+    oracle-identical to the plain join; only the reducer layout
+    differs."""
     from ..functions.sketch import mg_compress, mg_merge
 
+    salts = _join_partitions()
     events = _read(sf_dir, "events", ["user_id", "value"])
 
     def rekey(b: pa.Table) -> pa.Table:
@@ -4534,63 +4544,44 @@ def b11e_skew_join_auto(sf_dir: str) -> ray.data.Dataset:
             for p in parts
         ]
     )
-    threshold = max(1, total // (2 * _join_partitions()))
+    threshold = max(1, total // (2 * salts))
     hot = np.sort(items[counts >= threshold])
+    hot_ref = ray.put(pa.array(hot, pa.int64()))
 
-    dim = _read_small(sf_dir, "customer", ["c_custkey", "c_name"])
-    dk = dim.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
-    assert len(np.unique(dk)) == len(dk), "hot-path broadcast needs a unique-keyed dim"
-    hot_mask = np.isin(dk, hot)
-    hot_dim = dim.filter(pa.array(hot_mask))
-    hot_keys = pa.array(hot, pa.int64())
-    hot_names = np.empty(len(hot), dtype=object)
-    hd_keys = hot_dim.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
-    pos = np.searchsorted(hot, hd_keys)
-    hot_names[pos] = np.asarray(hot_dim.column("c_name").to_pylist(), dtype=object)
-    hot_has_dim = np.zeros(len(hot), dtype=bool)
-    hot_has_dim[pos] = True
-    ref = ray.put((hot_keys, hot_names, hot_has_dim))
-
-    def hot_join(b: pa.Table, ref=ref) -> pa.Table:
-        hot_keys, hot_names, hot_has_dim = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        idx = pc.index_in(b.column("user_id"), value_set=hot_keys)
-        m = idx.to_numpy(zero_copy_only=False)
-        is_hot = ~np.isnan(m) if m.dtype.kind == "f" else np.full(len(m), True)
-        mi = np.where(is_hot, np.nan_to_num(m, nan=0).astype(np.int64), 0)
-        keep = is_hot & hot_has_dim[mi]
-        b = b.filter(pa.array(keep))
-        names = hot_names[mi[keep]]
-        return pa.table(
-            {
-                "user_id": b.column("user_id"),
-                "c_name": pa.array(list(names), pa.string()),
-                "value": b.column("value"),
-            }
-        )
-
-    hot_out = probe.map_batches(hot_join, batch_format="pyarrow")
-
-    hot_ref = ray.put(hot_keys)
-
-    def cold_filter(b: pa.Table, ref=hot_ref) -> pa.Table:
+    def salt_probe(b: pa.Table, ref=hot_ref) -> pa.Table:
         keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        return b.filter(pc.invert(pc.is_in(b.column("user_id"), value_set=keys)))
+        is_hot = pc.is_in(b.column("user_id"), value_set=keys).to_numpy(zero_copy_only=False)
+        salt = np.zeros(b.num_rows, dtype=np.int64)
+        salt[is_hot] = np.arange(int(is_hot.sum()), dtype=np.int64) % salts
+        return b.append_column("salt", pa.array(salt))
 
-    cold_probe = probe.map_batches(cold_filter, batch_format="pyarrow")
-    cold_dim = ray.data.from_arrow(dim.filter(pa.array(~hot_mask))).map_batches(
-        lambda b: pa.table(
+    def salt_dim(b: pa.Table, ref=hot_ref) -> pa.Table:
+        keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        b = pa.table(
             {"user_id": pc.cast(b.column("c_custkey"), pa.int64()), "c_name": b.column("c_name")}
-        ),
-        batch_format="pyarrow",
+        )
+        is_hot = pc.is_in(b.column("user_id"), value_set=keys)
+        cold = b.filter(pc.invert(is_hot)).append_column(
+            "salt", pa.array(np.zeros(b.num_rows - int(pc.sum(is_hot).as_py() or 0), np.int64))
+        )
+        hot_rows = b.filter(is_hot)
+        n = hot_rows.num_rows
+        rep = hot_rows.take(pa.array(np.tile(np.arange(n), salts)))
+        rep = rep.append_column("salt", pa.array(np.repeat(np.arange(salts, dtype=np.int64), n)))
+        return pa.concat_tables([cold, rep])
+
+    salted_probe = probe.map_batches(salt_probe, batch_format="pyarrow")
+    salted_dim = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        salt_dim, batch_format="pyarrow", zero_copy_batch=True
     )
-    cold_out = cold_probe.join(
-        cold_dim,
+    j = salted_probe.join(
+        salted_dim,
         join_type="inner",
-        num_partitions=_join_partitions(),
-        on=("user_id",),
-        right_on=("user_id",),
-    ).select_columns(["user_id", "c_name", "value"])
-    return hot_out.union(cold_out)
+        num_partitions=salts,
+        on=("user_id", "salt"),
+        right_on=("user_id", "salt"),
+    )
+    return j.select_columns(["user_id", "c_name", "value"])
 
 
 # --------------- B52: bounded window-frame aggregate (moving sum/count)
