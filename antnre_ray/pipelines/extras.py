@@ -253,6 +253,27 @@ def sim_ann_ivf(sf_dir: str) -> pa.Table:
     return query_ivf_index(index_path, Q, qids, k=5, nprobe=8)
 
 
+@register("sim_ann_ivfpq", None)
+def sim_ann_ivfpq(sf_dir: str) -> pa.Table:
+    """IVF-PQ ANN (product-quantized residuals, ADC scoring): the
+    compressed scale path — 32× smaller storage than raw float32, the
+    form a billion-vector index actually ships in. Recall vs brute
+    force is the tested contract (tests/test_extras.py); scores are
+    quantization approximations by design."""
+
+    from ..stages.similarity import build_ivfpq_index, query_ivfpq_index, refine_topk
+
+    tag = _index_tag(sf_dir)
+    index_path = f"/tmp/antnre_ivfpq_index/{tag}"
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    build_ivfpq_index(ds, index_path)
+    Q, qids = _ann_queries(sf_dir)
+    # Two-stage production shape: ADC top-20 from 8-byte codes, then an
+    # exact re-rank of those candidates back to top-5.
+    adc = query_ivfpq_index(index_path, Q, qids, k=20, nprobe=8)
+    return refine_topk(ds, adc, Q, qids, k=5)
+
+
 @register("media_refs", None)
 def media_refs_query(sf_dir: str) -> ray.data.Dataset:
     return media_refs(derive_interleaved(f"{sf_dir}/documents.parquet"))

@@ -485,3 +485,276 @@ def brute_force_topk(
         [ray.get(r) for r in embeddings.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()]
     )
     return _merge_topk(partials, k)
+
+
+# ----------------------- IVF-PQ (product-quantized inverted lists)
+
+PQ_M = 8  # subspaces (dim must divide evenly)
+PQ_K = 256  # codes per subspace → one uint8 per subspace per vector
+PQ_TRAIN_ITERS = 8
+
+
+def build_ivfpq_index(
+    embeddings: ray.data.Dataset,
+    index_path: str,
+    dim: int = 64,
+    seed: int = 42,
+    n_centroids: int = IVF_CENTROIDS,
+    m: int = PQ_M,
+    overwrite: bool = False,
+) -> str:
+    """IVF-PQ: the 100-TB vector-index form (Jégou et al. 2011,
+    "Product quantization for nearest neighbor search"). The IVF coarse
+    quantizer routes each vector to an inverted list, then the vector's
+    RESIDUAL (x − centroid) is product-quantized: split into ``m``
+    subspaces, each encoded as the id of its nearest entry in a
+    256-entry per-subspace codebook — so a float32[64] vector (256 B)
+    stores as ``m`` uint8 codes (8 B, 32× compression) and a billion
+    vectors fit where raw floats never would. Training (coarse k-means
+    + per-subspace residual k-means) runs driver-side on the same
+    bounded sample as the IVF build; encoding is one distributed pass
+    (per batch: one matmul per subspace via the ‖r−c‖² = ‖r‖²−2r·c+‖c‖²
+    expansion, never an n×256×d temp). Same deployment constraint and
+    atomic tmp+rename build as :func:`build_ann_index`."""
+    assert dim % m == 0, (dim, m)
+    sub = dim // m
+    marker = os.path.join(index_path, "_built")
+    if os.path.exists(marker) and not overwrite:
+        return index_path
+    tmp_path = f"{index_path}.tmp.{uuid.uuid4().hex[:8]}"
+
+    n_total = embeddings.count()
+    frac = min(1.0, IVF_SAMPLE / max(n_total, 1))
+    sample = embeddings.random_sample(frac, seed=seed).take_all() if n_total else []
+    os.makedirs(tmp_path, exist_ok=True)
+    if not sample:
+        np.save(os.path.join(tmp_path, "centroids.npy"), np.zeros((0, dim)))
+        np.save(os.path.join(tmp_path, "codebooks.npy"), np.zeros((m, PQ_K, sub)))
+        with open(os.path.join(tmp_path, "_built"), "w") as f:
+            f.write("ok")
+        if os.path.exists(index_path):
+            shutil.rmtree(index_path)
+        os.replace(tmp_path, index_path)
+        return index_path
+
+    S = _normalize(np.asarray([r["embedding"] for r in sample], dtype=np.float64))
+    C = _kmeans(S, n_centroids, IVF_ITERS, seed)
+    R = S - C[(S @ C.T).argmax(axis=1)]  # training residuals
+    codebooks = np.stack(
+        [
+            # residual slices are NOT unit vectors: k-means here must not
+            # re-normalize, so run it on the raw slice and keep the raw
+            # mean — _kmeans normalizes, hence a local loop.
+            _kmeans_raw(R[:, j * sub : (j + 1) * sub], PQ_K, PQ_TRAIN_ITERS, seed + j)
+            for j in range(m)
+        ]
+    )  # (m, PQ_K, sub)
+    np.save(os.path.join(tmp_path, "centroids.npy"), C)
+    np.save(os.path.join(tmp_path, "codebooks.npy"), codebooks)
+    state = ray.put((C, codebooks))
+
+    def encode(b: pa.Table, ref=state) -> pa.Table:
+        C, CB = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        X = emb.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, dim)
+        Xn = _normalize(X.astype(np.float64))
+        cid = (Xn @ C.T).argmax(axis=1).astype(np.int32)
+        R = Xn - C[cid]
+        codes = np.empty((b.num_rows, m), dtype=np.uint8)
+        for j in range(m):
+            r = R[:, j * sub : (j + 1) * sub]
+            cb = CB[j]
+            # argmin ‖r−c‖² = argmin(‖c‖² − 2 r·c): one (n×256) matmul.
+            codes[:, j] = ((cb * cb).sum(axis=1)[None, :] - 2.0 * (r @ cb.T)).argmin(axis=1)
+        return pa.table(
+            {
+                "centroid": pa.array([f"c{c:04d}" for c in cid], pa.string()),
+                "cid": pa.array(cid, pa.int32()),
+                "vec_id": b.column("vec_id"),
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1), pa.uint8()), m
+                ),
+            }
+        )
+
+    embeddings.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        tmp_path, partition_cols=["centroid"]
+    )
+    with open(os.path.join(tmp_path, "_built"), "w") as f:
+        f.write("ok")
+    if os.path.exists(index_path):
+        shutil.rmtree(index_path)
+    os.replace(tmp_path, index_path)
+    return index_path
+
+
+def _kmeans_raw(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """k-means WITHOUT the unit-sphere projection (_kmeans normalizes
+    its centroids — right for coarse quantizers on unit vectors, wrong
+    for PQ residual slices, which live near the origin)."""
+    rng = np.random.default_rng(seed ^ 0x9E37)
+    n = len(X)
+    k = min(k, n)
+    cents = [X[rng.integers(n)]]
+    d2 = np.full(n, np.inf)
+    for _ in range(1, k):
+        d2 = np.minimum(d2, ((X - cents[-1]) ** 2).sum(axis=1))
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        cents.append(X[rng.choice(n, p=probs)])
+    C = np.stack(cents)
+    for _ in range(iters):
+        assign = ((X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]).argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                C[c] = X[mask].mean(axis=0)
+    return C
+
+
+def query_ivfpq_index(
+    index_path: str,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 8,
+    dim: int = 64,
+) -> pa.Table:
+    """Asymmetric-distance (ADC) top-k against the IVF-PQ index: the
+    query stays a full float vector, stored vectors stay codes. Per
+    query ONE (m × 256) lookup table LUT[j][c] = q_j · codebook[j][c]
+    turns each candidate's score into base[cid] + Σ_j LUT[j][codes_j] —
+    a table gather per row, no float vectors read from storage at all.
+    Reads touch only the nprobe probed partitions (codes column, 8 B a
+    row). Scores are approximations of cosine (quantization error), so
+    recall is the tested contract, exactness is not."""
+    C = np.load(os.path.join(index_path, "centroids.npy"))
+    CB = np.load(os.path.join(index_path, "codebooks.npy"))  # (m, 256, sub)
+    if len(C) == 0:
+        return _empty_topk(k)
+    m, _, sub = CB.shape
+    Qn = _normalize(np.asarray(queries, dtype=np.float64))
+    base = Qn @ C.T  # [q, n_cent] — the coarse part of every score
+    probe = np.argsort(-base, axis=1)[:, :nprobe]
+    luts = np.einsum("qjs,jks->qjk", Qn.reshape(len(Qn), m, sub), CB)  # [q, m, 256]
+    cid_to_qis: dict[int, list[int]] = {}
+    for qi in range(len(query_ids)):
+        for c in probe[qi]:
+            cid_to_qis.setdefault(int(c), []).append(qi)
+    files = [
+        os.path.join(d, f)
+        for d in (os.path.join(index_path, f"centroid=c{c:04d}") for c in sorted(cid_to_qis))
+        if os.path.isdir(d)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        return _empty_topk(k)
+    ds = ray.data.read_parquet(files, columns=["vec_id", "codes", "cid"])
+    state_ref = ray.put((query_ids, base, luts, cid_to_qis))
+
+    def score(b: pa.Table, ref=state_ref, k=k) -> pa.Table:
+        qids, base, luts, cid_to_qis = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        codes_col = b.column("codes")
+        if isinstance(codes_col, pa.ChunkedArray):
+            codes_col = codes_col.combine_chunks()
+        codes = codes_col.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, m)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        cids = b.column("cid").to_numpy(zero_copy_only=False)
+        out_q, out_n, out_c = [], [], []
+        jj = np.arange(m)
+        for cid in np.unique(cids):
+            qis = cid_to_qis.get(int(cid))
+            if not qis:
+                continue
+            rows = np.nonzero(cids == cid)[0]
+            for qi in qis:
+                qid = qids[qi]
+                cand = rows[ids[rows] != qid]
+                if len(cand) == 0:
+                    continue
+                adc = base[qi, int(cid)] + luts[qi][jj[None, :], codes[cand]].sum(axis=1)
+                order = np.lexsort((ids[cand], -adc))[:k]
+                top = cand[order]
+                out_q += [qid] * len(top)
+                out_n += ids[top].tolist()
+                out_c += adc[order].tolist()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = _scored_partials(ds, score)
+    return _merge_topk(partials, k)
+
+
+def refine_topk(
+    embeddings: ray.data.Dataset,
+    adc_candidates: pa.Table,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+) -> pa.Table:
+    """Exact re-rank of ADC candidates (the FAISS IndexRefineFlat
+    stage): PQ codes can rank a cluster but not resolve near-ties
+    inside it, so production IVF-PQ retrieves R > k by ADC and
+    re-scores those R·|queries| rows with true vectors. The refine
+    read goes back to the SOURCE embeddings with a broadcast id filter
+    (map-side is_in, no shuffle) — at index scale this is the point-
+    lookup tier, and its cost is |candidates|, never |table|."""
+    d = adc_candidates.to_pydict()
+    cand_by_q: dict[int, set] = {}
+    for qid, nid in zip(d["query_id"], d["neighbor_id"]):
+        cand_by_q.setdefault(qid, set()).add(nid)
+    all_cands = pa.array(sorted({n for s in cand_by_q.values() for n in s}), pa.int64())
+    Qn = _normalize(np.asarray(queries, dtype=np.float64))
+    ref = ray.put((query_ids, Qn, cand_by_q, all_cands))
+
+    def score(b: pa.Table, ref=ref, k=k) -> pa.Table:
+        import pyarrow.compute as pc
+
+        qids, Qn, cand_by_q, all_cands = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        b = b.filter(pc.is_in(b.column("vec_id"), value_set=all_cands))
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        X = emb.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, dim)
+        Xn = _normalize(X.astype(np.float64))
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(qids):
+            cands = cand_by_q.get(qid)
+            if not cands:
+                continue
+            m = np.isin(ids, list(cands)) & (ids != qid)
+            rows = np.nonzero(m)[0]
+            if len(rows) == 0:
+                continue
+            cos = Xn[rows] @ Qn[qi]
+            order = np.lexsort((ids[rows], -cos))[:k]
+            out_q += [qid] * len(order)
+            out_n += ids[rows[order]].tolist()
+            out_c += cos[order].tolist()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = _scored_partials(embeddings, score)
+    return _merge_topk(partials, k)
