@@ -4806,3 +4806,99 @@ def b53_fk_audit(sf_dir: str) -> pa.Table:
             "orphans": pa.array([int(r[1]) for r in rels], pa.int64()),
         }
     )
+
+
+# ------------- TS1: time-series resample + forward fill (gap filling)
+
+@register("ts_resample_ffill", None)  # grid semantics tested vs pandas
+def ts_resample_ffill(sf_dir: str) -> ray.data.Dataset:
+    """Per-user HOURLY resampling with forward fill: each user's events
+    project onto a regular grid from their first to their last hour;
+    every grid point carries the latest value at or before it. The
+    missing time-series family member next to b26 (tumbling agg),
+    b14 (as-of) and b27 (sessionize).
+
+    One sharded shuffle, then a FULLY vectorized pass per shard — the
+    ragged per-user grids build with the repeat/cumsum arange trick and
+    resolve with ONE searchsorted per shard over a composite
+    (user_id << 34 | epoch_seconds) key, so a grid point can never
+    match a neighboring user's events and no per-user Python loop
+    exists. Grid size is bounded by span-hours, so a single user with a
+    year of history adds ~9k rows, not a blowup; the composite key
+    needs user_id < 2^29 and epoch < 2^34 s (year ~2514), asserted."""
+    from ..stages.dedup import SHARDS
+
+    HOUR = np.int64(3600)
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("user_id"), pa.int64())
+        return pa.table(
+            {
+                "shard": _key_shard(key, SHARDS),
+                "user_id": key,
+                "ts": b.column("ts"),
+                "value": b.column("value"),
+            }
+        )
+
+    def resample_shard(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.timestamp("us")),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        ts = (
+            group.column("ts")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        val = group.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        ts_s = ts // 1_000_000
+        assert (uid < (1 << 29)).all() and (ts_s < (1 << 34)).all()
+        order = np.lexsort((ts, uid))
+        uid, ts_s, val = uid[order], ts_s[order], val[order]
+        key = (uid << 34) | ts_s
+        starts = np.nonzero(np.r_[True, uid[1:] != uid[:-1]])[0]
+        ends = np.r_[starts[1:], n]
+        lo_h = ts_s[starts] // HOUR  # first hour per user
+        hi_h = ts_s[ends - 1] // HOUR  # last hour per user
+        lens = (hi_h - lo_h + 1).astype(np.int64)
+        total = int(lens.sum())
+        # Ragged arange: grid hour offsets 0..len_i-1 per user, flat.
+        off = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        g_uid = np.repeat(uid[starts], lens)
+        g_sec = (np.repeat(lo_h, lens) + off) * HOUR + (HOUR - 1)
+        # End-of-hour probe: "latest value at or before bucket close".
+        g_key = (g_uid << 34) | g_sec
+        idx = np.searchsorted(key, g_key, side="right") - 1
+        run_start = np.repeat(starts, lens)
+        filled = idx >= run_start  # first hour always has >=1 event
+        v = np.where(filled, val[np.maximum(idx, 0)], np.nan)
+        return pa.table(
+            {
+                "user_id": pa.array(g_uid, pa.int64()),
+                "bucket": pa.array(
+                    ((np.repeat(lo_h, lens) + off) * HOUR * 1_000_000).astype(
+                        "datetime64[us]"
+                    ),
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array(v, pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(resample_shard, batch_format="pyarrow")
+    )
