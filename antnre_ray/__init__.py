@@ -58,6 +58,13 @@ def __getattr__(name):
         "query_ann_index": ("antnre_ray.stages.similarity", "query_ann_index"),
         "build_ivf_index": ("antnre_ray.stages.similarity", "build_ivf_index"),
         "query_ivf_index": ("antnre_ray.stages.similarity", "query_ivf_index"),
+        "build_ivfpq_index": ("antnre_ray.stages.similarity", "build_ivfpq_index"),
+        "query_ivfpq_index": ("antnre_ray.stages.similarity", "query_ivfpq_index"),
+        "refine_topk": ("antnre_ray.stages.similarity", "refine_topk"),
+        "triangle_count": ("antnre_ray.stages.graph_algos", "triangle_count"),
+        "edit_distance_join": ("antnre_ray.pipelines.relational", "edit_distance_join"),
+        "quantile_range_boundaries": ("antnre_ray.stages.partition", "quantile_range_boundaries"),
+        "assign_range_partition": ("antnre_ray.stages.partition", "assign_range_partition"),
     }
     if name in api:
         mod, attr = api[name]
