@@ -4144,7 +4144,15 @@ def q15_top_supplier(sf_dir: str) -> pa.Table:
         .groupby("l_suppkey")
         .aggregate(Sum("rev", alias_name="rev"))
     )
-    rev = _collect(_round_cols(rev, {"rev": 4}))
+    tables = [
+        t for t in ray.get(_round_cols(rev, {"rev": 4}).to_arrow_refs()) if t.num_rows > 0
+    ]
+    empty_schema = pa.schema(
+        [("s_suppkey", pa.int64()), ("s_name", pa.string()), ("total_rev", pa.float64())]
+    )
+    if not tables:  # no lineitem in the window → empty result, like the oracle
+        return empty_schema.empty_table()
+    rev = pa.concat_tables(tables, promote_options="default")
     total = rev.column("rev").to_numpy(zero_copy_only=False)
     best = total.max()
     winners = rev.filter(pa.array(total == best))
@@ -4352,9 +4360,21 @@ def q22_idle_rich_customers(sf_dir: str) -> pa.Table:
     cnt = sum(p["cnt"] for p in parts)
     total_cents = sum(p["cents"] for p in parts)
 
-    urgent = _read_small(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-    urgent = urgent.filter(pc.equal(urgent.column("o_orderpriority"), "1-URGENT"))
-    key_ref = ray.put(pc.unique(urgent.column("o_custkey").combine_chunks()))
+    # Urgent custkeys are bounded by |customers| (a dimension), but
+    # orders is a FACT table — distill the key set distributed (per-
+    # batch filter + unique combiner), never _read_small the fact.
+    def urgent_pre(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("o_orderpriority"), "1-URGENT"))
+        return pa.table({"k": pc.unique(b.column("o_custkey").combine_chunks())})
+
+    key_parts = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(urgent_pre, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    key_ref = ray.put(
+        pa.array(np.unique(np.array([r["k"] for r in key_parts], dtype=np.int64)), pa.int64())
+    )
 
     def fn(b: pa.Table, ref=key_ref, cnt=cnt, total=total_cents) -> pa.Table:
         keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
@@ -4538,14 +4558,17 @@ def b11e_skew_join_auto(sf_dir: str) -> ray.data.Dataset:
 
     parts = probe.map_batches(heat, batch_format="pyarrow").take_all()
     total = sum(p["n"] for p in parts)
-    items, counts = mg_merge(
-        [
-            (np.asarray(p["items"], dtype=np.int64), np.asarray(p["counts"], dtype=np.int64))
-            for p in parts
-        ]
-    )
-    threshold = max(1, total // (2 * salts))
-    hot = np.sort(items[counts >= threshold])
+    if parts:
+        items, counts = mg_merge(
+            [
+                (np.asarray(p["items"], dtype=np.int64), np.asarray(p["counts"], dtype=np.int64))
+                for p in parts
+            ]
+        )
+        threshold = max(1, total // (2 * salts))
+        hot = np.sort(items[counts >= threshold])
+    else:  # empty probe: no heat, plain (trivially empty) join below
+        hot = np.array([], dtype=np.int64)
     hot_ref = ray.put(pa.array(hot, pa.int64()))
 
     def salt_probe(b: pa.Table, ref=hot_ref) -> pa.Table:
@@ -4837,6 +4860,7 @@ def ts_resample_ffill(sf_dir: str) -> ray.data.Dataset:
                 "shard": _key_shard(key, SHARDS),
                 "user_id": key,
                 "ts": b.column("ts"),
+                "event_id": pc.cast(b.column("event_id"), pa.int64()),
                 "value": b.column("value"),
             }
         )
@@ -4860,9 +4884,12 @@ def ts_resample_ffill(sf_dir: str) -> ray.data.Dataset:
             .view(np.int64)
         )
         val = group.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
         ts_s = ts // 1_000_000
-        assert (uid < (1 << 29)).all() and (ts_s < (1 << 34)).all()
-        order = np.lexsort((ts, uid))
+        assert (uid < (1 << 29)).all() and (ts_s >= 0).all() and (ts_s < (1 << 34)).all()
+        # event_id breaks exact-(user, ts) ties: without it the filled
+        # value would follow shuffle delivery order (layout-dependent).
+        order = np.lexsort((eid, ts, uid))
         uid, ts_s, val = uid[order], ts_s[order], val[order]
         key = (uid << 34) | ts_s
         starts = np.nonzero(np.r_[True, uid[1:] != uid[:-1]])[0]
@@ -4897,7 +4924,7 @@ def ts_resample_ffill(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        _read(sf_dir, "events", ["user_id", "ts", "value"])
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
         .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("shard")
         .map_groups(resample_shard, batch_format="pyarrow")

@@ -9,8 +9,9 @@ wire, boundaries are driver-tiny (n_parts − 1 floats) and broadcast.
 Balance is approximate (sketch rank error ≤ ~1-2.5%); correctness of the
 downstream operator must never depend on it — boundaries only steer
 parallelism (the b40 contract: any boundaries partition the sort order).
-Rows equal to a boundary value all land on the same side (searchsorted
-right), so ties never straddle two partitions.
+Rows equal to boundary b_i all land in partition i (searchsorted
+side='left'; ranges are (b_{i-1}, b_i]), so ties never straddle two
+partitions.
 """
 
 from __future__ import annotations

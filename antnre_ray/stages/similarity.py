@@ -123,21 +123,20 @@ def _merge_topk(partials: pa.Table, k: int) -> pa.Table:
     )
 
 
-def _bucketed_scorer(state_ref, bucket_col: str, dim: int, k: int):
-    """Shared batch scorer for persisted indexes (hyperplane buckets AND
-    IVF inverted lists): for each bucket value present in the batch,
-    score its rows against exactly the queries that hashed/probed into
-    it — self-matches excluded, ties broken by neighbor id. One
-    implementation so the tie-break/self-exclusion rules cannot drift
-    between index types."""
+def _routed_scorer(state_ref, bucket_col: str, k: int, prep, score_fn):
+    """THE routing/self-exclusion/tie-break shell every persisted-index
+    scorer shares (hyperplane buckets, IVF inverted lists, IVF-PQ ADC):
+    for each bucket value present in the batch, score its rows against
+    exactly the queries that hashed/probed into it — self-matches
+    excluded, ties broken by neighbor id. One implementation so those
+    rules cannot drift between index types; only the feature extraction
+    (``prep(state, batch) -> features``) and the per-candidate scoring
+    (``score_fn(state, features, cand, qi, bucket) -> scores``) vary."""
 
     def score(b: pa.Table, ref=state_ref, k=k) -> pa.Table:
-        qids, Qn, bucket_to_qis = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        vec = b.column("vec")
-        if isinstance(vec, pa.ChunkedArray):
-            vec = vec.combine_chunks()
-        X = vec.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, dim)
-        Xn = _normalize(X.astype(np.float64))
+        state = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        qids, bucket_to_qis = state[0], state[-1]
+        feats = prep(state, b)
         ids = b.column("vec_id").to_numpy(zero_copy_only=False)
         buckets = b.column(bucket_col).to_pylist()
         by_bucket: dict = {}
@@ -154,12 +153,12 @@ def _bucketed_scorer(state_ref, bucket_col: str, dim: int, k: int):
                 cand = in_b[ids[in_b] != qid]
                 if len(cand) == 0:
                     continue
-                cos = Xn[cand] @ Qn[qi]
-                order = np.lexsort((ids[cand], -cos))[:k]
+                s = score_fn(state, feats, cand, qi, v)
+                order = np.lexsort((ids[cand], -s))[:k]
                 top = cand[order]
                 out_q += [qid] * len(top)
                 out_n += ids[top].tolist()
-                out_c += cos[order].tolist()
+                out_c += s[order].tolist()
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
@@ -169,6 +168,25 @@ def _bucketed_scorer(state_ref, bucket_col: str, dim: int, k: int):
         )
 
     return score
+
+
+def _bucketed_scorer(state_ref, bucket_col: str, dim: int, k: int):
+    """Exact-cosine scorer over stored raw vectors (hyperplane + IVF
+    indexes), as a _routed_scorer instantiation. State tuple:
+    (query_ids, Qn, bucket_to_qis)."""
+
+    def prep(state, b: pa.Table) -> np.ndarray:
+        vec = b.column("vec")
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        X = vec.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, dim)
+        return _normalize(X.astype(np.float64))
+
+    def score_fn(state, Xn, cand, qi, _bucket) -> np.ndarray:
+        _qids, Qn, _routing = state
+        return Xn[cand] @ Qn[qi]
+
+    return _routed_scorer(state_ref, bucket_col, k, prep, score_fn)
 
 
 def _empty_topk(k: int) -> pa.Table:
@@ -653,42 +671,22 @@ def query_ivfpq_index(
         return _empty_topk(k)
     ds = ray.data.read_parquet(files, columns=["vec_id", "codes", "cid"])
     state_ref = ray.put((query_ids, base, luts, cid_to_qis))
+    jj = np.arange(m)
 
-    def score(b: pa.Table, ref=state_ref, k=k) -> pa.Table:
-        qids, base, luts, cid_to_qis = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    # ADC as a _routed_scorer instantiation: same routing/self-
+    # exclusion/tie-break shell as the raw-vector indexes, only the
+    # features (codes matrix) and the score (LUT gather) differ.
+    def prep(state, b: pa.Table) -> np.ndarray:
         codes_col = b.column("codes")
         if isinstance(codes_col, pa.ChunkedArray):
             codes_col = codes_col.combine_chunks()
-        codes = codes_col.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, m)
-        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
-        cids = b.column("cid").to_numpy(zero_copy_only=False)
-        out_q, out_n, out_c = [], [], []
-        jj = np.arange(m)
-        for cid in np.unique(cids):
-            qis = cid_to_qis.get(int(cid))
-            if not qis:
-                continue
-            rows = np.nonzero(cids == cid)[0]
-            for qi in qis:
-                qid = qids[qi]
-                cand = rows[ids[rows] != qid]
-                if len(cand) == 0:
-                    continue
-                adc = base[qi, int(cid)] + luts[qi][jj[None, :], codes[cand]].sum(axis=1)
-                order = np.lexsort((ids[cand], -adc))[:k]
-                top = cand[order]
-                out_q += [qid] * len(top)
-                out_n += ids[top].tolist()
-                out_c += adc[order].tolist()
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "cos": pa.array(out_c, pa.float64()),
-            }
-        )
+        return codes_col.flatten().to_numpy(zero_copy_only=False).reshape(b.num_rows, m)
 
-    partials = _scored_partials(ds, score)
+    def score_fn(state, codes, cand, qi, bucket) -> np.ndarray:
+        _qids, base, luts, _routing = state
+        return base[qi, int(bucket)] + luts[qi][jj[None, :], codes[cand]].sum(axis=1)
+
+    partials = _scored_partials(ds, _routed_scorer(state_ref, "cid", k, prep, score_fn))
     return _merge_topk(partials, k)
 
 

@@ -24,10 +24,14 @@ def _collect_df(ds):
 
 
 def _pandas_reference(sf_dir: str) -> pd.DataFrame:
-    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
     out = []
     for uid, g in ev.groupby("user_id"):
-        g = g.sort_values("ts")
+        # event_id tie-break mirrors the engine's deterministic order
+        # for exact-(user, ts) collisions.
+        g = g.sort_values(["ts", "event_id"])
         s = g.set_index("ts")["value"].resample("1h").last().ffill()
         out.append(pd.DataFrame({"user_id": uid, "bucket": s.index, "value": s.values}))
     return (
@@ -66,3 +70,31 @@ def test_resample_ffill_is_partition_invariant(tmp_path, sf001):
     a = _collect_df(fn(sf001))
     b = _collect_df(fn(str(tmp_path)))
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resample_ffill_breaks_exact_ts_ties_by_event_id(tmp_path):
+    """Two events at the IDENTICAL microsecond: the higher event_id wins
+    deterministically, regardless of input row order (the layout-
+    dependence a ts-only sort would have)."""
+    import pyarrow.parquet as pq
+
+    from antnre_ray.pipelines.registry import load_all
+
+    ts = pd.Timestamp("2025-06-01 10:15:00")
+    for order in ([10, 11], [11, 10]):
+        tbl = pa.table(
+            {
+                "user_id": pa.array([7, 7], pa.int64()),
+                "ts": pa.array([ts, ts], pa.timestamp("us")),
+                "event_id": pa.array(order, pa.int64()),
+                "value": pa.array([float(100 + e) for e in order], pa.float64()),
+            }
+        )
+        d = tmp_path / f"o{order[0]}"
+        d.mkdir()
+        pq.write_table(tbl, d / "events.parquet")
+        fn, _ = load_all()["ts_resample_ffill"]
+        got = _collect_df(fn(str(d)))
+        assert len(got) == 1
+        assert got["value"].iloc[0] == 111.0  # event_id 11 wins both times
