@@ -356,11 +356,24 @@ def b12_broadcast_join(sf_dir: str) -> ray.data.Dataset:
 )
 def b13_anti_join(sf_dir: str) -> pa.Table:
     """Broadcast anti join (orders' custkeys ship once via ray.put, each
-    batch probes with one vectorized is_in). Collected to a schema-pinned
-    Table: the result can legitimately be 0 rows, and an empty untyped
-    block would lose the (int64, string) schema on the driver side."""
-    custkeys = _read_small(sf_dir, "orders", ["o_custkey"])
-    key_ref = ray.put(pc.unique(custkeys.column("o_custkey").combine_chunks()))
+    batch probes with one vectorized is_in). The key set distills
+    DISTRIBUTED (per-batch unique combiner; orders is a fact table, the
+    driver only ever holds the customer-bounded distinct keys — the q22
+    review rule). Collected to a schema-pinned Table: the result can
+    legitimately be 0 rows, and an empty untyped block would lose the
+    (int64, string) schema on the driver side."""
+
+    def key_pre(b: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.unique(b.column("o_custkey").combine_chunks())})
+
+    key_parts = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(key_pre, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    key_ref = ray.put(
+        pa.array(np.unique(np.array([r["k"] for r in key_parts], dtype=np.int64)), pa.int64())
+    )
 
     def fn(b: pa.Table, ref=key_ref) -> pa.Table:
         keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
@@ -2602,12 +2615,25 @@ def b13d_bloom_semi_join(sf_dir: str) -> ray.data.Dataset:
     memory on every worker."""
     from ..functions.sketch import bloom_build, bloom_contains
 
-    orders = _read_small(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    build = orders.filter(pc.greater(orders.column("o_totalprice"), 400000.0))
-    build_keys = build.column("o_orderkey").combine_chunks().to_numpy(
-        zero_copy_only=False
+    # The bloom is an OR of per-key bit patterns, so it builds
+    # DISTRIBUTED: one 128 KB partial per block of the (fact-sized)
+    # build side, OR-merged driver-side — the driver never holds the
+    # build keys themselves (tree-merge the partials at cluster scale).
+    def bloom_pre(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("o_totalprice"), 400000.0))
+        keys = b.column("o_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+        bits = bloom_build(keys.astype(np.uint64))
+        return pa.table({"bits": pa.array([bits.view(np.int64).tolist()], pa.list_(pa.int64()))})
+
+    parts = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(bloom_pre, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
     )
-    bits_ref = ray.put(bloom_build(build_keys.astype(np.uint64)))
+    merged = np.zeros_like(bloom_build(np.array([], dtype=np.uint64)))
+    for p in parts:
+        merged |= np.asarray(p["bits"], dtype=np.int64).view(np.uint64)
+    bits_ref = ray.put(merged)
 
     class BloomProbe:
         def __init__(self, ref):
@@ -2627,8 +2653,14 @@ def b13d_bloom_semi_join(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    build_ds = ray.data.from_arrow(
-        build.select(["o_orderkey"]).rename_columns(["l_orderkey"])
+    # Exact semi-join build side stays a DATASET (per-batch filter +
+    # pre-distinct; never collected to the driver).
+    def build_pre(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("o_totalprice"), 400000.0))
+        return b.group_by(["o_orderkey"]).aggregate([]).rename_columns(["l_orderkey"])
+
+    build_ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        build_pre, batch_format="pyarrow", zero_copy_batch=True
     )
     return survivors.join(
         build_ds,
