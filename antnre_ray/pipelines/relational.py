@@ -4961,3 +4961,415 @@ def ts_resample_ffill(sf_dir: str) -> ray.data.Dataset:
         .groupby("shard")
         .map_groups(resample_shard, batch_format="pyarrow")
     )
+
+
+# ---------------- TPC-H tail completion: Q9/Q11/Q16/Q20 shapes.
+# The testdata schema has no partsupp table, so each query keeps the
+# TPC-H *relational shape* over the columns that exist: Q9 costs parts
+# at p_retailprice instead of ps_supplycost, Q11's value share runs
+# over lineitem revenue instead of partsupp stock value, Q16 counts
+# distinct lineitem suppliers instead of partsupp suppliers, and Q20's
+# available-quantity threshold becomes a share-of-part-total threshold.
+
+
+@register(
+    "q09_product_profit",
+    """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+              ROUND(sum(l_extendedprice * (1 - l_discount)
+                        - p_retailprice * l_quantity), 4) AS profit
+       FROM lineitem
+         JOIN part     ON p_partkey = l_partkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN orders   ON o_orderkey = l_orderkey
+       WHERE p_name LIKE '%a%'
+       GROUP BY n_name, o_year""",
+)
+def q09_product_profit(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q9 (product-type profit by nation and year; cost proxied by
+    p_retailprice — no partsupp in the testdata schema). ONE large-large
+    hash join (lineitem⋈orders for the year); the part filter, the part
+    cost and the supplier→nation hop are dense broadcast arrays probed
+    per batch, and each batch reduces to (nation, year) partials via one
+    bincount over a composite index — the 6-way TPC-H join with exactly
+    one shuffle."""
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    ppk = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    sel = pc.match_substring(part.column("p_name"), "a").to_numpy(zero_copy_only=False)
+    part_ok = np.zeros(int(ppk.max()) + 2, dtype=bool)
+    part_ok[ppk] = sel
+    cost = np.zeros(int(ppk.max()) + 2, dtype=np.float64)
+    cost[ppk] = part.column("p_retailprice").to_numpy(zero_copy_only=False)
+
+    sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    supp_nat = np.zeros(int(sk.max()) + 2, dtype=np.int64)
+    supp_nat[sk] = supp.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nat_names = np.asarray(nation.column("n_name").to_pylist(), dtype=object)[
+        np.argsort(nation.column("n_nationkey").to_numpy(zero_copy_only=False))
+    ]
+    n_nations = len(nat_names)
+    ref = ray.put((part_ok, cost, supp_nat))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    j = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(b: pa.Table, ref=ref) -> pa.Table:
+        part_ok, cost, supp_nat = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        empty = pa.table(
+            {
+                "nat": pa.array([], pa.int64()),
+                "o_year": pa.array([], pa.int64()),
+                "profit": pa.array([], pa.float64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        k = np.clip(
+            b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64),
+            0,
+            len(part_ok) - 1,
+        )
+        m = part_ok[k]
+        if not m.any():
+            return empty
+        b = b.filter(pa.array(m))
+        k = k[m]
+        s = np.clip(
+            b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64),
+            0,
+            len(supp_nat) - 1,
+        )
+        nat = supp_nat[s]
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        profit = price * (1.0 - disc) - cost[k] * qty
+        year = pc.year(b.column("o_orderdate")).to_numpy(zero_copy_only=False).astype(np.int64)
+        y0 = year.min()
+        span = int(year.max()) - int(y0) + 1
+        idx = (year - y0) * n_nations + nat
+        sums = np.bincount(idx, weights=profit, minlength=span * n_nations)
+        hit = np.nonzero(np.bincount(idx, minlength=span * n_nations))[0]
+        return pa.table(
+            {
+                "nat": pa.array(hit % n_nations, pa.int64()),
+                "o_year": pa.array(hit // n_nations + y0, pa.int64()),
+                "profit": pa.array(sums[hit], pa.float64()),
+            }
+        )
+
+    out = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby(["nat", "o_year"])
+        .aggregate(Sum("profit", alias_name="profit"))
+    )
+    names_ref = ray.put(nat_names)
+
+    def attach(b: pa.Table, ref=names_ref) -> pa.Table:
+        names = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        nat = b.column("nat").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "nation": pa.array(list(names[nat]), pa.string()),
+                "o_year": b.column("o_year"),
+                "profit": pa.array(
+                    _round_half_away(b.column("profit").to_numpy(zero_copy_only=False), 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return out.map_batches(attach, batch_format="pyarrow")
+
+
+@register(
+    "q11_important_value",
+    """WITH pv AS (SELECT l_partkey,
+                          CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                                        AS BIGINT)) AS BIGINT) AS value_e4
+                   FROM lineitem GROUP BY l_partkey),
+            s AS (SELECT count(*) AS cnt, sum(value_e4) AS total FROM pv)
+       SELECT l_partkey, value_e4
+       FROM pv
+       WHERE value_e4 * 2 * (SELECT cnt FROM s) > 3 * (SELECT total FROM s)""",
+)
+def q11_important_value(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q11 shape (grouped value share vs a global scalar subquery;
+    lineitem revenue stands in for partsupp stock value; the fixed
+    TPC-H fraction is replaced by a scale-free "above 1.5x the average
+    part value" cut so the survivor set is nonempty at every sf). The
+    q22 exactness trick, pushed to the ROW level because revenue is a
+    4-dp decimal: each row maps to integer 1e-4 units via the same
+    IEEE double product both engines compute bit-identically, so every
+    downstream sum and the threshold compare are exact int64 arithmetic
+    with no float-summation order dependence. (int64 headroom: row
+    values ~1e9, so the cnt-scaled compare stays exact up to ~1e9
+    parts.) Per-batch int combiner → grouped Sum per partkey (PART-scale
+    output, materialized ONCE so the scalar aggregate and the filter
+    don't re-execute the lineitem scan — Ray re-runs lazy branches per
+    consumer) → broadcast-scalar filter."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        e4 = np.rint(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "l_partkey": pc.cast(b.column("l_partkey"), pa.int64()),
+                    "value_e4": pa.array(e4, pa.int64()),
+                }
+            )
+            .group_by(["l_partkey"])
+            .aggregate([("value_e4", "sum")])
+        )
+        return g.rename_columns(["l_partkey", "value_e4"])
+
+    pv = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_partkey")
+        .aggregate(Sum("value_e4", alias_name="value_e4"))
+        .materialize()
+    )
+    total = int(pv.sum("value_e4"))
+    cnt = int(pv.count())
+
+    def keep(b: pa.Table, total=total, cnt=cnt) -> pa.Table:
+        v = b.column("value_e4").to_numpy(zero_copy_only=False)
+        out = b.filter(pa.array(v * 2 * cnt > 3 * total))
+        return pa.table(
+            {
+                "l_partkey": pc.cast(out.column("l_partkey"), pa.int64()),
+                "value_e4": pc.cast(out.column("value_e4"), pa.int64()),
+            }
+        )
+
+    return pv.map_batches(keep, batch_format="pyarrow")
+
+
+@register(
+    "q16_supplier_part_count",
+    """SELECT p_type, CAST(p_size AS BIGINT) AS p_size,
+              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+       FROM part JOIN lineitem ON p_partkey = l_partkey
+       WHERE p_brand <> 'Brand#13'
+         AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+       GROUP BY p_type, p_size""",
+)
+def q16_supplier_part_count(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q16 shape (distinct suppliers per part attribute, minus an
+    excluded supplier set; lineitem stands in for partsupp). The brand
+    filter, (type, size) attributes and the NOT-IN supplier set are
+    broadcast lookups; each batch locally dedups composite
+    (type_idx·64 + size) << 32 | suppkey keys, a grouped Count over the
+    composite makes the dedup global, and a second tiny grouped Sum
+    counts survivors per (p_type, p_size) — the fact table is never
+    shuffled, only composite keys bounded by |parts|×|suppliers|."""
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+
+    ppk = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    types = sorted(set(part.column("p_type").to_pylist()))
+    type_code = {t: i for i, t in enumerate(types)}
+    brand_ok = np.zeros(int(ppk.max()) + 2, dtype=bool)
+    brand_ok[ppk] = np.asarray(
+        pc.not_equal(part.column("p_brand"), "Brand#13").to_numpy(zero_copy_only=False)
+    )
+    attr = np.full(int(ppk.max()) + 2, -1, dtype=np.int64)  # type_idx*64 + size
+    attr[ppk] = np.array(
+        [type_code[t] for t in part.column("p_type").to_pylist()], dtype=np.int64
+    ) * 64 + part.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    supp_ok = np.zeros(int(sk.max()) + 2, dtype=bool)
+    supp_ok[sk] = supp.column("s_acctbal").to_numpy(zero_copy_only=False) >= 1000.0
+    ref = ray.put((brand_ok, attr, supp_ok))
+
+    def pre(b: pa.Table, ref=ref) -> pa.Table:
+        brand_ok, attr, supp_ok = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        k = np.clip(
+            b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64),
+            0,
+            len(brand_ok) - 1,
+        )
+        s = np.clip(
+            b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64),
+            0,
+            len(supp_ok) - 1,
+        )
+        m = brand_ok[k] & supp_ok[s]
+        comp = np.unique((attr[k[m]] << 32) | s[m])
+        return pa.table({"comp": pa.array(comp, pa.int64())})
+
+    distinct = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("comp")
+        .aggregate(Count(alias_name="_n"))
+    )
+    types_arr = np.asarray(types, dtype=object)
+    types_ref = ray.put(types_arr)
+
+    def decode(b: pa.Table, ref=types_ref) -> pa.Table:
+        types_arr = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        comp = b.column("comp").to_numpy(zero_copy_only=False)
+        a = comp >> 32
+        g = (
+            pa.table(
+                {
+                    "p_type": pa.array(list(types_arr[a // 64]), pa.string()),
+                    "p_size": pa.array(a % 64, pa.int64()),
+                    "one": pa.array(np.ones(len(comp), dtype=np.int64), pa.int64()),
+                }
+            )
+            .group_by(["p_type", "p_size"])
+            .aggregate([("one", "sum")])
+        )
+        return g.rename_columns(["p_type", "p_size", "n"])
+
+    return (
+        distinct.map_batches(decode, batch_format="pyarrow")
+        .groupby(["p_type", "p_size"])
+        .aggregate(Sum("n", alias_name="supplier_cnt"))
+    )
+
+
+@register(
+    "q20_top_quantity_suppliers",
+    """WITH psq AS (SELECT l_partkey, l_suppkey,
+                           CAST(sum(l_quantity) AS BIGINT) AS qty
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                    WHERE p_type = 'PROMO'
+                    GROUP BY l_partkey, l_suppkey),
+         pt AS (SELECT l_partkey AS pk, sum(qty) AS total,
+                       count(*) AS ns
+                FROM psq GROUP BY pk)
+       SELECT DISTINCT s_suppkey, s_name
+       FROM supplier
+         JOIN psq ON s_suppkey = l_suppkey
+         JOIN pt  ON psq.l_partkey = pt.pk
+       WHERE qty * ns > 2 * total""",
+)
+def q20_top_quantity_suppliers(sf_dir: str) -> pa.Table:
+    """TPC-H Q20 shape (suppliers dominating a part's supply: the
+    correlated available-quantity threshold becomes "more than twice
+    the average supplier share of that part" — scale-free, so the
+    survivor set stays nonempty at every sf, unlike a fixed 0.5 cut
+    which empties as supplier counts grow). Per-batch (part, supp)
+    quantity combiner over the type-filtered fact → grouped Sum on a
+    composite key → ONE sharded pass per partkey % SHARDS computes each
+    part's total + supplier count with reduceat over key runs and keeps
+    dominating suppliers → global distinct suppkey → broadcast name
+    attach. Quantities are integer-valued doubles, so the rint to int64
+    and the qty·ns > 2·total compare are exact. Schema-pinned collect:
+    the survivor set can be empty."""
+    from ..stages.dedup import SHARDS
+
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_type"])
+    ppk = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    promo = np.zeros(int(ppk.max()) + 2, dtype=bool)
+    promo[ppk] = np.asarray(
+        pc.equal(part.column("p_type"), "PROMO").to_numpy(zero_copy_only=False)
+    )
+    ref = ray.put(promo)
+
+    def pre(b: pa.Table, ref=ref) -> pa.Table:
+        promo = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        k = np.clip(
+            b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64),
+            0,
+            len(promo) - 1,
+        )
+        m = promo[k]
+        comp = (k[m] << 22) | b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[m]
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)[m]
+        order = np.argsort(comp, kind="stable")
+        comp, qty = comp[order], qty[order]
+        starts = np.nonzero(np.r_[True, comp[1:] != comp[:-1]])[0] if len(comp) else np.array([], np.int64)
+        sums = np.add.reduceat(qty, starts) if len(comp) else np.array([], np.float64)
+        return pa.table(
+            {"comp": pa.array(comp[starts], pa.int64()), "qty": pa.array(sums, pa.float64())}
+        )
+
+    grouped = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("comp")
+        .aggregate(Sum("qty", alias_name="qty"))
+    )
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        comp = b.column("comp").to_numpy(zero_copy_only=False)
+        pk = comp >> 22
+        return pa.table(
+            {
+                "shard": _key_shard(pa.array(pk, pa.int64()), SHARDS),
+                "pk": pa.array(pk, pa.int64()),
+                "sk": pa.array(comp & ((1 << 22) - 1), pa.int64()),
+                "qty": b.column("qty"),
+            }
+        )
+
+    def dominate_shard(group: pa.Table) -> pa.Table:
+        pk = group.column("pk").combine_chunks().to_numpy(zero_copy_only=False)
+        if len(pk) == 0:
+            return pa.table({"sk": pa.array([], pa.int64())})
+        sk = group.column("sk").combine_chunks().to_numpy(zero_copy_only=False)
+        qty = np.rint(
+            group.column("qty").combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        order = np.argsort(pk, kind="stable")
+        pk, sk, qty = pk[order], sk[order], qty[order]
+        starts = np.nonzero(np.r_[True, pk[1:] != pk[:-1]])[0]
+        lens = np.diff(np.r_[starts, len(pk)])
+        total = np.repeat(np.add.reduceat(qty, starts), lens)
+        ns = np.repeat(lens.astype(np.int64), lens)
+        keep = qty * ns > 2 * total
+        return pa.table({"sk": pa.array(np.unique(sk[keep]), pa.int64())})
+
+    winners = (
+        grouped.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(dominate_shard, batch_format="pyarrow")
+        .groupby("sk")
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    names = np.empty(int(sk.max()) + 2, dtype=object)
+    names[sk] = np.asarray(supp.column("s_name").to_pylist(), dtype=object)
+    names_ref = ray.put(names)
+
+    def attach(b: pa.Table, ref=names_ref) -> pa.Table:
+        names = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        k = b.column("sk").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(k, pa.int64()),
+                "s_name": pa.array(list(names[np.clip(k, 0, len(names) - 1)]), pa.string()),
+            }
+        )
+
+    ds = winners.map_batches(attach, batch_format="pyarrow")
+    schema = pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string())])
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    return pa.concat_tables([t.cast(schema) for t in tables]) if tables else schema.empty_table()
