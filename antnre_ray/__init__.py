@@ -65,6 +65,7 @@ def __getattr__(name):
         "edit_distance_join": ("antnre_ray.pipelines.relational", "edit_distance_join"),
         "quantile_range_boundaries": ("antnre_ray.stages.partition", "quantile_range_boundaries"),
         "assign_range_partition": ("antnre_ray.stages.partition", "assign_range_partition"),
+        "semantic_dedup": ("antnre_ray.stages.dedup", "semantic_dedup"),
     }
     if name in api:
         mod, attr = api[name]

@@ -54,6 +54,17 @@ def stable_u64_array(values: Iterable[str]) -> np.ndarray:
     )
 
 
+def mix64(x: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over int64/uint64 arrays —
+    cross-run-stable (pure arithmetic, no library hash), uniform enough
+    for hash-based sampling and sharding of integer keys."""
+    z = (np.asarray(x).astype(np.uint64) + np.uint64(seed)) + np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def polars_u64(arr: "pa.Array | pa.ChunkedArray", seed: int = 42) -> np.ndarray:
     """Vectorized u64 hash of an Arrow string/binary array via polars.
 

@@ -162,6 +162,17 @@ def dedup_embedding_pairs(sf_dir: str) -> ray.data.Dataset:
     return embedding_dedup_pairs(_embeddings_with_dups(sf_dir), threshold=0.98)
 
 
+@register("dedup_semantic", None)
+def dedup_semantic(sf_dir: str) -> ray.data.Dataset:
+    """SemDeDup over the embeddings table with planted near-twins: one
+    keep/drop decision row per vector (stages/dedup.semantic_dedup);
+    the planted +DUP_OFFSET twins land in their originals' clusters and
+    exactly one of each near-dup set survives."""
+    from ..stages.dedup import semantic_dedup
+
+    return semantic_dedup(_embeddings_with_dups(sf_dir), n_clusters=16, threshold=0.98)
+
+
 @register(
     "text_stats",
     """SELECT doc_id,

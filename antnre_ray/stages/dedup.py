@@ -573,3 +573,168 @@ def query_minhash_index(
             "est_jaccard": pa.array(j_out, pa.float64()),
         }
     )
+
+
+# ------------------------------------------------------- semantic dedup
+
+SEM_MAX_CLUSTER = 4096
+
+
+def semantic_dedup(
+    embeddings: ray.data.Dataset,
+    n_clusters: int = 64,
+    threshold: float = 0.95,
+    dim: int = 64,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then prune
+    near-duplicates WITHIN each cluster — the clustering confines the
+    quadratic cosine check to cluster-sized groups instead of the
+    corpus, which is what makes semantic dedup tractable at scale.
+
+    Plan: bounded driver-side sample → the IVF k-means (deterministic,
+    k-means++ off a fixed RNG) → one map_batches pass assigns every
+    vector to its nearest centroid (one batched matmul) → ONE shuffle
+    groups by cluster → a greedy in-cluster prune keeps a vector iff
+    its max cosine against already-kept vectors is below ``threshold``.
+    Kept-first order is ascending similarity-to-centroid (the paper's
+    "low" keeper policy: of a duplicate set, the vector farthest from
+    the centroid survives, preserving diversity), tie-broken on vec_id
+    so the result is deterministic and partition-invariant.
+
+    Scale notes: ``n_clusters`` is the parallelism/memory knob — size
+    it so N/k rows fit one reducer (the paper uses k ~ sqrt(N); at
+    100 TB raise it so clusters stay ~1e4-1e5 rows). Vectors cross the
+    shuffle once, as normalized float32 (half the bytes of the raw
+    float64 path). Clusters above SEM_MAX_CLUSTER rows are evaluated
+    on their first SEM_MAX_CLUSTER members (deterministic order) and
+    the remainder is KEPT unevaluated — conservative (never drops an
+    unchecked row) and logged, never silent.
+
+    Returns one row per input vector:
+    (vec_id, cluster, centroid_sim, keep).
+    """
+    from ..functions.hashing import mix64
+    from .similarity import IVF_ITERS, IVF_SAMPLE, _kmeans, _normalize
+
+    # Partitioning-INDEPENDENT k-means sample: row selection hashes only
+    # vec_id (splitmix64 < frac·2^64), so the same corpus yields the same
+    # centroids however it is blocked (Dataset.random_sample draws
+    # per-block and would break partition invariance). Slight over-draw,
+    # then a deterministic sort + cap to exactly IVF_SAMPLE rows.
+    n_total = embeddings.count()
+    frac = min(1.0, 1.25 * IVF_SAMPLE / max(n_total, 1))
+    cut = np.uint64(min(int(frac * 2.0**64), 2**64 - 1))
+
+    def draw(b: pa.Table, cut=cut, seed=seed) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(mix64(ids, seed=seed) <= cut))
+
+    sample = (
+        embeddings.map_batches(draw, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        if n_total
+        else []
+    )
+    sample.sort(key=lambda r: r["vec_id"])
+    sample = sample[:IVF_SAMPLE]
+    out_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("cluster", pa.int64()),
+            ("centroid_sim", pa.float64()),
+            ("keep", pa.bool_()),
+        ]
+    )
+    if not sample:
+        return ray.data.from_arrow(out_schema.empty_table())
+    S = _normalize(np.asarray([r["embedding"] for r in sample], dtype=np.float64))
+    C = _kmeans(S, n_clusters, IVF_ITERS, seed)
+    c_ref = ray.put(C.astype(np.float32))
+
+    def assign(b: pa.Table, ref=c_ref) -> pa.Table:
+        C = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                    "vec": pa.array([], pa.list_(pa.float32(), C.shape[1])),
+                }
+            )
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        X = (
+            emb.flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(b.num_rows, C.shape[1])
+            .astype(np.float32)
+        )
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        # BLAS matmul picks the winner; sgemm blocking varies with the
+        # batch SHAPE, so its values differ in the last ulp across
+        # partitionings (measured). The stored sim is therefore
+        # recomputed row-locally — elementwise product + fixed-length
+        # float64 pairwise sum is shape-independent, so the output (and
+        # the prune stage's sort order) is partition-invariant. An ulp
+        # flip of argmax itself needs two centroids cosine-tied to
+        # ~1e-7 — a knife-edge no real corpus sits on.
+        cl = (Xn @ C.T).argmax(axis=1).astype(np.int64)
+        sim = (Xn * C[cl]).sum(axis=1, dtype=np.float64)
+        return pa.table(
+            {
+                "cluster": pa.array(cl, pa.int64()),
+                "vec_id": pa.array(
+                    b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+                "sim": pa.array(sim, pa.float64()),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(Xn.reshape(-1), pa.float32()), C.shape[1]
+                ),
+            }
+        )
+
+    def prune(group: pa.Table, threshold=threshold) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        ids = group.column("vec_id").combine_chunks().to_numpy(zero_copy_only=False)
+        cl = group.column("cluster").combine_chunks().to_numpy(zero_copy_only=False)
+        sim = group.column("sim").combine_chunks().to_numpy(zero_copy_only=False)
+        vec = group.column("vec").combine_chunks()
+        d = vec.type.list_size
+        X = vec.flatten().to_numpy(zero_copy_only=False).reshape(n, d)
+        order = np.lexsort((ids, sim))  # ascending centroid-sim, then id
+        ids, cl, sim, X = ids[order], cl[order], sim[order], X[order]
+        m = min(n, SEM_MAX_CLUSTER)
+        if n > SEM_MAX_CLUSTER:
+            _log_truncation("semantic-dedup", n)
+        keep = np.ones(n, dtype=bool)  # overflow rows stay kept
+        K = np.empty((m, d), dtype=X.dtype)  # kept-vector buffer
+        K[0] = X[0]
+        kc = 1
+        for i in range(1, m):
+            if float((K[:kc] @ X[i]).max()) >= threshold:
+                keep[i] = False
+            else:
+                K[kc] = X[i]
+                kc += 1
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cl, pa.int64()),
+                "centroid_sim": pa.array(sim.astype(np.float64), pa.float64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return (
+        embeddings.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pyarrow")
+    )

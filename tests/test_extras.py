@@ -106,6 +106,53 @@ class TestDedup:
         kept = set(clean.column("doc_id").to_pylist())
         assert not (kept & drops)
 
+    def test_semantic_dedup_prunes_planted_twins(self, sf001):
+        from antnre_ray.pipelines.extras import DUP_OFFSET, dedup_semantic, _embeddings_with_dups
+
+        tbl = self._collect(dedup_semantic(sf001))
+        n_in = _embeddings_with_dups(sf001).count()
+        assert tbl.num_rows == n_in  # one decision row per vector
+        d = tbl.to_pydict()
+        keep = dict(zip(d["vec_id"], d["keep"]))
+        cluster = dict(zip(d["vec_id"], d["cluster"]))
+        twins = [(v, v + DUP_OFFSET) for v in keep if v + DUP_OFFSET in keep]
+        assert twins, "no planted twins present"
+        # A 0.01-noised copy of a unit vector has cosine ~0.999 >> 0.98:
+        # whenever both land in one cluster, exactly one member survives.
+        co = [(a, b) for a, b in twins if cluster[a] == cluster[b]]
+        assert len(co) >= 0.9 * len(twins)  # k-means puts twins together
+        assert all(keep[a] + keep[b] == 1 for a, b in co)
+
+    def test_semantic_dedup_keeps_orthogonal_vectors(self, ray_session):
+        import ray
+
+        from antnre_ray.stages.dedup import semantic_dedup
+
+        X = np.eye(8, 64, dtype=np.float32)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(8), pa.int64()),
+                    "embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float32())),
+                }
+            )
+        )
+        tbl = self._collect(semantic_dedup(ds, n_clusters=4, threshold=0.9))
+        assert tbl.num_rows == 8
+        assert all(tbl.column("keep").to_pylist())
+
+    def test_semantic_dedup_partition_invariant(self, sf001):
+        from antnre_ray.pipelines.extras import _embeddings_with_dups
+        from antnre_ray.stages.dedup import semantic_dedup
+
+        def run(ds):
+            t = self._collect(semantic_dedup(ds, n_clusters=16, threshold=0.98))
+            return t.sort_by("vec_id")
+
+        a = run(_embeddings_with_dups(sf001))
+        b = run(_embeddings_with_dups(sf001).repartition(7))
+        assert a.equals(b)
+
     def test_drop_list_is_distinct_higher_ids(self, sf001):
         from antnre_ray.pipelines.extras import dedup_drop_list, dedup_minhash_pairs
 
