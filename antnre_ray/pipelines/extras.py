@@ -798,3 +798,22 @@ def text_lm_perplexity(sf_dir: str) -> ray.data.Dataset:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
     )
+
+
+@register("data_dsir_select", None)
+def data_dsir_select(sf_dir: str) -> ray.data.Dataset:
+    """DSIR data selection (stages/analyze.dsir_select): importance
+    log-weights of every document against the src0 slice as the target
+    distribution, Gumbel-top-k selection at frac=0.25 — rows-only
+    driver check; target-vocabulary ranking, selection fraction,
+    determinism and partition invariance are tested in
+    tests/test_extras.py."""
+    from ..stages.analyze import dsir_select
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    target = docs.filter(
+        expr="source == 'src0'"
+    ).select_columns(["doc_id", "text"])
+    return dsir_select(docs.select_columns(["doc_id", "text"]), target, frac=0.25)

@@ -541,3 +541,179 @@ def lm_perplexity(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# ----------------------------------------------- DSIR importance resampling
+
+DSIR_BUCKETS = 1 << 16
+_DSIR_BIGRAM_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _dsir_doc_buckets(text: str) -> np.ndarray:
+    """Hashed unigram+bigram feature buckets for one document (the DSIR
+    feature map: Xie et al. 2023, arXiv:2302.03169 — hashed n-gram
+    counts make the importance model a dense vector, not a vocab)."""
+    from ..functions.hashing import polars_u64
+
+    toks = (text or "").lower().split()
+    if not toks:
+        return np.empty(0, dtype=np.int64)
+    th = polars_u64(pa.array(toks))
+    uni = th
+    if len(th) > 1:
+        with np.errstate(over="ignore"):
+            bi = th[:-1] ^ (th[1:] * _DSIR_BIGRAM_MIX)
+        feats = np.concatenate([uni, bi])
+    else:
+        feats = uni
+    return (feats % np.uint64(DSIR_BUCKETS)).astype(np.int64)
+
+
+def _dsir_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch hashed-feature count partial (same fold shape as
+    _tf_partial; the dense table is DSIR_BUCKETS ints, never corpus-
+    sized)."""
+    idx: list[np.ndarray] = []
+    total = 0
+    for t in batch.column("text").to_pylist():
+        b = _dsir_doc_buckets(t)
+        total += len(b)
+        if len(b):
+            idx.append(b)
+    if idx:
+        uniq, cnt = np.unique(np.concatenate(idx), return_counts=True)
+    else:
+        uniq = cnt = np.empty(0, dtype=np.int64)
+    return pa.table(
+        {
+            "idx": pa.array([uniq.tolist()], pa.list_(pa.int64())),
+            "cnt": pa.array([cnt.tolist()], pa.list_(pa.int64())),
+            "n_feats": pa.array([total], pa.int64()),
+        }
+    )
+
+
+def _dsir_counts(ds: "ray.data.Dataset") -> tuple[np.ndarray, int]:
+    parts = ds.map_batches(
+        _dsir_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    counts = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    total = 0
+    for p in parts:
+        np.add.at(counts, np.asarray(p["idx"], dtype=np.int64), np.asarray(p["cnt"], dtype=np.int64))
+        total += p["n_feats"]
+    return counts, total
+
+
+class _DsirScorer:
+    """Actor-pool stage: the log-ratio vector (512 KB) ships once per
+    actor; each doc scores locally — no shuffle anywhere in pass 2."""
+
+    def __init__(self, ratio_ref):
+        import ray
+
+        self.log_ratio = ray.get(ratio_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, ns, lw = [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            b = _dsir_doc_buckets(t)
+            doc_ids.append(did)
+            ns.append(len(b))
+            lw.append(float(self.log_ratio[b].sum()) if len(b) else 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_feats": pa.array(ns, pa.int64()),
+                "log_weight": pa.array(lw, pa.float64()),
+            }
+        )
+
+
+def dsir_log_weights(
+    raw: "ray.data.Dataset", target: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """DSIR importance log-weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): fit hashed-n-gram bag-of-words models
+    on the TARGET corpus and the RAW corpus, broadcast the per-bucket
+    log probability ratio, and score every raw doc with one sparse dot
+    product — log w(x) = Σ_b count_b(x)·(log p_tgt(b) − log p_raw(b)),
+    add-one smoothed over the bucket space.
+
+    Scale shape: two count passes fold sparse partials into one dense
+    2^16 vector driver-side (bucket-sized, never corpus-sized), pass 3
+    is embarrassingly parallel scoring against the broadcast ratio.
+    Deterministic and partition-invariant: counts are exact integers,
+    the ratio is a pure function of them, docs score alone."""
+    import ray
+
+    tgt, tgt_total = _dsir_counts(target)
+    rawc, raw_total = _dsir_counts(raw)
+    log_ratio = (
+        np.log((tgt + 1.0) / (tgt_total + DSIR_BUCKETS))
+        - np.log((rawc + 1.0) / (raw_total + DSIR_BUCKETS))
+    )
+    ratio_ref = ray.put(log_ratio)
+    return raw.map_batches(
+        _DsirScorer,
+        fn_constructor_args=(ratio_ref,),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def dsir_select(
+    raw: "ray.data.Dataset",
+    target: "ray.data.Dataset",
+    frac: float = 0.25,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """DSIR selection: Gumbel-top-k resampling on the importance
+    weights (sampling without replacement ∝ w, the paper's procedure)
+    as a SCALE-SAFE two-step: each doc gets a deterministic Gumbel
+    perturbation g(doc_id) added to its log-weight, and the global
+    top-⌈frac·N⌉ cut is an estimated quantile threshold from a
+    hash-sampled subset of scores (≤4096 driver-side scalars) rather
+    than a global sort — the selected fraction is approximate
+    (±O(1/√4096)), which is the right trade at corpus scale; an exact
+    cut would be one distributed sort away if needed.
+
+    Deterministic and partition-invariant: the Gumbel noise is a pure
+    function of (doc_id, seed) via splitmix64, the threshold a pure
+    function of the hash-sampled score set."""
+    from ..functions.hashing import mix64
+
+    def perturb(b: pa.Table, seed=seed) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = (mix64(ids, seed=seed).astype(np.float64) + 0.5) / 2.0**64  # (0,1)
+        g = -np.log(-np.log(u))
+        key = b.column("log_weight").to_numpy(zero_copy_only=False) + g
+        return b.append_column("gumbel_key", pa.array(key, pa.float64()))
+
+    scored = dsir_log_weights(raw, target).map_batches(
+        perturb, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed twice below (threshold + filter): pay one scan
+
+    # Deterministic hash-sample of scores → quantile threshold.
+    n_total = scored.count()
+    if n_total == 0:
+        return scored.add_column("selected", lambda df: df["gumbel_key"] > 0)
+    sfrac = min(1.0, 1.25 * 4096 / n_total)
+    cut64 = np.uint64(min(int(sfrac * 2.0**64), 2**64 - 1))
+
+    def draw(b: pa.Table, cut64=cut64, seed=seed) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(mix64(ids, seed=seed ^ 0xA5A5) <= cut64))
+
+    rows = scored.map_batches(draw, batch_format="pyarrow").take_all()
+    keys = sorted((r["gumbel_key"], r["doc_id"]) for r in rows)
+    thr = keys[max(0, int(len(keys) * (1.0 - frac)) - 1)][0] if keys else -np.inf
+
+    def mark(b: pa.Table, thr=thr) -> pa.Table:
+        k = b.column("gumbel_key").to_numpy(zero_copy_only=False)
+        return b.append_column("selected", pa.array(k > thr))
+
+    return scored.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)

@@ -993,3 +993,80 @@ def test_ivfpq_index_recall_and_compression(tmp_path):
     mtime = os.path.getmtime(os.path.join(idx, "_built"))
     build_ivfpq_index(ds, idx)
     assert os.path.getmtime(os.path.join(idx, "_built")) == mtime
+
+
+def test_dsir_weights_prefer_target_vocabulary(ray_session):
+    """DSIR importance weights must rank docs written in the TARGET
+    vocabulary above docs from a disjoint vocabulary, and the weights
+    must be partition-invariant (counts are exact integers, the ratio a
+    pure function of them)."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+
+    from antnre_ray.stages.analyze import dsir_log_weights
+
+    tgt_words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    oth_words = ["krzx", "plomb", "vrqt", "snarf", "glyph", "wubble"]
+    target = pa.table(
+        {
+            "doc_id": pa.array(range(100, 120), pa.int64()),
+            "text": pa.array(
+                [" ".join(tgt_words[(i + j) % 6] for j in range(40)) for i in range(20)],
+                pa.string(),
+            ),
+        }
+    )
+    raw = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(
+                [" ".join(tgt_words[(i + j) % 6] for j in range(40)) for i in range(20)]
+                + [" ".join(oth_words[(i + j) % 6] for j in range(40)) for i in range(20)],
+                pa.string(),
+            ),
+        }
+    )
+
+    def run(nblocks: int) -> dict[int, float]:
+        out = dsir_log_weights(
+            ray.data.from_arrow(raw).repartition(nblocks),
+            ray.data.from_arrow(target),
+        )
+        t = pa.concat_tables(
+            [x for x in ray.get(out.to_arrow_refs()) if x.num_columns > 0],
+            promote_options="default",
+        )
+        return dict(zip(t.column("doc_id").to_pylist(), t.column("log_weight").to_pylist()))
+
+    w = run(2)
+    in_tgt = [w[i] for i in range(20)]
+    out_tgt = [w[i] for i in range(20, 40)]
+    assert min(in_tgt) > max(out_tgt), (min(in_tgt), max(out_tgt))
+    assert run(7) == w  # partition-invariant
+
+
+def test_dsir_select_fraction_and_determinism(ray_session, sf001):
+    """The registered query: selected fraction near frac, deterministic
+    across runs, and one decision row per input doc."""
+    import pyarrow as pa
+
+    import ray
+
+    from antnre_ray.pipelines.extras import data_dsir_select
+
+    def collect(ds):
+        return pa.concat_tables(
+            ray.get(ds.to_arrow_refs()), promote_options="default"
+        ).sort_by("doc_id")
+
+    a = collect(data_dsir_select(sf001))
+    b = collect(data_dsir_select(sf001))
+    assert a.equals(b)
+    n = a.num_rows
+    import pyarrow.parquet as pq
+
+    assert n == pq.ParquetFile(f"{sf001}/documents.parquet").metadata.num_rows
+    sel = sum(1 for s in a.column("selected").to_pylist() if s)
+    assert 0.15 <= sel / n <= 0.35, sel / n  # frac=0.25, quantile estimated
