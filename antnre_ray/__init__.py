@@ -62,6 +62,7 @@ def __getattr__(name):
         "query_ivfpq_index": ("antnre_ray.stages.similarity", "query_ivfpq_index"),
         "refine_topk": ("antnre_ray.stages.similarity", "refine_topk"),
         "triangle_count": ("antnre_ray.stages.graph_algos", "triangle_count"),
+        "kcore": ("antnre_ray.stages.graph_algos", "kcore"),
         "edit_distance_join": ("antnre_ray.pipelines.relational", "edit_distance_join"),
         "quantile_range_boundaries": ("antnre_ray.stages.partition", "quantile_range_boundaries"),
         "assign_range_partition": ("antnre_ray.stages.partition", "assign_range_partition"),

@@ -228,6 +228,26 @@ def kg_pagerank(sf_dir: str) -> ray.data.Dataset:
     ).limit(20)
 
 
+@register("kg_kcore", None)
+def kg_kcore(sf_dir: str) -> ray.data.Dataset:
+    """2-core of the materialized KG (stages/graph_algos.kcore): the
+    densely connected entity backbone after peeling degree-1 fringe —
+    rows-only driver check; both peeling regimes are verified against a
+    sequential reference in tests/test_invariants.py."""
+    from ..stages.graph_algos import kcore
+
+    adj = _graph(sf_dir)["adjacency"]
+
+    def project(b):
+        import pyarrow as pa
+
+        return pa.table({"src": b.column("src"), "dst": b.column("dst")})
+
+    return kcore(
+        adj.map_batches(project, batch_format="pyarrow", zero_copy_batch=True), k=2
+    ).sort("node")
+
+
 @register("kg_adjacency_incremental", None)
 def kg_adjacency_incremental(sf_dir: str) -> ray.data.Dataset:
     """Incremental graph ingest: adjacency built from half the corpus

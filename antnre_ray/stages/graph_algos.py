@@ -684,3 +684,142 @@ def triangle_count(
     if partials.num_columns == 0:
         return 0
     return int(pc.sum(partials.column("n")).as_py() or 0)
+
+
+# ----------------------------------------------------------------- k-core
+
+def kcore(
+    edges: ray.data.Dataset,
+    k: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 50,
+    small_graph_nodes: int = SMALL_GRAPH_NODES,
+) -> ray.data.Dataset:
+    """Nodes of the k-core: the maximal induced subgraph in which every
+    node keeps degree ≥ k (simple-graph semantics: undirected, self
+    loops dropped, parallel edges collapsed). Returns a one-column
+    (node) Dataset.
+
+    Parallel peeling: each round recomputes degrees over the currently
+    alive induced subgraph and drops every node below k — equivalent to
+    sequential peeling, in ≤ peel-depth rounds. Two regimes, same split
+    as :func:`connected_components`:
+
+    - small (≤ ``small_graph_nodes``): the alive bitmap broadcasts per
+      round; one map_batches over the index-encoded edge list emits
+      sparse per-batch degree partials folded driver-side. State is
+      node-scale, edges stay distributed and are scanned once a round.
+    - large: alive is a Dataset; each round is two semi joins (edges ⋉
+      alive on u, then on v) + one grouped Count + a filter, all
+      key-partitioned shuffles. Convergence = alive count unchanged
+      (strictly decreasing otherwise, so equality is exact).
+    """
+    from ray.data.aggregate import Count
+
+    def undirect_simple(b: pa.Table) -> pa.Table:
+        s = b.column(src_col).combine_chunks().cast(pa.string())
+        d = b.column(dst_col).combine_chunks().cast(pa.string())
+        t = pa.table(
+            {
+                "u": pa.concat_arrays([s, d]),
+                "v": pa.concat_arrays([d, s]),
+            }
+        ).filter(pc.not_equal(pc.field("u"), pc.field("v")))
+        # local pair dedup (combiner); the groupby below makes it global
+        return t.group_by(["u", "v"]).aggregate([]).rename_columns(["u", "v"])
+
+    und = (
+        edges.map_batches(undirect_simple, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_m"))
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+    empty = ray.data.from_arrow(pa.table({"node": pa.array([], pa.string())}))
+    if und.count() == 0:
+        return empty
+
+    nodes_tbl = _collect(und.groupby("u").aggregate(Count(alias_name="_d")))
+    n_nodes = nodes_tbl.num_rows
+
+    if n_nodes <= small_graph_nodes:
+        nodes_arr = nodes_tbl.column("u").combine_chunks()
+        E_idx = _indexed_edges(und, nodes_arr)
+        alive = np.ones(n_nodes, dtype=bool)
+        converged = False
+        for _ in range(max_iters):
+            a_ref = ray.put(alive)
+
+            def deg_partial(b: pa.Table, _ref=a_ref) -> pa.Table:
+                a = ray.get(_ref)
+                ui = b.column("ui").to_numpy(zero_copy_only=False)
+                vi = b.column("vi").to_numpy(zero_copy_only=False)
+                m = a[ui] & a[vi]
+                uq, cnt = np.unique(ui[m], return_counts=True)
+                return pa.table(
+                    {"ni": pa.array(uq, pa.int64()), "d": pa.array(cnt, pa.int64())}
+                )
+
+            deg = np.zeros(n_nodes, dtype=np.int64)
+            for part in ray.get(
+                E_idx.map_batches(
+                    deg_partial, batch_format="pyarrow", zero_copy_batch=True
+                ).to_arrow_refs()
+            ):
+                if part.num_columns == 0 or part.num_rows == 0:
+                    continue
+                np.add.at(
+                    deg,
+                    part.column("ni").to_numpy(zero_copy_only=False),
+                    part.column("d").to_numpy(zero_copy_only=False),
+                )
+            new_alive = alive & (deg >= k)
+            if np.array_equal(new_alive, alive):
+                converged = True
+                break
+            alive = new_alive
+        if not converged:
+            _warn_not_converged("kcore", max_iters)
+        if not alive.any():
+            return empty
+        return ray.data.from_arrow(
+            pa.table({"node": nodes_arr.filter(pa.array(alive))})
+        )
+
+    from ..config import shuffle_width
+
+    nparts = shuffle_width()
+    E = und
+    n_alive = n_nodes
+    converged = False
+    for _ in range(max_iters):
+        alive = (
+            E.groupby("u")
+            .aggregate(Count(alias_name="_d"))
+            .filter(expr=f"_d >= {int(k)}")
+            .select_columns(["u"])
+            .materialize()
+        )
+        cur = alive.count()
+        if cur == 0:
+            return empty
+        if cur == n_alive:
+            converged = True
+            break
+        n_alive = cur
+        # induced subgraph: keep edges whose BOTH endpoints survive
+        E = (
+            E.join(alive, join_type="inner", num_partitions=nparts, on=("u",))
+            .join(
+                alive.rename_columns({"u": "v"}),
+                join_type="inner",
+                num_partitions=nparts,
+                on=("v",),
+            )
+            .select_columns(["u", "v"])
+            .materialize()
+        )
+    if not converged:
+        _warn_not_converged("kcore", max_iters)
+    return alive.rename_columns({"u": "node"})

@@ -268,3 +268,63 @@ def test_graph_regimes_agree():
     rb = rank_map(pagerank(ds, iters=5, small_graph_nodes=0))
     assert rs.keys() == rb.keys()
     assert max(abs(rs[k] - rb[k]) for k in rs) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kcore_vs_reference_peeling():
+    """Parallel peeling == sequential reference peeling, in both
+    regimes (small_graph_nodes=0 forces the Dataset-join path), on a
+    graph with a known core structure plus random noise."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from antnre_ray.stages.graph_algos import kcore
+
+    def ref_kcore(pairs, k):
+        adj: dict[str, set[str]] = {}
+        for a, b in pairs:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, nb in adj.items() if len(nb) < k]:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+        return set(adj)
+
+    rng = np.random.default_rng(17)
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    # a clique of 5 (a 4-core) + random sparse noise + chains
+    kq = [f"k{i}" for i in range(5)]
+    pairs += [(kq[i], kq[j]) for i in range(5) for j in range(i + 1, 5)]
+    pairs += [
+        (f"n{int(a)}", f"n{int(b)}")
+        for a, b in zip(rng.integers(0, 30, 60), rng.integers(0, 30, 60))
+    ]
+    tbl = pa.table(
+        {
+            "src": pa.array([a for a, _ in pairs], pa.string()),
+            "dst": pa.array([b for _, b in pairs], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+
+    def members(out):
+        t = pa.concat_tables(
+            [x for x in ray.get(out.to_arrow_refs()) if x.num_columns > 0],
+            promote_options="default",
+        )
+        return set(t.column("node").to_pylist()) if t.num_rows else set()
+
+    for k in (2, 3, 4, 5):
+        want = ref_kcore(pairs, k)
+        got_small = members(kcore(ds, k=k))
+        got_large = members(kcore(ds, k=k, small_graph_nodes=0))
+        assert got_small == want, (k, got_small ^ want)
+        assert got_large == want, (k, got_large ^ want)
+    assert members(kcore(ds, k=4)) >= set(kq)  # the clique survives k=4
