@@ -39,6 +39,45 @@ def kmv_estimate(sketch: np.ndarray, k: int = K_DEFAULT) -> float:
     return (k - 1) * _U64_MAX / kth
 
 
+def kmv_theta(sketch: np.ndarray, k: int = K_DEFAULT) -> float:
+    """Effective theta of a KMV sketch: the fraction of hash space the
+    retained set covers. Below k distinct values the sketch is EXACT
+    (every hash retained, theta = 1); at k the k-th minimum is the
+    exclusive bound and the k-1 hashes below it are the retained set —
+    the convention that makes kmv_estimate == len(retained)/theta."""
+    if len(sketch) < k:
+        return 1.0
+    return float(sketch[k - 1]) / _U64_MAX
+
+
+def kmv_set_estimates(
+    sa: np.ndarray, sb: np.ndarray, k: int = K_DEFAULT
+) -> dict[str, float]:
+    """Theta-sketch set-operation estimates over two KMV sketches
+    (Dasgupta et al., "Theta-Sketch Framework", 2016): clip both
+    retained sets to the SHARED theta = min(theta_a, theta_b) — below
+    it each sketch holds EVERY hash of its stream, so intersection /
+    union / difference of the clipped sets are uniform samples of the
+    true sets at rate theta, and count/theta estimates each
+    cardinality. Exact when both streams stayed under k distinct.
+    Relative error grows as the result's share of the union shrinks
+    (a tiny intersection of two huge sets is sampled by few hashes) —
+    the framework's documented trade, not a bug."""
+    bounds = [s[k - 1] for s in (sa, sb) if len(s) >= k]  # exact u64 kth mins
+    bound = min(bounds) if bounds else None
+    theta = float(bound) / _U64_MAX if bound is not None else 1.0
+    A = sa[sa < bound] if bound is not None else sa
+    B = sb[sb < bound] if bound is not None else sb
+    inter = float(len(np.intersect1d(A, B, assume_unique=True)))
+    union = float(len(A) + len(B)) - inter
+    return {
+        "union": union / theta,
+        "intersection": inter / theta,
+        "a_not_b": (float(len(A)) - inter) / theta,
+        "theta": theta,
+    }
+
+
 # --------------------------------------------------------- HyperLogLog
 
 HLL_P = 12  # 2^12 registers → standard error ≈ 1.04/sqrt(4096) ≈ 1.6%

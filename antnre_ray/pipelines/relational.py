@@ -5373,3 +5373,48 @@ def q20_top_quantity_suppliers(sf_dir: str) -> pa.Table:
     schema = pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string())])
     tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
     return pa.concat_tables([t.cast(schema) for t in tables]) if tables else schema.empty_table()
+
+
+# -------------- B54: theta-sketch set operations (union/intersect/diff)
+
+@register("b54_kmv_set_ops", None)  # approximate → rows-only; tolerance
+def b54_kmv_set_ops(sf_dir: str) -> pa.Table:  # tested vs exact in tests/
+    """Distinct-cardinality SET OPERATIONS without materializing either
+    set (theta-sketch framework over the KMV primitive): |A∪B|, |A∩B|
+    and |A∖B| of the click vs purchase (user, day) activity sets. One
+    pass over events emits BOTH per-batch KMV partials; the driver
+    merges k u64s per set and clips to the shared theta — at 100 TB
+    the exchange is a few KB per block, while an exact answer would
+    shuffle two corpus-scale key sets. Exact below k distinct;
+    ±1/sqrt(k-2) above (accuracy-tested vs exact in tests)."""
+    from ..functions.sketch import kmv_merge, kmv_partial, kmv_set_estimates
+
+    def partials(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        day = pc.cast(pc.floor_temporal(b.column("ts"), unit="day"), pa.int64())
+        key = pc.add(
+            pc.multiply(pc.cast(b.column("user_id"), pa.int64()), pa.scalar(1 << 20, pa.int64())),
+            pc.divide(day, pa.scalar(86_400_000_000, pa.int64())),
+        )
+        out = {}
+        for name, typ in (("a", "click"), ("b", "purchase")):
+            keys = pc.filter(key, pc.equal(et, typ))
+            sk = kmv_partial(keys)
+            out[name] = pa.array([sk.view(np.int64).tolist()], pa.list_(pa.int64()))
+        return pa.table(out)
+
+    parts = (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    sa = kmv_merge([np.asarray(p["a"], dtype=np.int64).view(np.uint64) for p in parts])
+    sb = kmv_merge([np.asarray(p["b"], dtype=np.int64).view(np.uint64) for p in parts])
+    est = kmv_set_estimates(sa, sb)
+    return pa.table(
+        {
+            "n_union": pa.array([int(round(est["union"]))], pa.int64()),
+            "n_intersection": pa.array([int(round(est["intersection"]))], pa.int64()),
+            "n_click_only": pa.array([int(round(est["a_not_b"]))], pa.int64()),
+        }
+    )

@@ -84,6 +84,29 @@ def test_kmv_sketch_accuracy():
     assert kmv_estimate(kmv_merge([kmv_partial(small)])) == 100.0
 
 
+def test_kmv_set_ops_accuracy():
+    """Theta-sketch union/intersection/difference vs exact on two
+    overlapping 60k-element sets (sketch mode), and exact equality in
+    the below-k regime."""
+    from antnre_ray.functions.sketch import kmv_merge, kmv_partial, kmv_set_estimates
+
+    a_vals = [f"k{i}" for i in range(0, 60_000)]
+    b_vals = [f"k{i}" for i in range(40_000, 100_000)]  # 20k overlap
+    sa = kmv_merge([kmv_partial(pa.array(a_vals[i::4])) for i in range(4)])
+    sb = kmv_merge([kmv_partial(pa.array(b_vals[i::4])) for i in range(4)])
+    est = kmv_set_estimates(sa, sb)
+    assert abs(est["union"] - 100_000) / 100_000 < 0.10, est
+    assert abs(est["intersection"] - 20_000) / 20_000 < 0.20, est
+    assert abs(est["a_not_b"] - 40_000) / 40_000 < 0.15, est
+    # identities hold exactly within the sketch itself
+    assert abs(est["union"] - (est["intersection"] + est["a_not_b"] + (est["union"] - est["intersection"] - est["a_not_b"]))) < 1e-6
+    # below-k regime: everything exact
+    ea = pa.array([f"x{i}" for i in range(300)])
+    eb = pa.array([f"x{i}" for i in range(200, 500)])
+    est2 = kmv_set_estimates(kmv_partial(ea), kmv_partial(eb))
+    assert est2 == {"union": 500.0, "intersection": 100.0, "a_not_b": 200.0, "theta": 1.0}
+
+
 def test_hll_sketch_accuracy():
     from antnre_ray.functions.sketch import hll_estimate, hll_merge, hll_partial
 
