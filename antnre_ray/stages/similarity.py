@@ -226,14 +226,17 @@ def build_ann_index(
     scan-based :func:`ann_lsh_topk` plan. Idempotent: a ``_built``
     marker skips rebuilds (resumable-output rule).
 
-    DEPLOYMENT CONSTRAINT: ``index_path`` must be a filesystem every
-    node sees at the same path (single node, NFS, or a FUSE-mounted
-    object store). Workers ``write_parquet`` the bucket shards while
-    the driver writes the marker and renames the tmp dir — on a
-    multi-node cluster with node-local paths the shards would land on
-    other nodes and queries would silently miss them. A pure
-    object-store backend additionally needs the rename-based
-    atomicity replaced with a manifest-file commit.
+    DEPLOYMENT CONSTRAINT (build side): ``index_path`` must be a
+    filesystem every node sees at the same path (single node, NFS, or
+    a FUSE-mounted object store). Workers ``write_parquet`` the bucket
+    shards while the driver writes the marker and renames the tmp
+    dir — on a multi-node cluster with node-local paths the shards
+    would land on other nodes and queries would silently miss them. A
+    pure object-store backend additionally needs the rename-based
+    atomicity replaced with a manifest-file commit. The QUERY side is
+    already URI-capable: shard enumeration goes through ``pyarrow.fs``
+    (see ``_shard_files``), so a built index copied/synced to s3://…
+    serves queries directly.
     """
     marker = os.path.join(index_path, "_built")
     if os.path.exists(marker) and not overwrite:
@@ -284,6 +287,32 @@ def build_ann_index(
     return index_path
 
 
+def _shard_files(index_path: str, subdirs: list[str]) -> tuple[list[str], object]:
+    """Enumerate the parquet shards of the given partition directories
+    through ``pyarrow.fs`` instead of ``os.listdir``, so a query-side
+    ``index_path`` may be any Arrow-filesystem URI (s3://…, hdfs://…)
+    as well as a local/NFS path — the ADVICE-r2 multi-node gap, closed
+    for READS. Returns (fs-native shard paths, filesystem) to pass to
+    ``ray.data.read_parquet(..., filesystem=...)``; missing directories
+    contribute no files; per-directory order is sorted (deterministic
+    merge order, same as the old listdir path). Index BUILDS still
+    require a rename-capable shared filesystem (see build_ann_index)."""
+    from pyarrow import fs as pafs
+
+    if "://" in index_path:
+        filesystem, root = pafs.FileSystem.from_uri(index_path)
+    else:  # plain (possibly relative) local path — from_uri rejects those
+        filesystem, root = pafs.LocalFileSystem(), os.path.abspath(index_path)
+    files: list[str] = []
+    for d in subdirs:
+        sel = pafs.FileSelector(f"{root.rstrip('/')}/{d}", allow_not_found=True)
+        infos = filesystem.get_file_info(sel)
+        files.extend(
+            sorted(i.path for i in infos if i.is_file and i.path.endswith(".parquet"))
+        )
+    return files, filesystem
+
+
 def query_ann_index(
     index_path: str,
     queries: np.ndarray,
@@ -310,19 +339,12 @@ def query_ann_index(
         keys = (((Qn @ planes[t].T) > 0).astype(np.int64) * pw[None, :]).sum(axis=1)
         for qi, kk in enumerate(keys):
             bucket_to_qis.setdefault(_bucket_name(t, int(kk)), []).append(qi)
-    dirs = [
-        os.path.join(d, f)
-        for d in (
-            f"{index_path}/bucket={name}"
-            for name in sorted(bucket_to_qis)
-            if os.path.isdir(f"{index_path}/bucket={name}")
-        )
-        for f in sorted(os.listdir(d))
-        if f.endswith(".parquet")
-    ]
-    if not dirs:
+    files, filesystem = _shard_files(
+        index_path, [f"bucket={name}" for name in sorted(bucket_to_qis)]
+    )
+    if not files:
         return _empty_topk(k)
-    ds = ray.data.read_parquet(dirs, columns=["vec_id", "vec", "bkt"])
+    ds = ray.data.read_parquet(files, filesystem=filesystem, columns=["vec_id", "vec", "bkt"])
     state_ref = ray.put((query_ids, Qn, bucket_to_qis))
     partials = _scored_partials(ds, _bucketed_scorer(state_ref, "bkt", dim, k))
     return _merge_topk(partials, k)
@@ -449,19 +471,12 @@ def query_ivf_index(
     for qi in range(len(query_ids)):
         for c in probe[qi]:
             cid_to_qis.setdefault(int(c), []).append(qi)
-    files = [
-        os.path.join(d, f)
-        for d in (
-            os.path.join(index_path, f"centroid=c{c:04d}")
-            for c in sorted(cid_to_qis)
-        )
-        if os.path.isdir(d)
-        for f in sorted(os.listdir(d))
-        if f.endswith(".parquet")
-    ]
+    files, filesystem = _shard_files(
+        index_path, [f"centroid=c{c:04d}" for c in sorted(cid_to_qis)]
+    )
     if not files:
         return _empty_topk(k)
-    ds = ray.data.read_parquet(files, columns=["vec_id", "vec", "cid"])
+    ds = ray.data.read_parquet(files, filesystem=filesystem, columns=["vec_id", "vec", "cid"])
     state_ref = ray.put((query_ids, Qn, cid_to_qis))
     partials = _scored_partials(ds, _bucketed_scorer(state_ref, "cid", dim, k))
     return _merge_topk(partials, k)
@@ -660,16 +675,12 @@ def query_ivfpq_index(
     for qi in range(len(query_ids)):
         for c in probe[qi]:
             cid_to_qis.setdefault(int(c), []).append(qi)
-    files = [
-        os.path.join(d, f)
-        for d in (os.path.join(index_path, f"centroid=c{c:04d}") for c in sorted(cid_to_qis))
-        if os.path.isdir(d)
-        for f in sorted(os.listdir(d))
-        if f.endswith(".parquet")
-    ]
+    files, filesystem = _shard_files(
+        index_path, [f"centroid=c{c:04d}" for c in sorted(cid_to_qis)]
+    )
     if not files:
         return _empty_topk(k)
-    ds = ray.data.read_parquet(files, columns=["vec_id", "codes", "cid"])
+    ds = ray.data.read_parquet(files, filesystem=filesystem, columns=["vec_id", "codes", "cid"])
     state_ref = ray.put((query_ids, base, luts, cid_to_qis))
     jj = np.arange(m)
 
