@@ -5418,3 +5418,76 @@ def b54_kmv_set_ops(sf_dir: str) -> pa.Table:  # tested vs exact in tests/
             "n_click_only": pa.array([int(round(est["a_not_b"]))], pa.int64()),
         }
     )
+
+
+# -------- B21d: weighted k-per-group sample (Efraimidis-Spirakis A-ExpJ)
+
+def weighted_group_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int = 10,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """k-per-group sample WITHOUT REPLACEMENT with inclusion probability
+    proportional to weight (Efraimidis & Spirakis 2006): each row draws
+    a deterministic uniform u from splitmix64(key, seed) and gets the
+    exponential key e = -ln(u)/w; the k SMALLEST e per group are exactly
+    a weighted sample without replacement. Same mergeable-order-statistic
+    shape as the uniform bottom-k (b21c): each batch contributes a ≤ k
+    rows/group partial, the per-group reduce touches ≤ k × blocks rows.
+    Deterministic (re-runs and resumes pick identical rows); rows with
+    weight ≤ 0 or null draw e = +inf and are never sampled."""
+    from ..functions.hashing import mix64
+
+    def exp_keys(b: pa.Table) -> np.ndarray:
+        kv = b.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
+        w = b.column(weight_col).combine_chunks().to_numpy(zero_copy_only=False)
+        w = np.where(np.isfinite(w.astype(np.float64)), w, 0.0).astype(np.float64)
+        u = (mix64(kv.astype(np.int64), seed=seed).astype(np.float64) + 0.5) / 2.0**64
+        with np.errstate(divide="ignore"):
+            return np.where(w > 0.0, -np.log(u) / np.maximum(w, 1e-300), np.inf)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("_e", pa.array([], pa.float64()))
+        e = exp_keys(b)
+        kv = b.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
+        grp = b.column(group_col).combine_chunks()
+        codes = pc.index_in(grp, value_set=grp.unique()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((kv, e, codes))
+        codes_s = codes[order]
+        starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+        ends = np.r_[starts[1:], len(codes_s)]
+        keep = np.concatenate([order[s:min(s + k, e_)] for s, e_ in zip(starts, ends)])
+        t = b.append_column("_e", pa.array(e, pa.float64()))
+        return t.take(pa.array(np.sort(keep)))
+
+    def final(g: pa.Table) -> pa.Table:
+        e = g.column("_e").combine_chunks().to_numpy(zero_copy_only=False)
+        kv = g.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
+        keep = np.lexsort((kv, e))[:k]
+        keep = keep[np.isfinite(e[keep])]
+        return g.drop_columns(["_e"]).take(pa.array(np.sort(keep)))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+@register("b21d_weighted_sample", None)  # seeded sample → rows-only
+def b21d_weighted_sample(sf_dir: str) -> ray.data.Dataset:
+    """10 orders per o_orderstatus sampled ∝ o_totalprice — the
+    weighted member of the sampling family (uniform b21, stratified
+    b21b, bottom-k b21c); weight-bias, determinism and k-per-group are
+    tested in tests/test_invariants.py."""
+    return weighted_group_sample(
+        _read(sf_dir, "orders", ["o_orderstatus", "o_orderkey", "o_totalprice"]),
+        group_col="o_orderstatus",
+        key_col="o_orderkey",
+        weight_col="o_totalprice",
+        k=10,
+    )

@@ -351,3 +351,47 @@ def test_kcore_vs_reference_peeling():
         assert got_small == want, (k, got_small ^ want)
         assert got_large == want, (k, got_large ^ want)
     assert members(kcore(ds, k=4)) >= set(kq)  # the clique survives k=4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_group_sample_bias_determinism_and_k():
+    """E-S weighted sampling: heavy rows dominate inclusion, the draw is
+    deterministic and partition-invariant, exactly k per group, and
+    zero-weight rows never appear."""
+    import ray
+    import ray.data
+
+    from antnre_ray.pipelines.relational import weighted_group_sample
+
+    n = 200
+    rows = pa.table(
+        {
+            "g": pa.array(["a"] * n + ["b"] * n, pa.string()),
+            "id": pa.array(list(range(n)) + list(range(1000, 1000 + n)), pa.int64()),
+            # group a: one heavy row (w=1000) among w=1; group b: one zero-weight row
+            "w": pa.array(
+                [1000.0] + [1.0] * (n - 1) + [0.0] + [1.0] * (n - 1), pa.float64()
+            ),
+        }
+    )
+
+    def run(seed, nblocks=3):
+        ds = ray.data.from_arrow(rows).repartition(nblocks)
+        out = weighted_group_sample(ds, "g", "id", "w", k=5, seed=seed)
+        t = pa.concat_tables(
+            [x for x in ray.get(out.to_arrow_refs()) if x.num_columns > 0],
+            promote_options="default",
+        )
+        return t.sort_by([("g", "ascending"), ("id", "ascending")])
+
+    base = run(42)
+    assert base.equals(run(42, nblocks=7))  # partition-invariant
+    by_g: dict[str, list[int]] = {}
+    for r in base.to_pylist():
+        by_g.setdefault(r["g"], []).append(r["id"])
+    assert len(by_g["a"]) == 5 and len(by_g["b"]) == 5
+    assert 1000 not in by_g["b"]  # zero-weight row excluded
+    # heavy row (id 0, w=1000 vs 199 ones) lands in the k=5 sample in
+    # virtually every draw: P(miss) < (199/1199)^5 ≈ 1e-4 per seed.
+    hits = sum(0 in {r["id"] for r in run(s).to_pylist()} for s in range(20))
+    assert hits >= 19, hits
