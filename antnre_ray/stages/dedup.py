@@ -618,27 +618,28 @@ def semantic_dedup(
     from ..functions.hashing import mix64
     from .similarity import IVF_ITERS, IVF_SAMPLE, _kmeans, _normalize
 
-    # Partitioning-INDEPENDENT k-means sample: row selection hashes only
-    # vec_id (splitmix64 < frac·2^64), so the same corpus yields the same
-    # centroids however it is blocked (Dataset.random_sample draws
-    # per-block and would break partition invariance). Slight over-draw,
-    # then a deterministic sort + cap to exactly IVF_SAMPLE rows.
-    n_total = embeddings.count()
-    frac = min(1.0, 1.25 * IVF_SAMPLE / max(n_total, 1))
-    cut = np.uint64(min(int(frac * 2.0**64), 2**64 - 1))
-
-    def draw(b: pa.Table, cut=cut, seed=seed) -> pa.Table:
+    # Partitioning-INDEPENDENT k-means sample in ONE pass, no count():
+    # the min(N, IVF_SAMPLE) rows with the smallest splitmix64(vec_id)
+    # are a uniform sample (the KMV order-statistic trick), identical
+    # however the corpus is blocked (Dataset.random_sample draws
+    # per-block and would break partition invariance). Each batch
+    # contributes a ≤ IVF_SAMPLE-row partial (the combiner), the driver
+    # keeps the global bottom-k by (hash, vec_id).
+    def draw(b: pa.Table, seed=seed) -> pa.Table:
         if b.num_rows == 0:
-            return b
+            return b.append_column("_h", pa.array([], pa.int64()))
         ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        return b.filter(pa.array(mix64(ids, seed=seed) <= cut))
+        h = mix64(ids, seed=seed).view(np.int64) ^ np.int64(-(2**63))  # order-preserving
+        t = b.append_column("_h", pa.array(h, pa.int64()))
+        if b.num_rows <= IVF_SAMPLE:
+            return t
+        keep = np.argpartition(h, IVF_SAMPLE)[:IVF_SAMPLE]
+        return t.take(pa.array(np.sort(keep)))
 
-    sample = (
-        embeddings.map_batches(draw, batch_format="pyarrow", zero_copy_batch=True).take_all()
-        if n_total
-        else []
-    )
-    sample.sort(key=lambda r: r["vec_id"])
+    sample = embeddings.map_batches(
+        draw, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    sample.sort(key=lambda r: (r["_h"], r["vec_id"]))
     sample = sample[:IVF_SAMPLE]
     out_schema = pa.schema(
         [

@@ -48,6 +48,8 @@ QUERY_SET = [
     "b13d_bloom_semi_join",
     "media_features",  # the interleaved-payload actor-pool path
     "text_lm_perplexity",  # two-pass broadcast-stats quality gate
+    "dedup_semantic",  # SemDeDup: k-means assign + in-cluster prune
+    "data_dsir_select",  # DSIR: two count passes + broadcast scoring
 ]
 
 
