@@ -5199,6 +5199,11 @@ def q16_supplier_part_count(sf_dir: str) -> ray.data.Dataset:
     sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
     supp_ok = np.zeros(int(sk.max()) + 2, dtype=bool)
     supp_ok[sk] = supp.column("s_acctbal").to_numpy(zero_copy_only=False) >= 1000.0
+    # composite-key headroom: attr = type_idx*64 + size needs size < 64
+    # (TPC-H p_size ≤ 50 by spec) and suppkey < 2^32 — fail LOUDLY if a
+    # future corpus breaks the packing instead of corrupting keys.
+    assert int(pc.max(part.column("p_size")).as_py()) < 64, "p_size ≥ 64 breaks attr packing"
+    assert int(sk.max()) < (1 << 32), "s_suppkey ≥ 2^32 breaks composite packing"
     ref = ray.put((brand_ok, attr, supp_ok))
 
     def pre(b: pa.Table, ref=ref) -> pa.Table:
@@ -5286,6 +5291,12 @@ def q20_top_quantity_suppliers(sf_dir: str) -> pa.Table:
     promo = np.zeros(int(ppk.max()) + 2, dtype=bool)
     promo[ppk] = np.asarray(
         pc.equal(part.column("p_type"), "PROMO").to_numpy(zero_copy_only=False)
+    )
+    # comp = pk << 22 | sk needs suppkeys < 2^22 (TPC-H: 10k·SF, safe to
+    # SF≈420) and partkeys < 2^41 — fail loudly past the packing limit.
+    supp_max = _read_small(sf_dir, "supplier", ["s_suppkey"])
+    assert int(pc.max(supp_max.column("s_suppkey")).as_py()) < (1 << 22), (
+        "s_suppkey ≥ 2^22 breaks the (part, supp) composite; widen the shift"
     )
     ref = ray.put(promo)
 
