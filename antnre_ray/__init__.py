@@ -67,6 +67,8 @@ def __getattr__(name):
         "quantile_range_boundaries": ("antnre_ray.stages.partition", "quantile_range_boundaries"),
         "assign_range_partition": ("antnre_ray.stages.partition", "assign_range_partition"),
         "semantic_dedup": ("antnre_ray.stages.dedup", "semantic_dedup"),
+        "substring_dedup": ("antnre_ray.stages.dedup", "substring_dedup"),
+        "kmeans_assign": ("antnre_ray.stages.similarity", "kmeans_assign"),
         "dsir_log_weights": ("antnre_ray.stages.analyze", "dsir_log_weights"),
         "dsir_select": ("antnre_ray.stages.analyze", "dsir_select"),
     }

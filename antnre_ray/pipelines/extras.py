@@ -162,6 +162,32 @@ def dedup_embedding_pairs(sf_dir: str) -> ray.data.Dataset:
     return embedding_dedup_pairs(_embeddings_with_dups(sf_dir), threshold=0.98)
 
 
+@register("embed_kmeans", None)
+def embed_kmeans(sf_dir: str) -> ray.data.Dataset:
+    """k-means cluster assignments over the embeddings table
+    (stages/similarity.kmeans_assign): one row per vector with its
+    cluster id and similarity to the winning centroid."""
+    from ..stages.similarity import kmeans_assign
+
+    return kmeans_assign(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        n_clusters=16,
+    )
+
+
+@register("dedup_substring", None)
+def dedup_substring(sf_dir: str) -> ray.data.Dataset:
+    """Exact substring dedup (Lee et al. 2022 ExactSubstr shape) over
+    the planted-dup corpus: the mutated copies (every 25th word swapped)
+    share exact runs of up to 24 tokens with their originals, so w=15
+    excises most of each copy's text while the originals — the
+    lexicographic-min keepers — survive verbatim. Returns one row per
+    input doc: (doc_id, text, removed_tokens)."""
+    from ..stages.dedup import substring_dedup
+
+    return substring_dedup(documents_with_dups(sf_dir), w=15)
+
+
 @register("dedup_semantic", None)
 def dedup_semantic(sf_dir: str) -> ray.data.Dataset:
     """SemDeDup over the embeddings table with planted near-twins: one

@@ -575,6 +575,253 @@ def query_minhash_index(
     )
 
 
+# ------------------------------- exact substring (token-window) dedup
+
+SUBSTR_PRIME = np.uint64(1099511628211)  # FNV-64 prime (analyze._DECON_PRIME)
+
+
+def _window_rows(batch: pa.Table, w: int) -> pa.Table:
+    """Per document: 64-bit rolling hashes of every w-token window,
+    exploded to (shard, h, doc_id, pos) rows. Token hashes come from one
+    vectorized polars_u64 pass per doc; the window combine loops over w
+    (vectorized across windows), never over windows. Only these 20-byte
+    rows enter the shuffle — document text never does."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from ..functions.hashing import polars_u64
+
+    texts = batch.column("text").to_pylist()
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    h_parts, d_parts, p_parts = [], [], []
+    for did, t in zip(doc_ids, texts):
+        toks = (t or "").split()
+        if len(toks) < w:
+            continue
+        th = polars_u64(pa.array(toks))
+        win = sliding_window_view(th, w)
+        h = win[:, 0].copy()
+        for i in range(1, w):
+            h = h * SUBSTR_PRIME + win[:, i]
+        h_parts.append(h)
+        d_parts.append(np.full(len(h), did, dtype=np.int64))
+        p_parts.append(np.arange(len(h), dtype=np.int64))
+    if not h_parts:
+        return pa.table(
+            {
+                "shard": pa.array([], pa.int32()),
+                "h": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+            }
+        )
+    h = np.concatenate(h_parts)
+    return pa.table(
+        {
+            "shard": pa.array((h % np.uint64(SHARDS)).astype(np.int32), pa.int32()),
+            "h": pa.array(h.view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.concatenate(d_parts), pa.int64()),
+            "pos": pa.array(np.concatenate(p_parts), pa.int64()),
+        }
+    )
+
+
+def _dup_occurrences(group: pa.Table) -> pa.Table:
+    """One hash shard: sort by (h, doc_id, pos) and emit every NON-FIRST
+    member of each equal-hash run — the occurrences to remove. The keeper
+    (lexicographic min (doc_id, pos)) is partition-invariant; the whole
+    pass is one lexsort + one mask, no per-run Python."""
+    empty = pa.table({"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())})
+    n = group.num_rows
+    if n < 2:
+        return empty
+    h = group.column("h").to_numpy(zero_copy_only=False)
+    doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+    pos = group.column("pos").to_numpy(zero_copy_only=False)
+    order = np.lexsort((pos, doc, h))
+    h, doc, pos = h[order], doc[order], pos[order]
+    is_first = np.r_[True, h[1:] != h[:-1]]
+    if is_first.all():
+        return empty
+    drop = ~is_first
+    return pa.table(
+        {"doc_id": pa.array(doc[drop], pa.int64()), "pos": pa.array(pos[drop], pa.int64())}
+    )
+
+
+def _merge_spans(group: pa.Table, w: int) -> pa.Table:
+    """One doc_id shard: merge each document's marked windows [pos,
+    pos+w) into disjoint token intervals, emitted as ONE row per doc
+    (doc_id, spans, removed_tokens) where ``spans`` packs the interval
+    pairs [s0,e0,s1,e1,...] as little-endian int64 BINARY — Acero hash
+    joins reject list-typed payload columns, binary passes through.
+    Because every interval has the same length w, a sorted-pos merge is
+    a single vectorized break-detection pass (pos > prev_pos + w); the
+    per-doc blobs are zero-copy slices of one interleaved buffer — no
+    per-doc Python loop."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "spans": pa.array([], pa.binary()),
+            "removed_tokens": pa.array([], pa.int64()),
+        }
+    )
+    n = group.num_rows
+    if n == 0:
+        return empty
+    doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+    pos = group.column("pos").to_numpy(zero_copy_only=False)
+    order = np.lexsort((pos, doc))
+    doc, pos = doc[order], pos[order]
+    brk = np.r_[True, (doc[1:] != doc[:-1]) | (pos[1:] > pos[:-1] + w)]
+    s_idx = np.nonzero(brk)[0]
+    e_idx = np.r_[s_idx[1:], n] - 1
+    m_doc = doc[s_idx]
+    m_start = pos[s_idx]
+    m_end = pos[e_idx] + w
+    # group merged intervals into per-doc blobs (m_doc is sorted)
+    d_first = np.nonzero(np.r_[True, m_doc[1:] != m_doc[:-1]])[0]
+    ndocs = len(d_first)
+    inter = np.empty(2 * len(m_doc), dtype="<i8")
+    inter[0::2] = m_start
+    inter[1::2] = m_end
+    byte_offs = (16 * np.r_[d_first, len(m_doc)]).astype(np.int32)
+    spans = pa.Array.from_buffers(
+        pa.binary(),
+        ndocs,
+        [None, pa.py_buffer(byte_offs.tobytes()), pa.py_buffer(inter.tobytes())],
+    )
+    removed = np.add.reduceat(m_end - m_start, d_first)
+    return pa.table(
+        {
+            "doc_id": pa.array(m_doc[d_first], pa.int64()),
+            "spans": spans,
+            "removed_tokens": pa.array(removed, pa.int64()),
+        }
+    )
+
+
+def _cut_batch(batch: pa.Table) -> pa.Table:
+    """Apply merged token-interval removals to each affected document's
+    text using original character offsets (regex \\S+ spans): untouched
+    characters — including the original whitespace — survive verbatim.
+    A removal cuts from the first removed token's start through the
+    following token's start (swallowing the separator); a removal that
+    reaches the document's end cuts back through the preceding
+    separator instead, so no dangling whitespace is left. Docs with no
+    removals pass through unchanged (null spans from the left-outer
+    join)."""
+    import re
+
+    token_re = re.compile(r"\S+")
+    texts = batch.column("text").to_pylist()
+    spans_col = batch.column("spans").to_pylist()
+    removed_col = batch.column("removed_tokens").to_pylist()
+    out_text, out_removed = [], []
+    for t, blob, rm in zip(texts, spans_col, removed_col):
+        if not blob:  # None or b"" — untouched doc
+            out_text.append(t)
+            out_removed.append(0)
+            continue
+        iv = np.frombuffer(blob, dtype="<i8")
+        spans = [m.span() for m in token_re.finditer(t or "")]
+        ntok = len(spans)
+        pieces, cursor = [], 0
+        for a, b in zip(iv[0::2], iv[1::2]):
+            if b < ntok:
+                cs, ce = spans[a][0], spans[b][0]
+            else:
+                cs = spans[a - 1][1] if a > 0 else 0
+                ce = len(t)
+            pieces.append(t[cursor:cs])
+            cursor = ce
+        pieces.append(t[cursor:])
+        out_text.append("".join(pieces))
+        out_removed.append(int(rm))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array(out_text, pa.string()),
+            "removed_tokens": pa.array(out_removed, pa.int64()),
+        }
+    )
+
+
+def substring_dedup(docs: ray.data.Dataset, w: int = 50) -> ray.data.Dataset:
+    """Exact substring deduplication, the ExactSubstr operator of Lee et
+    al. 2022 (arXiv:2107.06499, "Deduplicating Training Data Makes
+    Language Models Better"): every duplicated run of ≥ w tokens
+    anywhere in the corpus keeps exactly ONE occurrence (the
+    lexicographic-min (doc_id, pos)); all others are excised from their
+    documents' text. Returns (doc_id, text, removed_tokens) for EVERY
+    input document.
+
+    Distributed shape (the paper builds a single-machine suffix array;
+    this is the shuffle-native equivalent): one streamed pass explodes
+    each doc into w-token rolling-window hashes — only those 20-byte
+    rows shuffle, text never does — a sharded groupby marks every
+    non-first member of each equal-hash run, a second sharded pass
+    merges marks into per-doc token intervals (one list row per
+    affected doc), and the tiny interval table left-outer-joins the
+    corpus once for the final cut. Everything after tokenization is
+    vectorized; the only per-doc Python is tokenization itself and the
+    final cut over AFFECTED docs.
+
+    Exactness caveat: windows are compared by 64-bit rolling hash, so a
+    collision could excise a non-duplicate window (P ≈ n²/2⁶⁴ — for
+    10¹² windows, ~3·10⁻⁵ corpus-wide); the paper's suffix array is
+    collision-free but does not distribute."""
+    from ..config import shuffle_width
+
+    rows = docs.map_batches(
+        _window_rows, batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"w": w}
+    )
+    occ = rows.groupby("shard").map_groups(_dup_occurrences, batch_format="pyarrow")
+
+    def add_doc_shard(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "dshard", pa.array((d % SHARDS).astype(np.int32), pa.int32())
+        )
+
+    spans = (
+        occ.map_batches(add_doc_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dshard")
+        .map_groups(
+            lambda g, w=w: _merge_spans(g.drop_columns(["dshard"]), w),
+            batch_format="pyarrow",
+        )
+    )
+
+    # map_groups emits zero-COLUMN blocks for empty partitions
+    # (relational._collect documents this) and the hash join rejects
+    # them ("no match for key field doc_id"); map_batches is skipped on
+    # empty blocks so it cannot re-pin the schema. Two-part fix: union
+    # ONE sentinel row under an id no document carries (doc_id = -1, a
+    # LEFT outer join drops it naturally) so the spans side is never
+    # row-empty even on a duplicate-free corpus — a 0-row union seed is
+    # NOT enough, repartition of an all-empty dataset still loses the
+    # schema — then repartition, which rebuilds blocks and clears the
+    # schemaless empties. The spans table is tiny (one row per affected
+    # doc), so this is not a wide exchange.
+    sentinel = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([-1], pa.int64()),
+                "spans": pa.array([b""], pa.binary()),
+                "removed_tokens": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    spans = spans.union(sentinel).repartition(shuffle_width())
+    joined = docs.join(
+        spans,
+        join_type="left_outer",
+        num_partitions=shuffle_width(),
+        on=("doc_id",),
+    )
+    return joined.map_batches(_cut_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------------- semantic dedup
 
 SEM_MAX_CLUSTER = 4096

@@ -767,3 +767,87 @@ def refine_topk(
 
     partials = _scored_partials(embeddings, score)
     return _merge_topk(partials, k)
+
+
+# ------------------------------------------------------- k-means operator
+
+def kmeans_assign(
+    embeddings: ray.data.Dataset,
+    n_clusters: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    iters: int = IVF_ITERS,
+) -> ray.data.Dataset:
+    """Distributed k-means clustering over an embedding column, exposed
+    as a first-class operator (the same kernel IVF index builds and
+    SemDeDup use internally): centroids are fit driver-side on a
+    bounded, partitioning-INDEPENDENT sample — the min(N, IVF_SAMPLE)
+    rows with the smallest splitmix64(vec_id), the KMV order-statistic
+    trick dedup.semantic_dedup documents — then every vector is
+    assigned to its nearest centroid in ONE broadcast map_batches pass
+    (centroids ray.put once, read per task). Returns one row per input
+    vector: (vec_id, cluster, centroid_sim).
+
+    centroid_sim is recomputed row-locally (elementwise product +
+    fixed-length float64 sum) rather than read out of the BLAS matmul:
+    sgemm blocking varies with batch shape, so matmul values differ in
+    the last ulp across partitionings (measured; see semantic_dedup).
+
+    Scale: no shuffle at all — a sample pass + an embarrassingly
+    parallel assign pass; ``n_clusters`` bounds driver memory (k×dim
+    floats), never corpus size."""
+    from ..functions.hashing import mix64
+
+    def draw(b: pa.Table, seed=seed) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("_h", pa.array([], pa.int64()))
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = mix64(ids, seed=seed).view(np.int64) ^ np.int64(-(2**63))  # order-preserving
+        t = b.append_column("_h", pa.array(h, pa.int64()))
+        if b.num_rows <= IVF_SAMPLE:
+            return t
+        keep = np.argpartition(h, IVF_SAMPLE)[:IVF_SAMPLE]
+        return t.take(pa.array(np.sort(keep)))
+
+    sample = embeddings.map_batches(
+        draw, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    sample.sort(key=lambda r: (r["_h"], r["vec_id"]))
+    sample = sample[:IVF_SAMPLE]
+    out_schema = pa.schema(
+        [("vec_id", pa.int64()), ("cluster", pa.int64()), ("centroid_sim", pa.float64())]
+    )
+    if not sample:
+        return ray.data.from_arrow(out_schema.empty_table())
+    S = _normalize(np.asarray([r["embedding"] for r in sample], dtype=np.float64))
+    C = _kmeans(S, n_clusters, iters, seed)
+    c_ref = ray.put(C.astype(np.float32))
+
+    def assign(b: pa.Table, ref=c_ref) -> pa.Table:
+        C = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        X = (
+            emb.flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(b.num_rows, C.shape[1])
+            .astype(np.float32)
+        )
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        cl = (Xn @ C.T).argmax(axis=1).astype(np.int64)
+        sim = (Xn * C[cl]).sum(axis=1, dtype=np.float64)
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+                "cluster": pa.array(cl, pa.int64()),
+                "centroid_sim": pa.array(sim, pa.float64()),
+            }
+        )
+
+    return embeddings.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
