@@ -29,6 +29,20 @@ def read_table(path: str, *, columns: list[str] | None = None, **kwargs) -> ray.
     """
     if HAVE_LANCE and (path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions"))):
         return ray.data.read_lance(path, columns=columns, **kwargs)
+    lower = path.lower()
+    if lower.endswith((".jsonl", ".json", ".ndjson")) or lower.endswith((".jsonl.gz", ".json.gz")):
+        # Ingest format, not a scale path: JSON has no column pushdown,
+        # so projection happens post-parse. Convert to parquet/lance for
+        # anything read more than once.
+        ds = ray.data.read_json(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
+    if lower.endswith((".csv", ".csv.gz", ".tsv")):
+        if lower.endswith(".tsv"):
+            from pyarrow import csv as pacsv
+
+            kwargs.setdefault("parse_options", pacsv.ParseOptions(delimiter="\t"))
+        ds = ray.data.read_csv(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
@@ -40,6 +54,10 @@ def write_table(ds: ray.data.Dataset, path: str, **kwargs) -> None:
     """
     if HAVE_LANCE and path.endswith(".lance"):
         ds.write_lance(path, **kwargs)
+    elif path.lower().endswith((".jsonl", ".json", ".ndjson")):
+        ds.write_json(path, **kwargs)
+    elif path.lower().endswith(".csv"):
+        ds.write_csv(path, **kwargs)
     else:
         ds.write_parquet(path, **kwargs)
 
