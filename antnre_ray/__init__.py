@@ -69,6 +69,7 @@ def __getattr__(name):
         "semantic_dedup": ("antnre_ray.stages.dedup", "semantic_dedup"),
         "substring_dedup": ("antnre_ray.stages.dedup", "substring_dedup"),
         "kmeans_assign": ("antnre_ray.stages.similarity", "kmeans_assign"),
+        "label_propagation": ("antnre_ray.stages.graph_algos", "label_propagation"),
         "dsir_log_weights": ("antnre_ray.stages.analyze", "dsir_log_weights"),
         "dsir_select": ("antnre_ray.stages.analyze", "dsir_select"),
     }

@@ -228,6 +228,26 @@ def kg_pagerank(sf_dir: str) -> ray.data.Dataset:
     ).limit(20)
 
 
+@register("kg_label_prop", None)
+def kg_label_prop(sf_dir: str) -> ray.data.Dataset:
+    """Communities of the materialized KG by deterministic label
+    propagation (stages/graph_algos.label_propagation) — rows-only
+    driver check; regime equivalence and community structure are
+    verified in tests/test_labelprop.py."""
+    from ..stages.graph_algos import label_propagation
+
+    adj = _graph(sf_dir)["adjacency"]
+
+    def project(b):
+        import pyarrow as pa
+
+        return pa.table({"src": b.column("src"), "dst": b.column("dst")})
+
+    return label_propagation(
+        adj.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort("node")
+
+
 @register("kg_kcore", None)
 def kg_kcore(sf_dir: str) -> ray.data.Dataset:
     """2-core of the materialized KG (stages/graph_algos.kcore): the

@@ -823,3 +823,258 @@ def kcore(
     if not converged:
         _warn_not_converged("kcore", max_iters)
     return alive.rename_columns({"u": "node"})
+
+
+# ------------------------------------------------- label propagation (LPA)
+
+def _labelprop_small(
+    und: ray.data.Dataset, nodes_arr: pa.Array, max_iters: int
+) -> tuple[np.ndarray, bool]:
+    """Small regime: the label vector broadcasts per round; one
+    map_batches over the index-encoded edges emits sparse per-batch
+    (dst, neighbor-label, count) vote partials; the driver merges them
+    with one lexsort + reduceat and picks each node's winner (max
+    count, tie-broken on min label) fully vectorized."""
+    labels = _label_of(nodes_arr.to_pylist())
+    E_idx = _indexed_edges(und, nodes_arr)
+    for _ in range(max_iters):
+        lab_ref = ray.put(labels)
+
+        def vote_partial(b: pa.Table, _ref=lab_ref) -> pa.Table:
+            lab = ray.get(_ref)
+            ui = b.column("ui").to_numpy(zero_copy_only=False)
+            vi = b.column("vi").to_numpy(zero_copy_only=False)
+            lv = lab[ui]
+            order = np.lexsort((lv, vi))
+            vi_s, lv_s = vi[order], lv[order]
+            is_start = np.r_[True, (vi_s[1:] != vi_s[:-1]) | (lv_s[1:] != lv_s[:-1])]
+            starts = np.nonzero(is_start)[0]
+            cnt = np.diff(np.r_[starts, len(vi_s)])
+            return pa.table(
+                {
+                    "ni": pa.array(vi_s[starts], pa.int64()),
+                    "l": pa.array(lv_s[starts], pa.int64()),
+                    "c": pa.array(cnt, pa.int64()),
+                }
+            )
+
+        ni_p, l_p, c_p = [], [], []
+        for part in ray.get(
+            E_idx.map_batches(
+                vote_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        ):
+            if part.num_columns == 0 or part.num_rows == 0:
+                continue
+            ni_p.append(part.column("ni").to_numpy(zero_copy_only=False))
+            l_p.append(part.column("l").to_numpy(zero_copy_only=False))
+            c_p.append(part.column("c").to_numpy(zero_copy_only=False))
+        if not ni_p:
+            return labels, True  # no edges — trivially converged
+        ni = np.concatenate(ni_p)
+        l = np.concatenate(l_p)
+        c = np.concatenate(c_p)
+        # global (node, label) totals
+        order = np.lexsort((l, ni))
+        ni, l, c = ni[order], l[order], c[order]
+        is_start = np.r_[True, (ni[1:] != ni[:-1]) | (l[1:] != l[:-1])]
+        starts = np.nonzero(is_start)[0]
+        ni, l = ni[starts], l[starts]
+        c = np.add.reduceat(c, starts)
+        # per-node winner: max count, tie-break min label
+        order2 = np.lexsort((l, -c, ni))
+        ni, l = ni[order2], l[order2]
+        win = np.nonzero(np.r_[True, ni[1:] != ni[:-1]])[0]
+        new = labels.copy()
+        new[ni[win]] = l[win]
+        if np.array_equal(new, labels):
+            return labels, True
+        labels = new
+    return labels, False
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 10,
+    small_graph_nodes: int = SMALL_GRAPH_NODES,
+) -> ray.data.Dataset:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007, arXiv:0709.2938), made DETERMINISTIC: every node
+    starts with its own hash label and each round adopts the most
+    frequent label among its neighbors, ties broken on the SMALLEST
+    label (the paper breaks ties randomly; a deterministic rule keeps
+    the operator partition-invariant and resumable). Nodes with no
+    neighbors keep their own label. Returns (node, label) — nodes
+    sharing a label after convergence form one community.
+
+    Undirected simple-graph semantics (self loops dropped, parallel
+    edges collapsed) — same normalization as :func:`kcore`. Synchronous
+    LPA can oscillate on bipartite-ish structures, so non-convergence
+    within ``max_iters`` is loudly logged, never silent.
+
+    Two regimes, same split as the other iterative algos:
+
+    - small (≤ ``small_graph_nodes``): label vector broadcast per
+      round, edges distributed; per-batch vote-count partials merged
+      driver-side (one lexsort + reduceat, no per-node Python).
+    - large: labels stay a Dataset. Each round: one hash join ships
+      labels onto edges, a per-batch (node, label, count) combiner
+      caps the vote shuffle, a grouped Sum makes votes global, and a
+      SHARDED pick stage (node-hash % SHARDS, one Python call per
+      shard, vectorized run detection inside — the dedup.py SHARDS
+      pattern) selects each node's winner. Self rows ride the same
+      stream with count = -1, so the pick also emits a per-node
+      ``changed`` bit and convergence is an exact Sum(changed) == 0 —
+      no extra join, no checksum heuristics.
+    """
+    from ray.data.aggregate import Count, Min, Sum
+
+    def undirect_simple(b: pa.Table) -> pa.Table:
+        s = b.column(src_col).combine_chunks().cast(pa.string())
+        d = b.column(dst_col).combine_chunks().cast(pa.string())
+        t = pa.table(
+            {
+                "u": pa.concat_arrays([s, d]),
+                "v": pa.concat_arrays([d, s]),
+            }
+        ).filter(pc.not_equal(pc.field("u"), pc.field("v")))
+        return t.group_by(["u", "v"]).aggregate([]).rename_columns(["u", "v"])
+
+    und = (
+        edges.map_batches(undirect_simple, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_m"))
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+    if und.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "label": pa.array([], pa.int64())})
+        )
+
+    nodes_tbl = _collect(und.groupby("u").aggregate(Count(alias_name="_d")))
+    n_nodes = nodes_tbl.num_rows
+    nodes_arr = nodes_tbl.column("u").combine_chunks()
+
+    if n_nodes <= small_graph_nodes:
+        labels, converged = _labelprop_small(und, nodes_arr, max_iters)
+        if not converged:
+            _warn_not_converged("label_propagation", max_iters)
+        return ray.data.from_arrow(
+            pa.table({"node": nodes_arr, "label": pa.array(labels, pa.int64())})
+        )
+
+    from ..config import shuffle_width
+
+    nparts = shuffle_width()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        ids = b.column("u").to_pylist()
+        return pa.table({"node": b.column("u"), "label": pa.array(_label_of(ids), pa.int64())})
+
+    labels = (
+        und.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    from .dedup import SHARDS
+
+    def _pick_shard(group: pa.Table) -> pa.Table:
+        """One node shard: rows (node, label, c) where c = -1 marks the
+        node's CURRENT label and c ≥ 1 a vote total. Winner per node =
+        max positive c, tie min label; no votes → keep current."""
+        empty = pa.table(
+            {
+                "node": pa.array([], pa.string()),
+                "label": pa.array([], pa.int64()),
+                "changed": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        node = group.column("node").combine_chunks()
+        idx = pc.sort_indices(
+            group, sort_keys=[("node", "ascending"), ("c", "descending"), ("label", "ascending")]
+        )
+        node = node.take(idx)
+        lab = group.column("label").combine_chunks().take(idx).to_numpy(zero_copy_only=False)
+        c = group.column("c").combine_chunks().take(idx).to_numpy(zero_copy_only=False)
+        n = len(lab)
+        same_as_prev = pc.equal(node.slice(1), node.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        ) if n > 1 else np.empty(0, dtype=bool)
+        is_start = np.r_[True, ~same_as_prev]
+        starts = np.nonzero(is_start)[0]
+        run_id = np.cumsum(is_start) - 1
+        old = np.empty(len(starts), dtype=np.int64)
+        self_rows = np.nonzero(c == -1)[0]
+        old[run_id[self_rows]] = lab[self_rows]
+        new = np.where(c[starts] >= 1, lab[starts], old)
+        return pa.table(
+            {
+                "node": node.take(pa.array(starts)),
+                "label": pa.array(new, pa.int64()),
+                "changed": pa.array((new != old).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def _add_nshard(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import polars_u64
+
+        h = polars_u64(b.column("node").combine_chunks())
+        return b.append_column(
+            "nshard", pa.array((h % np.uint64(SHARDS)).astype(np.int32), pa.int32())
+        )
+
+    converged = False
+    for _ in range(max_iters):
+        msgs = und.join(
+            labels, join_type="inner", num_partitions=nparts, on=("u",), right_on=("node",)
+        )
+
+        def to_votes(b: pa.Table) -> pa.Table:
+            t = pa.table({"node": b.column("v"), "label": b.column("label")})
+            # combiner: per-batch (node, label) counts cap the shuffle
+            t = t.group_by(["node", "label"]).aggregate([([], "count_all")])
+            return t.rename_columns(["node", "label", "c"])
+
+        votes = (
+            msgs.map_batches(to_votes, batch_format="pyarrow")
+            .groupby(["node", "label"])
+            .aggregate(Sum("c", alias_name="c"))
+        )
+
+        def self_rows(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b.column("node"),
+                    "label": b.column("label"),
+                    "c": pa.array(np.full(b.num_rows, -1, dtype=np.int64), pa.int64()),
+                }
+            )
+
+        tagged = votes.union(labels.map_batches(self_rows, batch_format="pyarrow"))
+        picked = (
+            tagged.map_batches(_add_nshard, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("nshard")
+            .map_groups(
+                lambda g: _pick_shard(g.drop_columns(["nshard"])), batch_format="pyarrow"
+            )
+            .materialize()
+        )
+        n_changed = sum(
+            int(t.column("changed").to_numpy(zero_copy_only=False).sum())
+            for t in ray.get(picked.select_columns(["changed"]).to_arrow_refs())
+            if t.num_columns > 0 and t.num_rows > 0
+        )
+        labels = picked.select_columns(["node", "label"]).materialize()
+        if n_changed == 0:
+            converged = True
+            break
+    if not converged:
+        _warn_not_converged("label_propagation", max_iters)
+    return labels
