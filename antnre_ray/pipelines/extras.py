@@ -843,3 +843,91 @@ def data_dsir_select(sf_dir: str) -> ray.data.Dataset:
         expr="source == 'src0'"
     ).select_columns(["doc_id", "text"])
     return dsir_select(docs.select_columns(["doc_id", "text"]), target, frac=0.25)
+
+
+@register("data_global_shuffle", None)  # seeded order → rows-only; invariants tested
+def data_global_shuffle(sf_dir: str, seed: int = 7) -> ray.data.Dataset:
+    """Deterministic global training shuffle: every document gets the
+    pseudo-random key splitmix64(doc_id, seed) and the corpus sorts by
+    it — the epoch-ordering step of an LLM data pipeline. Unlike
+    Dataset.random_shuffle (per-block draws → partitioning-DEPENDENT,
+    see functions/hashing notes), the key is a pure function of
+    (doc_id, seed), so the order is reproducible across runs, cluster
+    sizes and input layouts, and a different seed gives an independent
+    epoch order.
+
+    Scale: the sort is one range shuffle of the payload — the
+    irreducible cost of a global shuffle (same exchange class Ray's
+    random_shuffle pays), with Ray's sample-based range partitioner
+    keeping output blocks balanced because the keys are uniform u64."""
+    from ..functions.hashing import polars_u64
+
+    def key(b: pa.Table, seed=seed) -> pa.Table:
+        k = polars_u64(b.column("doc_id").combine_chunks(), seed=seed)
+        # int64 view keeps Ray's sort comparator native; uniformity is
+        # unaffected by the sign flip.
+        return b.append_column("shuffle_key", pa.array(k.view(np.int64), pa.int64()))
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("shuffle_key")
+    )
+
+
+RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+
+
+@register("search_hybrid_rrf", None)  # fusion math tested on fixtures
+def search_hybrid_rrf(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval: BM25 lexical top-20 over documents and cosine
+    top-20 over embeddings (vec_id and doc_id share the id space in
+    this schema), fused by Reciprocal Rank Fusion —
+    score(d) = Σ_lists 1/(60 + rank_d). The standard first-stage
+    retrieval pattern for curation probes: lexical catches exact
+    phrasing, embeddings catch paraphrase, RRF needs no score
+    calibration between the two.
+
+    Scale: both legs are the already-scale-shaped operators (BM25's two
+    sketch passes; brute-force cosine per-batch top-k merge — swap in
+    query_ann_index for a persisted corpus); fusion touches only the
+    two k-row lists on the driver."""
+    from ..stages.search import bm25_topk
+    from ..stages.similarity import brute_force_topk
+
+    k = 20
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    lex = bm25_topk(docs, "data processing pipeline", k=k)
+    Q, qids = _ann_queries(sf_dir)
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    sem_all = brute_force_topk(emb, Q[:1], qids[:1], k=k)
+    sem_ids = sem_all.column("neighbor_id").to_pylist()
+
+    ranks: dict[int, list[int | None]] = {}
+    for r, d in enumerate(lex.column("doc_id").to_pylist()):
+        ranks.setdefault(int(d), [None, None])[0] = r + 1
+    for r, d in enumerate(sem_ids):
+        ranks.setdefault(int(d), [None, None])[1] = r + 1
+    fused = sorted(
+        (
+            (
+                -sum(1.0 / (RRF_K + r) for r in rs if r is not None),
+                d,
+                rs[0],
+                rs[1],
+            )
+            for d, rs in ranks.items()
+        ),
+    )[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array([d for _, d, _, _ in fused], pa.int64()),
+            "rrf_score": pa.array([-s for s, _, _, _ in fused], pa.float64()),
+            "bm25_rank": pa.array([b for _, _, b, _ in fused], pa.int64()),
+            "cosine_rank": pa.array([c for _, _, _, c in fused], pa.int64()),
+        }
+    )

@@ -5502,3 +5502,160 @@ def b21d_weighted_sample(sf_dir: str) -> ray.data.Dataset:
         weight_col="o_totalprice",
         k=10,
     )
+
+
+# --------------------------------- B55: CUBE grouping sets
+
+@register("b55_cube", None)  # verified vs DuckDB GROUP BY CUBE in tests
+def b55_cube(sf_dir: str) -> pa.Table:
+    """CUBE (source, lang) over documents with a GROUPING() id — the
+    full grouping-sets lattice next to b16d's ROLLUP. Same plan shape:
+    ONE distributed leaf aggregate (per-batch combiner, then a grouped
+    Sum over the tiny (source, lang) key space), then every coarser
+    set — (source), (lang), () — derives driver-side from the leaf
+    without rescanning the table. grouping_id follows the SQL GROUPING
+    bit convention: bit 0 = lang aggregated out, bit 1 = source
+    aggregated out (so leaf=0, (source)=1, (lang)=2, ()=3).
+
+    Scale: the only shuffle is over |sources|×|langs| keys; the lattice
+    expansion touches leaf rows only, never the corpus."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "lang", "n_docs"])
+
+    leaf = (
+        _read(sf_dir, "documents", ["source", "lang"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .take_all()
+    )
+    src = [r["source"] for r in leaf]
+    lang = [r["lang"] for r in leaf]
+    n = [r["n_docs"] for r in leaf]
+    by_src: dict[str, int] = {}
+    by_lang: dict[str, int] = {}
+    for s, l, c in zip(src, lang, n):
+        by_src[s] = by_src.get(s, 0) + c
+        by_lang[l] = by_lang.get(l, 0) + c
+    srcs = sorted(by_src)
+    langs = sorted(by_lang)
+    return pa.table(
+        {
+            "grouping_id": pa.array(
+                [0] * len(n) + [1] * len(srcs) + [2] * len(langs) + [3], pa.int64()
+            ),
+            "source": pa.array(src + srcs + [None] * len(langs) + [None], pa.string()),
+            "lang": pa.array(lang + [None] * len(srcs) + langs + [None], pa.string()),
+            "n_docs": pa.array(
+                n + [by_src[s] for s in srcs] + [by_lang[l] for l in langs] + [sum(n)],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+# --------------------------------- ts: linear interpolation on the grid
+
+@register("ts_interpolate", None)  # grid semantics tested vs pandas/brute force
+def ts_interpolate(sf_dir: str) -> ray.data.Dataset:
+    """Per-user HOURLY grid with LINEAR time interpolation: each grid
+    point between two observations takes the time-weighted blend of the
+    latest event at-or-before it and the earliest event after it; past
+    the last event it holds the last value (ffill tail). Completes the
+    resampling family next to ts_resample_ffill (step-function fill).
+
+    Same scale shape as ts_resample_ffill: one sharded shuffle on
+    user_id % SHARDS, then a fully vectorized pass per shard — ragged
+    grids via repeat/cumsum arange, ONE searchsorted over the composite
+    (user_id << 34 | epoch_seconds) key for the left neighbor, and the
+    right neighbor is just left+1 clamped to the user's run — no
+    per-user Python call. Composite key needs user_id < 2^29 and
+    epoch < 2^34 s, asserted."""
+    from ..stages.dedup import SHARDS
+
+    HOUR = np.int64(3600)
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("user_id"), pa.int64())
+        return pa.table(
+            {
+                "shard": _key_shard(key, SHARDS),
+                "user_id": key,
+                "ts": b.column("ts"),
+                "event_id": pc.cast(b.column("event_id"), pa.int64()),
+                "value": b.column("value"),
+            }
+        )
+
+    def interp_shard(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.timestamp("us")),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+        uid = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return empty
+        ts = (
+            group.column("ts")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        val = group.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts_s = ts // 1_000_000
+        assert (uid < (1 << 29)).all() and (ts_s >= 0).all() and (ts_s < (1 << 34)).all()
+        # event_id tie-break keeps equal-(user, ts) neighbor choice
+        # deterministic regardless of shuffle delivery order.
+        order = np.lexsort((eid, ts, uid))
+        uid, ts_s, val = uid[order], ts_s[order], val[order]
+        key = (uid << 34) | ts_s
+        starts = np.nonzero(np.r_[True, uid[1:] != uid[:-1]])[0]
+        ends = np.r_[starts[1:], n]
+        lo_h = ts_s[starts] // HOUR
+        hi_h = ts_s[ends - 1] // HOUR
+        lens = (hi_h - lo_h + 1).astype(np.int64)
+        total = int(lens.sum())
+        off = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        g_uid = np.repeat(uid[starts], lens)
+        g_sec = (np.repeat(lo_h, lens) + off) * HOUR + (HOUR - 1)
+        g_key = (g_uid << 34) | g_sec
+        left = np.searchsorted(key, g_key, side="right") - 1
+        run_start = np.repeat(starts, lens)
+        run_end = np.repeat(ends, lens)
+        left = np.maximum(left, run_start)  # first hour always has an event
+        right = np.minimum(left + 1, run_end - 1)
+        lt, rt = ts_s[left], ts_s[right]
+        lv, rv = val[left], val[right]
+        span = (rt - lt).astype(np.float64)
+        # right == left past the last event (ffill tail) → span 0 → lv.
+        frac = np.where(span > 0, (g_sec - lt).astype(np.float64) / np.maximum(span, 1.0), 0.0)
+        v = lv + (rv - lv) * np.clip(frac, 0.0, 1.0)
+        return pa.table(
+            {
+                "user_id": pa.array(g_uid, pa.int64()),
+                "bucket": pa.array(
+                    ((np.repeat(lo_h, lens) + off) * HOUR * 1_000_000).astype(
+                        "datetime64[us]"
+                    ),
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array(v, pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(interp_shard, batch_format="pyarrow")
+    )
