@@ -931,3 +931,15 @@ def search_hybrid_rrf(sf_dir: str) -> pa.Table:
             "cosine_rank": pa.array([c for _, _, _, c in fused], pa.int64()),
         }
     )
+
+
+@register("dedup_setjoin_pairs", None)  # EXACT join — brute-force-equal in tests
+def dedup_setjoin_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Exact set-similarity self-join (AllPairs prefix filter) over the
+    planted-dup corpus: ALL pairs with word-3-gram-set Jaccard ≥ 0.5 and
+    their exact J — the zero-false-negative complement to the MinHash /
+    SimHash candidate generators (tests assert set-equality against an
+    all-pairs brute force, not just recall)."""
+    from ..stages.dedup import set_similarity_join
+
+    return set_similarity_join(documents_with_dups(sf_dir), threshold=0.5, k=3)

@@ -986,3 +986,285 @@ def semantic_dedup(
         .groupby("cluster")
         .map_groups(prune, batch_format="pyarrow")
     )
+
+
+# ----------------- exact set-similarity join (AllPairs prefix filter)
+
+def _shingle_set_rows(batch: pa.Table, k: int = 3, seed: int = 42) -> pa.Table:
+    """doc → SORTED DISTINCT word-k-gram hash set as a list column.
+
+    One polars hash pass over the flattened shingles, then a lexsort +
+    boundary-keep pass dedups within docs — no per-doc Python. Empty
+    docs (no words) drop out here: an empty set cannot reach any
+    positive Jaccard threshold."""
+    from ..functions.hashing import polars_u64
+    from ..functions.minhash import shingle_batch
+
+    texts = batch.column("text").to_pylist()
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    flat, offsets = shingle_batch(texts, k)
+    n = len(texts)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "size": pa.array([], pa.int64()),
+            "sset": pa.array([], pa.list_(pa.int64())),
+        }
+    )
+    if not flat:
+        return empty
+    h = polars_u64(pa.array(flat), seed=seed)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    order = np.lexsort((h, doc_idx))
+    d, hh = doc_idx[order], h[order]
+    keep = np.r_[True, (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])]
+    d, hh = d[keep], hh[keep]
+    sizes = np.bincount(d, minlength=n).astype(np.int64)
+    nonempty = np.nonzero(sizes > 0)[0]
+    if len(nonempty) == 0:
+        return empty
+    new_offsets = np.r_[0, np.cumsum(sizes[nonempty])]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[nonempty], pa.int64()),
+            "size": pa.array(sizes[nonempty], pa.int64()),
+            "sset": pa.ListArray.from_arrays(
+                pa.array(new_offsets, pa.int32()), pa.array(hh.view(np.int64), pa.int64())
+            ),
+        }
+    )
+
+
+def _prefix_len(sizes: np.ndarray, threshold: float) -> np.ndarray:
+    """AllPairs prefix length |x| − ⌈θ|x|⌉ + 1. The ceil takes a 1e-9
+    slack DOWN so a float wobble can only LENGTHEN the prefix — extra
+    candidates cost a little verify work, a short prefix loses pairs."""
+    return sizes - np.ceil(threshold * sizes - 1e-9).astype(np.int64) + 1
+
+
+def set_similarity_join(
+    docs: ray.data.Dataset, threshold: float = 0.5, k: int = 3, seed: int = 42
+) -> ray.data.Dataset:
+    """EXACT word-k-gram-set Jaccard self-join: every unordered pair
+    with J ≥ threshold, no false negatives — the completeness guarantee
+    the MinHash family trades away (prefix-filter / AllPairs plan:
+    Bayardo, Ma & Srikant, WWW'07 — public algorithm).
+
+    Plan (set elements = u64 shingle hashes; text never re-enters after
+    the first pass):
+      1. docs → (doc_id, size, sorted-distinct hash set) — materialized
+         ONCE because three consumers branch from it (Ray re-executes
+         lazy branches per consumer); ~8 B/token ≪ the text it replaces.
+      2. token df: explode + per-batch combiner + grouped Sum.
+      3. prefix tokens: df joins back on token (no driver broadcast —
+         the df table is corpus-vocabulary-scale), docs shard on
+         doc_id % SHARDS, ONE vectorized pass per shard sorts each
+         doc's tokens by (df, token) and keeps the first
+         |x| − ⌈θ|x|⌉ + 1 — the rarest-first prefix.
+      4. candidates: prefix rows shard on token % SHARDS, equal-token
+         runs pair up under the size filter θ·max ≤ min (MAX_BUCKET cap
+         logged like every LSH bucket).
+      5. verify: the tiny pair list role-explodes, joins the hash sets
+         back ONCE, and an exact sorted-merge intersection computes
+         J = |∩| / (|a|+|b|−|∩|); J ≥ θ is the only emitted filter.
+
+    Ties in the df order break on the token hash — the order just has
+    to be SHARED, any total order keeps the prefix theorem valid."""
+    from ray.data.aggregate import Sum
+
+    from ..config import shuffle_width
+
+    sets = docs.map_batches(
+        _shingle_set_rows,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"k": k, "seed": seed},
+    ).materialize()
+
+    def explode(b: pa.Table) -> pa.Table:
+        s = b.column("sset")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        counts = np.diff(s.offsets.to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.repeat(b.column("doc_id").to_numpy(zero_copy_only=False), counts),
+                    pa.int64(),
+                ),
+                "size": pa.array(
+                    np.repeat(b.column("size").to_numpy(zero_copy_only=False), counts),
+                    pa.int64(),
+                ),
+                "token": s.flatten(),
+            }
+        )
+
+    exploded = sets.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["token", "df"])
+
+    df = (
+        exploded.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    with_df = exploded.join(
+        df, join_type="inner", num_partitions=shuffle_width(), on=("token",)
+    )
+
+    def shard_doc(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "shard",
+            pa.array(
+                (b.column("doc_id").to_numpy(zero_copy_only=False) % SHARDS).astype(
+                    np.int32
+                ),
+                pa.int32(),
+            ),
+        )
+
+    def prefix_rows(group: pa.Table, threshold=threshold) -> pa.Table:
+        out_schema = pa.schema(
+            [("tshard", pa.int32()), ("token", pa.int64()),
+             ("doc_id", pa.int64()), ("size", pa.int64())]
+        )
+        if group.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        tok = group.column("token").to_numpy(zero_copy_only=False)
+        size = group.column("size").to_numpy(zero_copy_only=False)
+        dfv = group.column("df").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, dfv, did))
+        did, tok, size = did[order], tok[order], size[order]
+        starts, ends = _key_runs(did)
+        pos = np.arange(len(did), dtype=np.int64) - np.repeat(starts, ends - starts)
+        plen = _prefix_len(size, threshold)
+        keep = pos < plen
+        return pa.table(
+            {
+                "tshard": pa.array(
+                    (tok[keep].view(np.uint64) % np.uint64(SHARDS)).astype(np.int32),
+                    pa.int32(),
+                ),
+                "token": pa.array(tok[keep], pa.int64()),
+                "doc_id": pa.array(did[keep], pa.int64()),
+                "size": pa.array(size[keep], pa.int64()),
+            }
+        )
+
+    prefixes = (
+        with_df.map_batches(shard_doc, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(prefix_rows, batch_format="pyarrow")
+    )
+
+    def shard_cands(group: pa.Table, threshold=threshold) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        tok = group.column("token").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        size = group.column("size").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, tok))
+        tok, did, size = tok[order], did[order], size[order]
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for s, e in zip(*_key_runs(tok)):
+            if e - s < 2:
+                continue
+            if e - s > MAX_BUCKET:
+                _log_truncation("setjoin", int(e - s))
+            ids_b = did[s:e][:MAX_BUCKET]
+            sz_b = size[s:e][:MAX_BUCKET]
+            m = len(ids_b)
+            for i in range(m - 1):
+                lo = np.minimum(sz_b[i + 1 :], sz_b[i])
+                hi = np.maximum(sz_b[i + 1 :], sz_b[i])
+                ok = np.nonzero((lo >= threshold * hi) & (ids_b[i + 1 :] != ids_b[i]))[0]
+                for j in ok:
+                    a, b = int(ids_b[i]), int(ids_b[i + 1 + j])
+                    a_out.append(min(a, b))
+                    b_out.append(max(a, b))
+        return pa.table(
+            {"doc_a": pa.array(a_out, pa.int64()), "doc_b": pa.array(b_out, pa.int64())}
+        )
+
+    cands = (
+        prefixes.groupby("tshard")
+        .map_groups(shard_cands, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("doc_a", alias_name="_n"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+    def explode_roles(b: pa.Table) -> pa.Table:
+        def arr(col):
+            c = b.column(col)
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        a, bb = arr("doc_a"), arr("doc_b")
+        return pa.table(
+            {
+                "doc_a": pa.concat_arrays([a, a]),
+                "doc_b": pa.concat_arrays([bb, bb]),
+                "role": pa.array([0] * b.num_rows + [1] * b.num_rows, pa.int8()),
+                "key": pa.concat_arrays([a, bb]),
+            }
+        )
+
+    roles = cands.map_batches(explode_roles, batch_format="pyarrow", zero_copy_batch=True)
+
+    # Acero hash joins reject list<> payload columns — pack each sorted
+    # hash set into one binary cell for the ride through the join (the
+    # substring-dedup excision-span trick), unpack with np.frombuffer.
+    def pack_sets(b: pa.Table) -> pa.Table:
+        s = b.column("sset")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        vals = s.flatten().to_numpy(zero_copy_only=False)
+        offs = s.offsets.to_numpy(zero_copy_only=False)
+        base = offs[0]
+        packed = [vals[a - base : z - base].tobytes() for a, z in zip(offs[:-1], offs[1:])]
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "packed": pa.array(packed, pa.binary())}
+        )
+
+    packed_sets = sets.map_batches(pack_sets, batch_format="pyarrow", zero_copy_batch=True)
+    joined = roles.join(
+        packed_sets,
+        join_type="inner",
+        num_partitions=shuffle_width(),
+        on=("key",),
+        right_on=("doc_id",),
+    )
+
+    def verify_pair(group: pa.Table, threshold=threshold) -> pa.Table:
+        empty = pa.Table.from_pylist([], schema=_pairs_schema("jaccard"))
+        role = group.column("role").to_numpy(zero_copy_only=False)
+        i_a = np.nonzero(role == 0)[0]
+        i_b = np.nonzero(role == 1)[0]
+        if not len(i_a) or not len(i_b):
+            return empty
+        s = group.column("packed")
+        sa = np.frombuffer(s[int(i_a[0])].as_py(), dtype=np.int64)
+        sb = np.frombuffer(s[int(i_b[0])].as_py(), dtype=np.int64)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        j = inter / union if union else 0.0
+        if j < threshold:
+            return empty
+        return pa.table(
+            {
+                "doc_a": group.column("doc_a").take(pa.array(i_a[:1])),
+                "doc_b": group.column("doc_b").take(pa.array(i_b[:1])),
+                "jaccard": pa.array([j], pa.float64()),
+            }
+        )
+
+    return joined.groupby(["doc_a", "doc_b"]).map_groups(
+        verify_pair, batch_format="pyarrow", fn_kwargs={"threshold": threshold}
+    )
