@@ -415,6 +415,64 @@ def kg_eval_prf(sf_dir: str):
     return pa.table({k: pa.array([float(v)], pa.float64()) for k, v in m.items()})
 
 
+@register("kg_bfs_depth", None)
+def kg_bfs_depth(sf_dir: str) -> ray.data.Dataset:
+    """Multi-source BFS hop depth over the materialized KG
+    (stages/graph_algos.bfs_depth): distance from the nearest of two
+    deterministic seeds (the lexicographically smallest src and dst of
+    the adjacency), -1 when unreachable. Rows-only driver check;
+    reference-BFS equality and regime equivalence live in
+    tests/test_bfs.py."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Min
+
+    from ..stages.graph_algos import bfs_depth
+
+    adj = _graph(sf_dir)["adjacency"]
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column("src"), "dst": b.column("dst")})
+
+    # consumed twice (seed pick + BFS) — materialize the 2-column
+    # projection once so the lazy branch isn't re-executed per consumer
+    edges = adj.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    lo = edges.aggregate(Min("src", alias_name="s"), Min("dst", alias_name="d"))
+    seeds = sorted({lo["s"], lo["d"]})
+    return bfs_depth(edges, seeds).sort(["depth", "node"])
+
+
+@register("kg_shortest_path", None)
+def kg_shortest_path(sf_dir: str) -> ray.data.Dataset:
+    """Weighted shortest-path distance over the materialized KG
+    (stages/graph_algos.shortest_path, distributed Bellman-Ford):
+    minimum total edge weight from the nearest of two deterministic
+    seeds, the adjacency's mention-count ``weight`` as the edge cost,
+    -1 when unreachable. Rows-only driver check; Dijkstra equality and
+    regime equivalence live in tests/test_sssp.py."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Min
+
+    from ..stages.graph_algos import shortest_path
+
+    adj = _graph(sf_dir)["adjacency"]
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": b.column("src"), "dst": b.column("dst"), "w": b.column("weight")}
+        )
+
+    edges = adj.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    lo = edges.aggregate(Min("src", alias_name="s"), Min("dst", alias_name="d"))
+    seeds = sorted({lo["s"], lo["d"]})
+    return shortest_path(edges, seeds, weight_col="w").sort(["dist", "node"])
+
+
 @register("kg_triangles", None)
 def kg_triangles(sf_dir: str):
     """Exact triangle count of the materialized KG — the clustering/

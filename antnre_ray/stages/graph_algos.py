@@ -66,11 +66,16 @@ def _collect(ds: ray.data.Dataset) -> pa.Table:
 
 
 def _indexed_edges(
-    E: ray.data.Dataset, nodes_arr: pa.Array, ucol: str = "u", vcol: str = "v"
+    E: ray.data.Dataset,
+    nodes_arr: pa.Array,
+    ucol: str = "u",
+    vcol: str = "v",
+    carry: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """(u, v) string edges → (ui, vi) int64 index edges against the
     broadcast node vocabulary — vectorized ``pc.index_in`` per batch,
-    shipped once via ``ray.put``. Coalesced to ~2× the shuffle width:
+    shipped once via ``ray.put``. ``carry`` columns (e.g. edge weights)
+    pass through untouched. Coalesced to ~2× the shuffle width:
     the iteration loop executes this Dataset once PER ROUND, so paying
     one repartition here cuts per-round task count from |input blocks|
     (e.g. one per adjacency shard file) to a CPU-sized constant."""
@@ -80,12 +85,13 @@ def _indexed_edges(
 
     def to_idx(b: pa.Table) -> pa.Table:
         vocab = ray.get(nodes_ref)
-        return pa.table(
-            {
-                "ui": pc.cast(pc.index_in(b.column(ucol), value_set=vocab), pa.int64()),
-                "vi": pc.cast(pc.index_in(b.column(vcol), value_set=vocab), pa.int64()),
-            }
-        )
+        cols = {
+            "ui": pc.cast(pc.index_in(b.column(ucol), value_set=vocab), pa.int64()),
+            "vi": pc.cast(pc.index_in(b.column(vcol), value_set=vocab), pa.int64()),
+        }
+        for c in carry:
+            cols[c] = b.column(c)
+        return pa.table(cols)
 
     return (
         E.map_batches(to_idx, batch_format="pyarrow", zero_copy_batch=True)
@@ -1078,3 +1084,377 @@ def label_propagation(
     if not converged:
         _warn_not_converged("label_propagation", max_iters)
     return labels
+
+
+# ----------------------------------------- multi-source BFS hop depth
+
+BFS_INF = np.int64(1) << 40  # unreached sentinel; +1 per round never wraps
+
+
+def _exact_depth_sum(ds: ray.data.Dataset, col: str = "depth") -> int:
+    """EXACT arbitrary-precision sum of a bounded-nonnegative int column
+    (the connected_components checksum trick): four 16-bit-slice partial
+    Sums recombined as Python ints, so BFS_INF-scale values cannot wrap
+    int64 no matter the node count. Min-propagation makes the true sum
+    strictly decrease until the fixpoint — exact equality IS
+    convergence."""
+    from ray.data.aggregate import Sum
+
+    def parts(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                f"p{k}": pa.array(
+                    [int(((v >> np.uint64(16 * k)) & np.uint64(0xFFFF)).sum())],
+                    pa.int64(),
+                )
+                for k in range(4)
+            }
+        )
+
+    agg = ds.map_batches(parts, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        *[Sum(f"p{k}", alias_name=f"p{k}") for k in range(4)]
+    )
+    return sum(int(agg[f"p{k}"]) << (16 * k) for k in range(4))
+
+
+def _bfs_small(
+    und: ray.data.Dataset, depth_tbl: pa.Table, max_iters: int
+) -> ray.data.Dataset:
+    """Small regime: depth vector broadcast per round, edges distributed
+    — per-batch sparse (dst, min incoming depth+1) partials folded with
+    np.minimum.at, exact vector-equality convergence (the
+    _components_small shape with a +1 on the message)."""
+    nodes_arr = depth_tbl.column("node").combine_chunks()
+    depth = depth_tbl.column("depth").to_numpy(zero_copy_only=False).copy()
+    E_idx = _indexed_edges(und, nodes_arr)
+    converged = False
+    for _ in range(max_iters):
+        ref = ray.put(depth)
+
+        def min_partial(b: pa.Table, _ref=ref) -> pa.Table:
+            d = ray.get(_ref)
+            ui = b.column("ui").to_numpy(zero_copy_only=False)
+            vi = b.column("vi").to_numpy(zero_copy_only=False)
+            uv, inv = np.unique(vi, return_inverse=True)
+            m = np.full(len(uv), BFS_INF, dtype=np.int64)
+            np.minimum.at(m, inv, d[ui] + 1)
+            return pa.table({"ci": pa.array(uv, pa.int64()), "m": pa.array(m, pa.int64())})
+
+        new = depth.copy()
+        for part in ray.get(
+            E_idx.map_batches(min_partial, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
+        ):
+            if part.num_columns == 0 or part.num_rows == 0:
+                continue
+            ci = part.column("ci").to_numpy(zero_copy_only=False)
+            m = part.column("m").to_numpy(zero_copy_only=False)
+            np.minimum.at(new, ci, m)
+        if np.array_equal(new, depth):
+            converged = True
+            break
+        depth = new
+    if not converged:
+        _warn_not_converged("bfs_depth", max_iters)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": nodes_arr,
+                "depth": pa.array(np.where(depth >= BFS_INF, -1, depth), pa.int64()),
+            }
+        )
+    )
+
+
+def bfs_depth(
+    edges: ray.data.Dataset,
+    seeds: list[str],
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 25,
+    small_graph_nodes: int = SMALL_GRAPH_NODES,
+) -> ray.data.Dataset:
+    """(node, depth): undirected hop distance from the NEAREST seed —
+    multi-source BFS as min-propagation (depth(v) = min over neighbors
+    of depth(u)+1; seeds start at 0). Nodes unreachable from every seed
+    return depth = -1. The node universe is the edge endpoints; an
+    isolated seed (no incident edge) does not appear. Needs ~eccentricity
+    rounds; non-convergence warns loudly like every iterative op here.
+
+    Shuffle regime: per round ONE hash join (edges × depths) + per-batch
+    MIN combiner + grouped Min — node-scale state only between rounds;
+    convergence via the exact 16-bit-slice depth-sum (strictly decreasing
+    under min-propagation). Small regime broadcasts the depth vector."""
+    seed_arr = pa.array(sorted(set(seeds)), pa.string())
+
+    def undirect(b: pa.Table) -> pa.Table:
+        s = b.column(src_col).combine_chunks()
+        d = b.column(dst_col).combine_chunks()
+        return pa.table(
+            {
+                "u": pa.concat_arrays([s.cast(pa.string()), d.cast(pa.string())]),
+                "v": pa.concat_arrays([d.cast(pa.string()), s.cast(pa.string())]),
+            }
+        )
+
+    und = edges.map_batches(undirect, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    seed_ref = ray.put(seed_arr)
+
+    def init_depth(b: pa.Table, _ref=seed_ref) -> pa.Table:
+        sa = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        is_seed = pc.is_in(b.column("u"), value_set=sa)
+        d = pc.if_else(is_seed, pa.scalar(0, pa.int64()), pa.scalar(int(BFS_INF), pa.int64()))
+        t = pa.table({"node": b.column("u"), "depth": d})
+        return t.group_by(["node"]).aggregate([("depth", "min")]).rename_columns(["node", "depth"])
+
+    depths = (
+        und.map_batches(init_depth, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Min("depth", alias_name="depth"))
+        .materialize()
+    )
+    n_nodes = depths.count()
+    if n_nodes == 0:
+        return depths
+    if n_nodes <= small_graph_nodes:
+        return _bfs_small(und, _collect(depths), max_iters)
+
+    from ..config import shuffle_width
+
+    nparts = shuffle_width()
+    # Ray 2.49 hash aggregates emit zero-COLUMN blocks for empty hash
+    # partitions and a later join's right side rejects them ("no match
+    # for key field") — one repartition concatenates blocks and restores
+    # the schema (same load-bearing fix as pagerank's rank table above).
+    depths = depths.repartition(nparts).materialize()
+    und = und.repartition(nparts).materialize()
+    prev = _exact_depth_sum(depths)
+    converged = False
+    for _ in range(max_iters):
+        msgs = und.join(
+            depths, join_type="inner", num_partitions=nparts, on=("u",), right_on=("node",)
+        )
+
+        def to_msgs(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "node": b.column("v"),
+                    "depth": pc.add(b.column("depth"), pa.scalar(1, pa.int64())),
+                }
+            )
+            return t.group_by(["node"]).aggregate([("depth", "min")]).rename_columns(["node", "depth"])
+
+        both = depths.union(msgs.map_batches(to_msgs, batch_format="pyarrow"))
+        depths = (
+            both.groupby("node")
+            .aggregate(Min("depth", alias_name="depth"))
+            .repartition(nparts)
+            .materialize()
+        )
+        cur = _exact_depth_sum(depths)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        _warn_not_converged("bfs_depth", max_iters)
+
+    def finish(b: pa.Table) -> pa.Table:
+        d = b.column("depth")
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "depth": pc.if_else(
+                    pc.greater_equal(d, pa.scalar(int(BFS_INF), pa.int64())),
+                    pa.scalar(-1, pa.int64()),
+                    d,
+                ),
+            }
+        )
+
+    return depths.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------- weighted shortest path
+
+def _sssp_small(
+    und: ray.data.Dataset, dist_tbl: pa.Table, max_iters: int
+) -> ray.data.Dataset:
+    """Small regime: distance vector broadcast per round, weighted edges
+    distributed — per-batch sparse (dst, min incoming dist+w) partials
+    folded with np.minimum.at; exact vector-equality convergence."""
+    nodes_arr = dist_tbl.column("node").combine_chunks()
+    dist = dist_tbl.column("dist").to_numpy(zero_copy_only=False).copy()
+    E_idx = _indexed_edges(und, nodes_arr, carry=("w",))
+    converged = False
+    for _ in range(max_iters):
+        ref = ray.put(dist)
+
+        def min_partial(b: pa.Table, _ref=ref) -> pa.Table:
+            d = ray.get(_ref)
+            ui = b.column("ui").to_numpy(zero_copy_only=False)
+            vi = b.column("vi").to_numpy(zero_copy_only=False)
+            w = b.column("w").to_numpy(zero_copy_only=False)
+            uv, inv = np.unique(vi, return_inverse=True)
+            m = np.full(len(uv), BFS_INF, dtype=np.int64)
+            np.minimum.at(m, inv, d[ui] + w)
+            return pa.table({"ci": pa.array(uv, pa.int64()), "m": pa.array(m, pa.int64())})
+
+        new = dist.copy()
+        for part in ray.get(
+            E_idx.map_batches(min_partial, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
+        ):
+            if part.num_columns == 0 or part.num_rows == 0:
+                continue
+            ci = part.column("ci").to_numpy(zero_copy_only=False)
+            m = part.column("m").to_numpy(zero_copy_only=False)
+            np.minimum.at(new, ci, m)
+        # never store a distance above the unreached sentinel, so the
+        # stored vector is bounded and the slice-sum convergence check
+        # in the shuffle regime stays exact for the same update rule
+        np.minimum(new, BFS_INF, out=new)
+        if np.array_equal(new, dist):
+            converged = True
+            break
+        dist = new
+    if not converged:
+        _warn_not_converged("shortest_path", max_iters)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": nodes_arr,
+                "dist": pa.array(np.where(dist >= BFS_INF, -1, dist), pa.int64()),
+            }
+        )
+    )
+
+
+def shortest_path(
+    edges: ray.data.Dataset,
+    seeds: list[str],
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    directed: bool = False,
+    max_iters: int = 25,
+    small_graph_nodes: int = SMALL_GRAPH_NODES,
+) -> ray.data.Dataset:
+    """(node, dist): weighted shortest-path distance from the NEAREST
+    seed — distributed Bellman-Ford as min-plus propagation
+    (dist(v) = min over in-neighbors of dist(u) + w(u,v); seeds at 0).
+    Unreachable nodes return dist = -1. ``weight_col`` must be
+    NONNEGATIVE integers (validated per batch; min-plus with negative
+    weights has no fixpoint on cycles); ``None`` means unit weights,
+    which makes this multi-source BFS. ``directed=False`` (default)
+    symmetrizes like :func:`bfs_depth`.
+
+    Needs ≤ longest-shortest-path-hop-count rounds; non-convergence
+    warns loudly. Every reachable distance must stay below 2**40 (the
+    unreached sentinel) — true for any real corpus graph.
+
+    Same two regimes and the same convergence trick as
+    :func:`bfs_depth`: stored distances only decrease and are capped at
+    the sentinel, so the exact 16-bit-slice sum strictly decreases
+    until the fixpoint."""
+    seed_arr = pa.array(sorted(set(seeds)), pa.string())
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        s = b.column(src_col).combine_chunks().cast(pa.string())
+        d = b.column(dst_col).combine_chunks().cast(pa.string())
+        if weight_col is None:
+            w = pa.array(np.ones(len(s), dtype=np.int64), pa.int64())
+        else:
+            w = b.column(weight_col).combine_chunks().cast(pa.int64())
+            lo = pc.min(w).as_py() if len(w) else 0
+            if lo is not None and lo < 0:
+                raise ValueError(
+                    f"shortest_path: negative weight {lo} in {weight_col!r} "
+                    "(min-plus propagation requires nonnegative weights)"
+                )
+        if directed:
+            return pa.table({"u": s, "v": d, "w": w})
+        return pa.table(
+            {
+                "u": pa.concat_arrays([s, d]),
+                "v": pa.concat_arrays([d, s]),
+                "w": pa.concat_arrays([w, w]),
+            }
+        )
+
+    und = edges.map_batches(edge_rows, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    seed_ref = ray.put(seed_arr)
+
+    def init_dist(b: pa.Table, _ref=seed_ref) -> pa.Table:
+        sa = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        # node universe = every endpoint (u covers all only if
+        # undirected; include v so directed sinks get a row too)
+        nodes = pa.concat_arrays(
+            [b.column("u").combine_chunks(), b.column("v").combine_chunks()]
+        )
+        is_seed = pc.is_in(nodes, value_set=sa)
+        d = pc.if_else(is_seed, pa.scalar(0, pa.int64()), pa.scalar(int(BFS_INF), pa.int64()))
+        t = pa.table({"node": nodes, "dist": d})
+        return t.group_by(["node"]).aggregate([("dist", "min")]).rename_columns(["node", "dist"])
+
+    dists = (
+        und.map_batches(init_dist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Min("dist", alias_name="dist"))
+        .materialize()
+    )
+    n_nodes = dists.count()
+    if n_nodes == 0:
+        return dists
+    if n_nodes <= small_graph_nodes:
+        return _sssp_small(und, _collect(dists), max_iters)
+
+    from ..config import shuffle_width
+
+    nparts = shuffle_width()
+    # zero-column empty-block guard before the per-round joins (see the
+    # pagerank/bfs_depth repartition note)
+    dists = dists.repartition(nparts).materialize()
+    und = und.repartition(nparts).materialize()
+    prev = _exact_depth_sum(dists, col="dist")
+    converged = False
+    for _ in range(max_iters):
+        msgs = und.join(
+            dists, join_type="inner", num_partitions=nparts, on=("u",), right_on=("node",)
+        )
+
+        def to_msgs(b: pa.Table) -> pa.Table:
+            d = pc.min_element_wise(
+                pc.add(b.column("dist"), b.column("w")), pa.scalar(int(BFS_INF), pa.int64())
+            )
+            t = pa.table({"node": b.column("v"), "dist": d})
+            return t.group_by(["node"]).aggregate([("dist", "min")]).rename_columns(["node", "dist"])
+
+        both = dists.union(msgs.map_batches(to_msgs, batch_format="pyarrow"))
+        dists = (
+            both.groupby("node")
+            .aggregate(Min("dist", alias_name="dist"))
+            .repartition(nparts)
+            .materialize()
+        )
+        cur = _exact_depth_sum(dists, col="dist")
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        _warn_not_converged("shortest_path", max_iters)
+
+    def finish(b: pa.Table) -> pa.Table:
+        d = b.column("dist")
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "dist": pc.if_else(
+                    pc.greater_equal(d, pa.scalar(int(BFS_INF), pa.int64())),
+                    pa.scalar(-1, pa.int64()),
+                    d,
+                ),
+            }
+        )
+
+    return dists.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
