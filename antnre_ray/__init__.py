@@ -70,6 +70,11 @@ def __getattr__(name):
         "substring_dedup": ("antnre_ray.stages.dedup", "substring_dedup"),
         "kmeans_assign": ("antnre_ray.stages.similarity", "kmeans_assign"),
         "label_propagation": ("antnre_ray.stages.graph_algos", "label_propagation"),
+        "bfs_depth": ("antnre_ray.stages.graph_algos", "bfs_depth"),
+        "shortest_path": ("antnre_ray.stages.graph_algos", "shortest_path"),
+        "zorder_sort": ("antnre_ray.stages.partition", "zorder_sort"),
+        "zorder_interleave": ("antnre_ray.stages.partition", "zorder_interleave"),
+        "zorder_pruning_stats": ("antnre_ray.stages.partition", "zorder_pruning_stats"),
         "dsir_log_weights": ("antnre_ray.stages.analyze", "dsir_log_weights"),
         "dsir_select": ("antnre_ray.stages.analyze", "dsir_select"),
     }

@@ -943,3 +943,39 @@ def dedup_setjoin_pairs(sf_dir: str) -> ray.data.Dataset:
     from ..stages.dedup import set_similarity_join
 
     return set_similarity_join(documents_with_dups(sf_dir), threshold=0.5, k=3)
+
+
+@register("data_zorder_layout", None)  # layout probe → rows-only; pruning invariants tested
+def data_zorder_layout(sf_dir: str) -> pa.Table:
+    """Z-order (Morton) clustering payoff over events(user_id, value):
+    bucket rows by Z-key prefix (a pure function of values —
+    deterministic and partition-independent, standing in for z-sorted
+    row groups) and report what fraction of 2^8 buckets a centered
+    2-D box predicate prunes via min/max stats, vs bucketing the same
+    rows by user_id alone (the single-column-sort layout). The layout
+    op itself is stages/partition.zorder_sort — one aggregate + one
+    map_batches + one range sort; tests/test_zorder.py verifies the
+    interleave kernel bit-for-bit, sort permutation, and that Z-order
+    pruning dominates single-column pruning on grid data."""
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.partition import zorder_pruning_stats
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    ev = ev.materialize()  # consumed twice: box derivation + stats pass
+    lo = ev.aggregate(
+        Min("user_id", alias_name="ulo"),
+        Max("user_id", alias_name="uhi"),
+        Min("value", alias_name="vlo"),
+        Max("value", alias_name="vhi"),
+    )
+    # centered 10%-per-side box — selective on both dimensions
+    ub = (lo["uhi"] - lo["ulo"]) * 0.1
+    vb = (lo["vhi"] - lo["vlo"]) * 0.1
+    mid_u = (lo["uhi"] + lo["ulo"]) / 2.0
+    mid_v = (lo["vhi"] + lo["vlo"]) / 2.0
+    box = {
+        "user_id": (mid_u - ub, mid_u + ub),
+        "value": (mid_v - vb, mid_v + vb),
+    }
+    return zorder_pruning_stats(ev, ["user_id", "value"], box)
