@@ -5659,3 +5659,121 @@ def ts_interpolate(sf_dir: str) -> ray.data.Dataset:
         .groupby("shard")
         .map_groups(interp_shard, batch_format="pyarrow")
     )
+
+
+@register("b56_corr_matrix", None)  # float partials → rows-only; DuckDB-tolerance tested
+def b56_corr_matrix(sf_dir: str) -> pa.Table:
+    """Pearson correlation matrix of lineitem's four numeric measures in
+    ONE streaming pass — the mergeable-co-moment pattern: each batch
+    emits (n, Σx_i, Σx_i·x_j) partials (15 float64s per batch, constant
+    wire cost at any scale), the driver folds them with math.fsum
+    (correctly-rounded exact summation, so the fold order cannot change
+    the result) and assembles the matrix. Long form (col_x, col_y,
+    corr) over the upper triangle, rounded to 6 decimals (per-batch
+    inner products are batch-shape-dependent in the last ulps — the
+    same reason every float aggregate here rounds).
+    tests/test_corr_zscore.py checks DuckDB corr() equality to 1e-9."""
+    import math
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(i, j) for i in range(len(cols)) for j in range(i, len(cols))]
+
+    def partial(b: pa.Table) -> pa.Table:
+        xs = [
+            b.column(c).combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols
+        ]
+        out = {"n": pa.array([b.num_rows], pa.int64())}
+        for i, c in enumerate(cols):
+            out[f"s{i}"] = pa.array([float(xs[i].sum())], pa.float64())
+        for i, j in pairs:
+            out[f"p{i}_{j}"] = pa.array([float(np.dot(xs[i], xs[j]))], pa.float64())
+        return pa.table(out)
+
+    rows = (
+        _read(sf_dir, "lineitem", cols)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    n = sum(r["n"] for r in rows)
+    s = [math.fsum(r[f"s{i}"] for r in rows) for i in range(len(cols))]
+    p = {(i, j): math.fsum(r[f"p{i}_{j}"] for r in rows) for i, j in pairs}
+    cx, cy, cc = [], [], []
+    for i, j in pairs:
+        cov = p[(i, j)] / n - (s[i] / n) * (s[j] / n)
+        vi = p[(i, i)] / n - (s[i] / n) ** 2
+        vj = p[(j, j)] / n - (s[j] / n) ** 2
+        denom = math.sqrt(vi * vj)
+        cx.append(cols[i])
+        cy.append(cols[j])
+        cc.append(round(cov / denom, 6) if denom > 0 else None)
+    return pa.table(
+        {
+            "col_x": pa.array(cx, pa.string()),
+            "col_y": pa.array(cy, pa.string()),
+            "corr": pa.array(cc, pa.float64()),
+        }
+    )
+
+
+@register("data_group_normalize", None)  # float z-scores → rows-only; DuckDB-tolerance tested
+def data_group_normalize(sf_dir: str) -> ray.data.Dataset:
+    """Per-group z-score normalization — events.value standardized
+    within its event_type: the feature-scaling step of a training-data
+    pipeline. Two passes, both scale-shaped: (1) per-batch (group, n,
+    Σv, Σv²) combiner partials → one TINY grouped fold (|event_types|
+    rows) → broadcast dict; (2) one map_batches applies
+    (v − mean) / σ_pop vectorized. σ = 0 groups normalize to 0. Sorted
+    by event_id; z rounded to 6 decimals (distributed float partials).
+    tests/test_corr_zscore.py checks DuckDB equality to 1e-6."""
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("value").combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table(
+            {
+                "g": b.column("event_type"),
+                "n": pa.array(np.ones(len(v), np.int64), pa.int64()),
+                "s": pa.array(v, pa.float64()),
+                "q": pa.array(v * v, pa.float64()),
+            }
+        )
+        g = t.group_by(["g"]).aggregate([("n", "sum"), ("s", "sum"), ("q", "sum")])
+        return g.rename_columns(["g", "n", "s", "q"])
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"]).materialize()
+    parts = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    acc: dict[str, list] = {}
+    for r in parts:
+        a = acc.setdefault(r["g"], [0, [], []])
+        a[0] += r["n"]
+        a[1].append(r["s"])
+        a[2].append(r["q"])
+    stats = {}
+    for g, (n, ss, qq) in acc.items():
+        mean = math.fsum(ss) / n
+        var = max(math.fsum(qq) / n - mean * mean, 0.0)
+        stats[g] = (mean, math.sqrt(var))
+    stats_ref = ray.put(stats)
+
+    def normalize(b: pa.Table, _ref=stats_ref) -> pa.Table:
+        st = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        gs = b.column("event_type").combine_chunks()
+        v = b.column("value").combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        keys = pa.array(sorted(st), pa.string())
+        pos = pc.index_in(gs, value_set=keys).to_numpy(zero_copy_only=False)
+        means = np.array([st[k.as_py()][0] for k in keys], np.float64)
+        sds = np.array([st[k.as_py()][1] for k in keys], np.float64)
+        m, sd = means[pos], sds[pos]
+        z = np.where(sd > 0, (v - m) / np.where(sd > 0, sd, 1.0), 0.0)
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": gs,
+                "z": pa.array(_round_half_away(z, 6), pa.float64()),
+            }
+        )
+
+    return ev.map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "event_id"
+    )
