@@ -75,6 +75,9 @@ def __getattr__(name):
         "zorder_sort": ("antnre_ray.stages.partition", "zorder_sort"),
         "zorder_interleave": ("antnre_ray.stages.partition", "zorder_interleave"),
         "zorder_pruning_stats": ("antnre_ray.stages.partition", "zorder_pruning_stats"),
+        "corpus_divergence": ("antnre_ray.stages.analyze", "corpus_divergence"),
+        "union_aligned": ("antnre_ray.sources.io", "union_aligned"),
+        "compact_parquet_dir": ("antnre_ray.sources.io", "compact_parquet_dir"),
         "dsir_log_weights": ("antnre_ray.stages.analyze", "dsir_log_weights"),
         "dsir_select": ("antnre_ray.stages.analyze", "dsir_select"),
     }

@@ -186,6 +186,18 @@ def quantile_query(sketch: np.ndarray, q: float) -> float:
     return float(np.interp(target, cum, v))
 
 
+def quantile_rank(sketch: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Approximate CDF rank in [0, 1] for each value — the inverse of
+    :func:`quantile_query`, vectorized (one np.interp over the merged
+    (value, weight) sketch). Midpoint-rank convention matches
+    quantile_query, so rank(query(q)) ≈ q."""
+    if len(sketch) == 0:
+        return np.full(len(values), np.nan)
+    v, w = sketch[:, 0], sketch[:, 1]
+    cum = np.cumsum(w) - w / 2
+    return np.interp(np.asarray(values, dtype=np.float64), v, cum / w.sum())
+
+
 # ------------------- Bloom filter (join prefilter / membership)
 
 def bloom_build(

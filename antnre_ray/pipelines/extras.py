@@ -979,3 +979,56 @@ def data_zorder_layout(sf_dir: str) -> pa.Table:
         "value": (mid_v - vb, mid_v + vb),
     }
     return zorder_pruning_stats(ev, ["user_id", "value"], box)
+
+
+@register("data_corpus_divergence", None)  # corpus diagnostic → rows-only; planted-dist tested
+def data_corpus_divergence(sf_dir: str) -> pa.Table:
+    """Pairwise KL / Jensen-Shannon divergence between the token
+    distributions of the corpus' sources (stages/analyze.
+    corpus_divergence) — the data-mixing diagnostic that tells you
+    whether two sources are interchangeable or complementary before
+    weighting them (data_mix_weighted's dial). One hashed-n-gram count
+    pass; planted identical/disjoint-vocabulary corpora pin the
+    endpoints (≈0 and ≈ln 2) in tests/test_divergence.py."""
+    from ..stages.analyze import corpus_divergence
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return corpus_divergence(docs)
+
+
+@register("data_union_evolved", None)  # schema-evolution ingest → rows-only; typed tests
+def data_union_evolved(sf_dir: str) -> ray.data.Dataset:
+    """Schema-drift union (sources/io.union_aligned): the events table
+    unioned with a synthesized LEGACY snapshot of itself — value
+    narrowed to float32, props absent — as evolving producers would
+    leave it. The unified stream null-fills the missing column and
+    widens the floats; returns per-event_type row counts (each type
+    exactly doubled vs the base table) sorted by event_type."""
+    from ray.data.aggregate import Count
+
+    from ..sources.io import union_aligned
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value", "props"]
+    )
+
+    def legacy(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "value": b.column("value").cast(pa.float32()),
+            }
+        )
+
+    old = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).map_batches(legacy, batch_format="pyarrow", zero_copy_batch=True)
+    both = union_aligned([base, old])
+    return (
+        both.groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .sort("event_type")
+    )

@@ -5777,3 +5777,128 @@ def data_group_normalize(sf_dir: str) -> ray.data.Dataset:
     return ev.map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True).sort(
         "event_id"
     )
+
+
+@register("ts_ewma", None)  # recurrence semantics tested vs pandas ewm
+def ts_ewma(sf_dir: str, alpha: float = 0.3) -> ray.data.Dataset:
+    """Per-user exponentially weighted moving average of events.value in
+    time order (z_t = α·v_t + (1−α)·z_{t−1}, z_0 = v_0 — pandas
+    ewm(adjust=False) semantics): the streaming-smoother member of the
+    time-series family next to resample/interpolate.
+
+    One sharded shuffle, then a FULLY vectorized pass per shard with NO
+    per-user Python: the recurrence is an affine map z_t = A_t·z_{t−1}
+    + B_t (A = 1−α, except A = 0 at each user's first event, which
+    resets the scan), composed with an O(log n) doubling scan — each
+    pass one numpy multiply-add over the whole shard. A = 0 at run
+    starts blocks propagation across users, so no boundary masking is
+    needed; A products underflow to 0 harmlessly. Exactness note: the
+    doubling composition is algebraically identical to the sequential
+    recurrence but associates float ops differently — equal to pandas
+    to ~1e-12 relative, so the output rounds to 8 decimals (the same
+    rounding rule as every float op here)."""
+    from ..stages.dedup import SHARDS
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("user_id"), pa.int64())
+        return pa.table(
+            {
+                "shard": _key_shard(key, SHARDS),
+                "user_id": key,
+                "ts": b.column("ts"),
+                "event_id": pc.cast(b.column("event_id"), pa.int64()),
+                "value": b.column("value"),
+            }
+        )
+
+    def ewma_shard(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ewma": pa.array([], pa.float64()),
+                }
+            )
+        ts = (
+            group.column("ts")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        val = group.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        # event_id breaks exact-(user, ts) ties deterministically
+        order = np.lexsort((eid, ts, uid))
+        uid_s, val_s, eid_s = uid[order], val[order].astype(np.float64), eid[order]
+        is_start = np.r_[True, uid_s[1:] != uid_s[:-1]]
+        A = np.where(is_start, 0.0, 1.0 - alpha)
+        B = np.where(is_start, val_s, alpha * val_s)
+        d = 1
+        while d < n:
+            # inclusive affine scan: (A,B)[i] ∘= (A,B)[i-d]
+            B[d:] = B[d:] + A[d:] * B[:-d]
+            A[d:] = A[d:] * A[:-d]
+            d *= 2
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "user_id": pa.array(uid_s, pa.int64()),
+                "ewma": pa.array(_round_half_away(B, 8), pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(ewma_shard, batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
+@register("data_quantile_transform", None)  # sketch-approximate → rows-only; tolerance tested
+def data_quantile_transform(sf_dir: str) -> ray.data.Dataset:
+    """Quantile (rank/CDF) transform of events.value — the
+    skew-robust feature-scaling alternative to z-scores: each value
+    maps to its approximate global CDF rank in [0, 1]. Two passes,
+    both scale-shaped: (1) the mergeable compressed-CDF sketch
+    (functions/sketch, ≤256 weighted points per block on the wire)
+    merges driver-side; (2) the tiny sketch broadcasts and one
+    vectorized np.interp per batch assigns ranks. Rank error is the
+    sketch's (≈1%, tolerance-tested vs the exact empirical CDF);
+    ranks are monotone in the value by construction. Rounded to 6
+    decimals, sorted by event_id."""
+    from ..functions.sketch import quantile_merge, quantile_partial, quantile_rank
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        pts = quantile_partial(np.asarray(v, dtype=np.float64))
+        return pa.table(
+            {"pts": pa.array([pts.reshape(-1).tolist()], pa.list_(pa.float64()))}
+        )
+
+    ev = _read(sf_dir, "events", ["event_id", "value"]).materialize()
+    parts = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    sketch = quantile_merge(
+        [np.asarray(p["pts"], dtype=np.float64).reshape(-1, 2) for p in parts]
+    )
+    sketch_ref = ray.put(sketch)
+
+    def transform(b: pa.Table, _ref=sketch_ref) -> pa.Table:
+        sk = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        v = b.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        q = quantile_rank(sk, v)
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "q": pa.array(_round_half_away(q, 6), pa.float64()),
+            }
+        )
+
+    return ev.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "event_id"
+    )

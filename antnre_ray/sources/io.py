@@ -64,3 +64,142 @@ def write_table(ds: ray.data.Dataset, path: str, **kwargs) -> None:
 
 def table_exists(path: str) -> bool:
     return os.path.exists(path)
+
+
+def union_aligned(datasets: "list[ray.data.Dataset]") -> "ray.data.Dataset":
+    """Union Datasets whose schemas DRIFTED compatibly — the ingestion
+    primitive for corpora written over months by evolving producers:
+    older shards miss columns newer ones have, ints widened, floats
+    widened. The unified schema comes from pyarrow's permissive
+    unify_schemas (null-fill missing columns, numeric widening); each
+    input pays ONE vectorized cast-project map_batches, then a plain
+    (zero-shuffle) union streams the blocks through. Truly incompatible
+    drift (string vs int) raises immediately — silent coercion of real
+    type conflicts corrupts corpora.
+
+    Column order follows the first dataset's schema, with columns seen
+    only later appended in first-seen order (deterministic regardless
+    of input block layout)."""
+    import pyarrow as pa
+
+    schemas = [ds.schema().base_schema for ds in datasets]
+    unified = pa.unify_schemas(schemas, promote_options="permissive")
+    # deterministic column order: first-seen across inputs
+    seen: list[str] = []
+    for s in schemas:
+        for name in s.names:
+            if name not in seen:
+                seen.append(name)
+    fields = [unified.field(n) for n in seen]
+
+    def make_align(have: set):
+        def align(b: pa.Table) -> pa.Table:
+            cols = []
+            for f in fields:
+                if f.name in have:
+                    c = b.column(f.name)
+                    if isinstance(c, pa.ChunkedArray):
+                        c = c.combine_chunks()
+                    cols.append(c.cast(f.type) if c.type != f.type else c)
+                else:
+                    cols.append(pa.nulls(b.num_rows, f.type))
+            return pa.table(dict(zip([f.name for f in fields], cols)))
+
+        return align
+
+    aligned = [
+        ds.map_batches(
+            make_align(set(s.names)), batch_format="pyarrow", zero_copy_batch=True
+        )
+        for ds, s in zip(datasets, schemas)
+    ]
+    out = aligned[0]
+    for d in aligned[1:]:
+        out = out.union(d)
+    return out
+
+
+def compact_parquet_dir(
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    delete_inputs: bool = True,
+) -> dict:
+    """Compact a directory of small Parquet files into ~target_bytes
+    files — the table-maintenance pass every streaming writer needs
+    (Ray writes one file per block; a resumable run over many shards
+    leaves thousands of KB-scale files whose open/footer cost dominates
+    later scans).
+
+    Plan: files sorted by name (deterministic), first-fit packed into
+    bins up to target_bytes; single-file bins are already compact and
+    are left UNTOUCHED. Execute: one Ray task per bin (file-level work
+    — the one place raw tasks beat Dataset ops) writes
+    ``compacted-<bin>-<nfiles>.parquet`` via a tmp name + atomic rename.
+    Inputs are deleted only AFTER every bin has committed, so a crash
+    mid-run leaves a readable (partially duplicated at worst: tmp files
+    are invisible to read_parquet) directory and a re-run converges.
+    Returns {files_before, files_after, bins, bytes_before}."""
+    import pyarrow.fs as pafs
+
+    import ray as _ray
+
+    fs, root = pafs.FileSystem.from_uri(path) if "://" in path else (
+        pafs.LocalFileSystem(), path
+    )
+    infos = [
+        i
+        for i in fs.get_file_info(pafs.FileSelector(root, recursive=False))
+        if i.type == pafs.FileType.File
+        and i.base_name.endswith(".parquet")
+        and not i.base_name.startswith(("compacted-", "."))
+    ]
+    infos.sort(key=lambda i: i.base_name)
+    bins: list[list] = []
+    cur: list = []
+    cur_sz = 0
+    for i in infos:
+        if cur and cur_sz + i.size > target_bytes:
+            bins.append(cur)
+            cur, cur_sz = [], 0
+        cur.append(i)
+        cur_sz += i.size
+    if cur:
+        bins.append(cur)
+    multi = [b for b in bins if len(b) > 1]
+
+    @_ray.remote
+    def _compact_bin(paths: list[str], out_path: str, tmp_path: str) -> int:
+        import pyarrow as pa2
+        import pyarrow.fs as pafs2
+        import pyarrow.parquet as pq
+
+        f2, _ = pafs2.FileSystem.from_uri(paths[0]) if "://" in paths[0] else (
+            pafs2.LocalFileSystem(), None
+        )
+        tables = [pq.read_table(p, filesystem=f2) for p in paths]
+        merged = pa2.concat_tables(tables, promote_options="default")
+        pq.write_table(merged, tmp_path, filesystem=f2)
+        f2.move(tmp_path, out_path)
+        return merged.num_rows
+
+    import hashlib
+
+    futures = []
+    for b in multi:
+        # content-addressed name: deterministic for a given input set
+        # (idempotent re-runs), collision-free across successive runs
+        digest = hashlib.sha1("|".join(i.base_name for i in b).encode()).hexdigest()[:12]
+        out = f"{root}/compacted-{digest}-{len(b)}.parquet"
+        tmp = f"{root}/.compact-{digest}.tmp"
+        futures.append(_compact_bin.remote([i.path for i in b], out, tmp))
+    _ray.get(futures)  # every bin committed before any input dies
+    if delete_inputs:
+        for b in multi:
+            for i in b:
+                fs.delete_file(i.path)
+    return {
+        "files_before": len(infos),
+        "files_after": len(infos) - sum(len(b) for b in multi) + len(multi),
+        "bins": len(multi),
+        "bytes_before": int(sum(i.size for i in infos)),
+    }

@@ -717,3 +717,98 @@ def dsir_select(
         return b.append_column("selected", pa.array(k > thr))
 
     return scored.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------- corpus divergence
+
+def corpus_divergence(docs: "ray.data.Dataset", group_col: str = "source") -> pa.Table:
+    """Pairwise distribution divergence between document groups — the
+    data-mixing diagnostic: how far apart are two sources' (hashed
+    unigram+bigram) token distributions? Returns one row per unordered
+    group pair: add-one-smoothed KL(a‖b), KL(b‖a) and the bounded,
+    symmetric Jensen-Shannon divergence (nats; JS ≤ ln 2 ≈ 0.6931).
+
+    Scale shape: ONE count pass — per-batch sparse (group, bucket,
+    count) partials (the DSIR fold: ≤ 2^16 ints per group per batch on
+    the wire) folded driver-side into |groups| dense vectors, never
+    corpus-sized state; the divergence math is |groups|² × 2^16 numpy
+    on the driver. Group cardinality is asserted ≤ 64 (this is a
+    corpus-level diagnostic over sources, not a per-key operator —
+    use a grouped aggregate for high-cardinality keys)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col).to_pylist()
+        texts = batch.column("text").to_pylist()
+        per: dict[str, list[np.ndarray]] = {}
+        for g, t in zip(groups, texts):
+            b = _dsir_doc_buckets(t)
+            if len(b):
+                per.setdefault(g, []).append(b)
+        gs, idxs, cnts = [], [], []
+        for g, arrs in per.items():
+            uniq, cnt = np.unique(np.concatenate(arrs), return_counts=True)
+            gs.append(g)
+            idxs.append(uniq.tolist())
+            cnts.append(cnt.tolist())
+        return pa.table(
+            {
+                "g": pa.array(gs, pa.string()),
+                "idx": pa.array(idxs, pa.list_(pa.int64())),
+                "cnt": pa.array(cnts, pa.list_(pa.int64())),
+            }
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    dense: dict[str, np.ndarray] = {}
+    for p in parts:
+        v = dense.setdefault(p["g"], np.zeros(DSIR_BUCKETS, dtype=np.int64))
+        np.add.at(v, np.asarray(p["idx"], dtype=np.int64), np.asarray(p["cnt"], dtype=np.int64))
+    if len(dense) > 64:
+        raise ValueError(
+            f"corpus_divergence: {len(dense)} groups in {group_col!r} — this is a "
+            "source-level diagnostic (≤64 groups)"
+        )
+
+    # KL needs smoothing (zero-count buckets in the denominator); a
+    # SMALL α keeps the uniform mass from swamping real counts the way
+    # add-one over 2^16 buckets would. JS is computed on the EXACT
+    # empirical distributions — it is well-defined for disjoint
+    # supports (m > 0 wherever p > 0), so disjoint vocabularies land
+    # at exactly ln 2 and identical ones at exactly 0.
+    ALPHA = 0.01
+
+    def smooth(c: np.ndarray) -> np.ndarray:
+        return (c + ALPHA) / (c.sum() + ALPHA * DSIR_BUCKETS)
+
+    def exact(c: np.ndarray) -> np.ndarray:
+        return c / c.sum()
+
+    def kl(p: np.ndarray, q: np.ndarray) -> float:
+        mask = p > 0
+        return float(np.sum(p[mask] * np.log(p[mask] / q[mask])))
+
+    probs = {g: smooth(c) for g, c in sorted(dense.items())}
+    exacts = {g: exact(c) for g, c in sorted(dense.items())}
+    names = sorted(probs)
+    a_col, b_col, kl_ab, kl_ba, js_col = [], [], [], [], []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            kab = kl(probs[a], probs[b])
+            kba = kl(probs[b], probs[a])
+            ea, eb = exacts[a], exacts[b]
+            m = 0.5 * (ea + eb)
+            js = 0.5 * kl(ea, m) + 0.5 * kl(eb, m)
+            a_col.append(a)
+            b_col.append(b)
+            kl_ab.append(round(kab, 6))
+            kl_ba.append(round(kba, 6))
+            js_col.append(round(js, 6))
+    return pa.table(
+        {
+            "source_a": pa.array(a_col, pa.string()),
+            "source_b": pa.array(b_col, pa.string()),
+            "kl_ab": pa.array(kl_ab, pa.float64()),
+            "kl_ba": pa.array(kl_ba, pa.float64()),
+            "js": pa.array(js_col, pa.float64()),
+        }
+    )
