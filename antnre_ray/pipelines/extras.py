@@ -1032,3 +1032,17 @@ def data_union_evolved(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Count(alias_name="n"))
         .sort("event_type")
     )
+
+
+@register("text_topk_ngrams", None)  # exact counts; Counter-reference tested
+def text_topk_ngrams(sf_dir: str) -> pa.Table:
+    """Exact global top-50 bigrams over documents.text
+    (stages/analyze.topk_ngrams): per-batch Arrow group_by combiner →
+    grouped Sum → per-block top-k partials merged driver-side (never a
+    global sort of the vocabulary). Deterministic (count DESC, ngram
+    ASC) tie break; exact integer counts. Verified against a
+    collections.Counter reference in tests/test_histogram_ngrams.py."""
+    from ..stages.analyze import topk_ngrams
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return topk_ngrams(docs, n=2, k=50)

@@ -5902,3 +5902,147 @@ def data_quantile_transform(sf_dir: str) -> ray.data.Dataset:
     return ev.map_batches(transform, batch_format="pyarrow", zero_copy_batch=True).sort(
         "event_id"
     )
+
+
+@register("b57_histogram", None)  # exact integer counts; numpy-reference tested
+def b57_histogram(sf_dir: str, bins: int = 20) -> pa.Table:
+    """Equi-width histogram of events.value — the profiling primitive:
+    one global min/max aggregate fixes the bin edges, then each batch
+    emits a ``bins``-long integer count partial (np.histogram — constant
+    wire cost per batch) folded exactly on the driver. Counts are exact
+    integers, so the result is partition-invariant bit-for-bit (unlike
+    any float aggregate). Rows: (bin_id, lo, hi, n); numpy half-open
+    bins, right edge closed on the last bin.
+    tests/test_histogram_ngrams.py checks exact equality vs a one-shot
+    np.histogram over the whole column."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", ["value"]).materialize()
+    mm = ds.aggregate(Min("value", alias_name="lo"), Max("value", alias_name="hi"))
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    if hi <= lo:
+        hi = lo + 1.0
+    edges = np.linspace(lo, hi, bins + 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        n, _ = np.histogram(v, bins=edges)
+        return pa.table({"n": pa.array([n.tolist()], pa.list_(pa.int64()))})
+
+    counts = np.zeros(bins, dtype=np.int64)
+    for p in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all():
+        counts += np.asarray(p["n"], dtype=np.int64)
+    return pa.table(
+        {
+            "bin_id": pa.array(np.arange(bins, dtype=np.int64), pa.int64()),
+            "lo": pa.array(_round_half_away(edges[:-1], 8), pa.float64()),
+            "hi": pa.array(_round_half_away(edges[1:], 8), pa.float64()),
+            "n": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def plan_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    broadcast_bytes: int = 64 * 1024 * 1024,
+) -> dict:
+    """Sketch-driven join planning — the broadcast-vs-shuffle decision
+    this library otherwise makes by hand (b11 vs b12): ONE cheap
+    profiling pass per side emits (rows, bytes, KMV key sketch)
+    partials; the plan follows from driver-tiny folds. Returns
+    {strategy, broadcast_side, left_rows, right_rows, left_distinct,
+    right_distinct, est_output_rows}, where est_output_rows is the
+    textbook containment estimate |L|·|R| / max(d_L, d_R).
+
+    Why it scales: the profile pass is a streaming map_batches whose
+    partials are a few hundred bytes per block (exact int rows/bytes +
+    a k-minimum-values sketch), so planning a petabyte join costs one
+    column scan — and a wrong AUTO choice (broadcasting a side that
+    does not fit) is prevented by sizing on measured bytes, not row
+    counts."""
+    from ..functions.sketch import kmv_estimate, kmv_merge, kmv_partial
+
+    def profile(ds: "ray.data.Dataset", key: str) -> tuple[int, int, float]:
+        def partial(b: pa.Table) -> pa.Table:
+            col = b.column(key)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            sk = kmv_partial(col)
+            return pa.table(
+                {
+                    "rows": pa.array([b.num_rows], pa.int64()),
+                    "bytes": pa.array([b.nbytes], pa.int64()),
+                    "sk": pa.array([sk.tolist()], pa.list_(pa.uint64())),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        rows = sum(p["rows"] for p in parts)
+        nbytes = sum(p["bytes"] for p in parts)
+        sketch = kmv_merge([np.asarray(p["sk"], dtype=np.uint64) for p in parts])
+        return rows, nbytes, kmv_estimate(sketch)
+
+    l_rows, l_bytes, l_d = profile(left, left_key)
+    r_rows, r_bytes, r_d = profile(right, right_key)
+    est_out = int(l_rows * r_rows / max(l_d, r_d, 1.0))
+    small_side = "left" if l_bytes <= r_bytes else "right"
+    small_bytes = min(l_bytes, r_bytes)
+    if small_bytes <= broadcast_bytes:
+        strategy, bside = "broadcast", small_side
+    else:
+        strategy, bside = "shuffle", None
+    return {
+        "strategy": strategy,
+        "broadcast_side": bside,
+        "left_rows": int(l_rows),
+        "right_rows": int(r_rows),
+        "left_bytes": int(l_bytes),
+        "right_bytes": int(r_bytes),
+        "left_distinct": int(round(l_d)),
+        "right_distinct": int(round(r_d)),
+        "est_output_rows": est_out,
+    }
+
+
+@register("b58_join_planner", None)  # planning metadata → rows-only; estimate-accuracy tested
+def b58_join_planner(sf_dir: str) -> pa.Table:
+    """The planner applied to two characteristic joins: orders⋈customer
+    (dimension side fits — broadcast) and lineitem⋈orders (both sides
+    fact-scale at 100 TB — shuffle; the 64 MB wall is scaled down to
+    the test corpus so the decision boundary is actually exercised).
+    One row per join with the decision and the containment estimate;
+    tests assert the estimates are within 2× of the true join
+    cardinalities and the decisions match the known shapes."""
+    oc = plan_join(
+        _read(sf_dir, "orders", ["o_custkey"]),
+        _read(sf_dir, "customer", ["c_custkey"]),
+        "o_custkey",
+        "c_custkey",
+    )
+    # scaled-down wall: customer/orders both fit in 64 MB at sf≤0.1, so
+    # exercise the shuffle branch with a wall below the fact-table size
+    lo = plan_join(
+        _read(sf_dir, "lineitem", ["l_orderkey"]),
+        _read(sf_dir, "orders", ["o_orderkey"]),
+        "l_orderkey",
+        "o_orderkey",
+        broadcast_bytes=4 * 1024,
+    )
+    rows = [("orders_customer", oc), ("lineitem_orders", lo)]
+    return pa.table(
+        {
+            "join": pa.array([n for n, _ in rows], pa.string()),
+            "strategy": pa.array([p["strategy"] for _, p in rows], pa.string()),
+            "broadcast_side": pa.array(
+                [p["broadcast_side"] or "" for _, p in rows], pa.string()
+            ),
+            "left_rows": pa.array([p["left_rows"] for _, p in rows], pa.int64()),
+            "right_rows": pa.array([p["right_rows"] for _, p in rows], pa.int64()),
+            "left_distinct": pa.array([p["left_distinct"] for _, p in rows], pa.int64()),
+            "right_distinct": pa.array([p["right_distinct"] for _, p in rows], pa.int64()),
+            "est_output_rows": pa.array([p["est_output_rows"] for _, p in rows], pa.int64()),
+        }
+    )

@@ -812,3 +812,67 @@ def corpus_divergence(docs: "ray.data.Dataset", group_col: str = "source") -> pa
             "js": pa.array(js_col, pa.float64()),
         }
     )
+
+
+# ----------------------------------------------- top-k n-grams
+
+def topk_ngrams(
+    docs: "ray.data.Dataset", n: int = 2, k: int = 50
+) -> pa.Table:
+    """Exact global top-k n-grams over documents.text — the
+    vocabulary-building / corpus-inspection primitive. Tokens are
+    lowercased whitespace splits (the same convention as the DSIR and
+    perplexity featurizers); n-grams join with single spaces.
+
+    Scale shape: each batch pre-aggregates its own n-gram counts with
+    ONE Arrow group_by (the combiner — the wire carries distinct
+    n-grams per batch, not tokens), the global fold is a grouped Sum,
+    and only the top k survive the final sort. Deterministic tie break:
+    (count DESC, ngram ASC). Exact integer counts → partition-invariant.
+    Head-skew note: a hot n-gram costs its reducer one row per BATCH
+    (post-combiner), not one per occurrence."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks = (t or "").lower().split()
+            grams.extend(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+        if not grams:
+            return pa.table(
+                {"ngram": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        t = pa.table({"ngram": pa.array(grams, pa.string())})
+        g = t.group_by(["ngram"]).aggregate([([], "count_all")])
+        return g.rename_columns(["ngram", "c"])
+
+    summed = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ngram")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+    # top-k: per-block top-k partials, then one driver-side merge —
+    # never a global sort of the whole vocabulary
+    def block_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return pa.table(
+                {"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        idx = pc.sort_indices(
+            b, sort_keys=[("n", "descending"), ("ngram", "ascending")]
+        )[:k]
+        return b.take(idx)
+
+    parts = [
+        t
+        for t in _ray.get(
+            summed.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_columns > 0
+    ]
+    allp = pa.concat_tables(parts, promote_options="default")
+    idx = pc.sort_indices(allp, sort_keys=[("n", "descending"), ("ngram", "ascending")])[:k]
+    return allp.take(idx)

@@ -57,11 +57,45 @@ def _median(xs: list[float]) -> float:
     return round(statistics.median(xs), 3)
 
 
+def _burn(_: int) -> float:
+    import time as _t
+
+    t0 = _t.time()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i
+    return _t.time() - t0
+
+
+def cpu_contention_probe(width: int = 16) -> dict:
+    """Directly measure OUTSIDE-the-sandbox CPU theft (loadavg alone
+    can't: the sandbox shows ~0% local CPU while host neighbors hold
+    physical cores). One fixed pure-Python burn runs alone, then
+    ``width`` copies run concurrently; on an idle host the slowest
+    concurrent copy matches the solo time (ratio ≈ 1.0), while a ratio
+    of ~2 means roughly half the physical cores were unavailable —
+    exactly the regime that asymmetrically depresses the 16-CPU scaling
+    leg. ~3 s total; stamped into every artifact."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    solo = _burn(0)
+    with ProcessPoolExecutor(width) as ex:
+        times = list(ex.map(_burn, range(width)))
+    return {
+        "solo_s": round(solo, 3),
+        "concurrent_max_s": round(max(times), 3),
+        "contention_ratio": round(max(times) / solo, 2) if solo else None,
+        "width": width,
+    }
+
+
 def run_bench(sf_dir: str, num_cpus: int, samples: int = SAMPLES) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray
 
     load_start = os.getloadavg()
+    # probe BEFORE ray.init so the measurement sees only outside load
+    contention = cpu_contention_probe()
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     import ray.data
 
@@ -158,6 +192,7 @@ def run_bench(sf_dir: str, num_cpus: int, samples: int = SAMPLES) -> dict:
         "flagship_samples": [round(t, 3) for t in flagship_times],
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "cpu_contention": contention,
         "triples": triples,
         "docs": docs,
         "triples_per_sec": round(triples / flagship_s, 1) if flagship_s > 0 else None,
@@ -222,6 +257,7 @@ def run_scaling(sf_dir: str) -> dict:
         "num_cpus": hi,
         "gate": 0.8,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "cpu_contention": cpu_contention_probe(),
         "triples_identical": results[lo]["triples"] == results[hi]["triples"],
     }
 
