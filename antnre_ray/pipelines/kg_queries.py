@@ -444,6 +444,45 @@ def kg_bfs_depth(sf_dir: str) -> ray.data.Dataset:
     return bfs_depth(edges, seeds).sort(["depth", "node"])
 
 
+@register("kg_ppr", None)
+def kg_ppr(sf_dir: str) -> ray.data.Dataset:
+    """Personalized PageRank over the materialized KG: proximity of
+    every entity to two deterministic seed entities (lexicographic min
+    src / min dst of the adjacency) — the KG-relevance primitive
+    (which entities matter *to these*?). Same Pregel loop as
+    kg_pagerank with the restart distribution concentrated on the
+    seeds. Top 20 by rank, rounded to 8 decimals."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Min
+
+    from ..stages.graph_algos import pagerank
+
+    adj = _graph(sf_dir)["adjacency"]
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column("src"), "dst": b.column("dst")})
+
+    edges = adj.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    lo = edges.aggregate(Min("src", alias_name="s"), Min("dst", alias_name="d"))
+    seeds = sorted({lo["s"], lo["d"]})
+    ranks = pagerank(edges, iters=10, personalization=seeds)
+
+    def rnd(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        r = b.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": b.column("node"), "rank": pa.array(np.round(r, 8), pa.float64())}
+        )
+
+    return ranks.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["rank", "node"], descending=[True, False]
+    ).limit(20)
+
+
 @register("kg_shortest_path", None)
 def kg_shortest_path(sf_dir: str) -> ray.data.Dataset:
     """Weighted shortest-path distance over the materialized KG

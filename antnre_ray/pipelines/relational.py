@@ -6046,3 +6046,150 @@ def b58_join_planner(sf_dir: str) -> pa.Table:
             "est_output_rows": pa.array([p["est_output_rows"] for _, p in rows], pa.int64()),
         }
     )
+
+
+@register("b59_cdc_apply", None)  # payload output → rows-only; DuckDB MERGE-reference tested
+def b59_cdc_apply(sf_dir: str) -> ray.data.Dataset:
+    """MERGE INTO semantics — apply a change set (upserts + deletes) to
+    a snapshot: the other half of CDC next to b37's diff. Derived
+    deterministically from `documents` so a SQL reference can build the
+    identical inputs: base = doc_id % 7 != 0; upsert doc_id % 3 == 0
+    with text + ' [rev2]' (an UPDATE when the key exists in base, an
+    INSERT when not); delete doc_id % 11 == 0 (excluding the upsert set
+    so each key carries one op).
+
+    Scale shape: one co-shuffle on doc_id % SHARDS with base rows at
+    priority 0 and change rows at priority 1, resolved VECTORIZED per
+    shard (last-write-wins per key run, then the delete mask) — one
+    Python call per shard. The payload moves through the shuffle ONCE,
+    which is the floor for rewriting a snapshot; the resolution itself
+    adds no second pass. Returns (doc_id, text) sorted by doc_id."""
+    from ..stages.dedup import SHARDS
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tagged(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        text = b.column("text").combine_chunks()
+        amended = pc.binary_join_element_wise(text, pa.scalar(" [rev2]"), "")
+        in_base = did % 7 != 0
+        is_up = did % 3 == 0
+        is_del = (did % 11 == 0) & ~is_up
+        base_idx = np.flatnonzero(in_base)
+        chg_idx = np.flatnonzero(is_up | is_del)
+        ids = np.r_[did[base_idx], did[chg_idx]]
+        prio = np.r_[
+            np.zeros(len(base_idx), np.int8), np.ones(len(chg_idx), np.int8)
+        ]
+        # delete rows carry op=1; upserts op=0
+        op = np.r_[
+            np.zeros(len(base_idx), np.int8), is_del[chg_idx].astype(np.int8)
+        ]
+        if isinstance(amended, pa.ChunkedArray):
+            amended = amended.combine_chunks()
+        txt = pa.concat_arrays(
+            [text.take(pa.array(base_idx)), amended.take(pa.array(chg_idx))]
+        )
+        return pa.table(
+            {
+                "shard": pa.array((ids % SHARDS).astype(np.int32), pa.int32()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "prio": pa.array(prio, pa.int8()),
+                "op": pa.array(op, pa.int8()),
+                "text": txt,
+            }
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        )
+        n = group.num_rows
+        if n == 0:
+            return empty
+        did = group.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        prio = group.column("prio").combine_chunks().to_numpy(zero_copy_only=False)
+        op = group.column("op").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((prio, did))
+        did_s, op_s = did[order], op[order]
+        # last row of each key run = the winning version (change > base)
+        last = np.r_[did_s[1:] != did_s[:-1], True]
+        win = np.flatnonzero(last)
+        keep = win[op_s[win] == 0]  # deletes drop the key entirely
+        idx = pa.array(np.asarray(order)[keep])
+        text = group.column("text").combine_chunks().take(idx)
+        return pa.table(
+            {"doc_id": pa.array(did_s[keep], pa.int64()), "text": text}
+        )
+
+    return (
+        docs.map_batches(tagged, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(resolve, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+@register("b60_latest_by_key", None)  # window-dedup → rows-only; DuckDB row_number tested
+def b60_latest_by_key(sf_dir: str) -> ray.data.Dataset:
+    """Latest event per user (compact-by-key / upsert-view semantics):
+    the one-liner every event-log consumer needs — keep each key's most
+    recent row, ties broken by event_id DESC so the result is
+    deterministic at exact-timestamp collisions. One sharded co-shuffle
+    + vectorized per-run argmax (lexsort, last-of-run), one Python call
+    per shard. Returns (user_id, ts, event_id, value) sorted by
+    user_id."""
+    from ..stages.dedup import SHARDS
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("user_id"), pa.int64())
+        return pa.table(
+            {
+                "shard": _key_shard(key, SHARDS),
+                "user_id": key,
+                "ts": b.column("ts"),
+                "event_id": pc.cast(b.column("event_id"), pa.int64()),
+                "value": b.column("value"),
+            }
+        )
+
+    def latest(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "event_id": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        uid = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = (
+            group.column("ts")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        eid = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s = uid[order]
+        last = np.r_[uid_s[1:] != uid_s[:-1], True]
+        keep = pa.array(np.asarray(order)[np.flatnonzero(last)])
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s[np.flatnonzero(last)], pa.int64()),
+                "ts": group.column("ts").combine_chunks().take(keep),
+                "event_id": group.column("event_id").combine_chunks().take(keep).cast(pa.int64()),
+                "value": group.column("value").combine_chunks().take(keep),
+            }
+        )
+
+    return _pin_ts_col(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(latest, batch_format="pyarrow"),
+        "ts",
+    ).sort("user_id")

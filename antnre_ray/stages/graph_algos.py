@@ -166,13 +166,16 @@ def _pagerank_small(
     n: int,
     damping: float,
     iters: int,
+    personalization: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Small regime: rank/degree vectors broadcast per round, edges
     distributed. Per round one map_batches over the index-encoded edge
     list emits sparse (dst, summed contribution) partials — the same
     per-batch SUM combiner as the shuffle regime — accumulated into the
     rank vector driver-side. Identical update rule to the shuffle
-    regime (dangling mass redistributed uniformly; ranks sum to 1)."""
+    regime (teleport/dangling mass goes to the restart distribution r0
+    — uniform for classic PageRank, uniform-over-seeds when
+    personalized; ranks sum to 1)."""
     node_col = _collect(nodes_ds).column("node").combine_chunks()
     nodes_arr = node_col.take(pc.sort_indices(node_col))  # deterministic index
     deg = np.zeros(n, dtype=np.float64)
@@ -182,8 +185,18 @@ def _pagerank_small(
         deg[pos.to_numpy(zero_copy_only=False)] = (
             deg_tbl.column("deg").to_numpy(zero_copy_only=False).astype(np.float64)
         )
+    if personalization is None:
+        r0 = np.full(n, 1.0 / n, dtype=np.float64)
+    else:
+        seed_mask = pc.is_in(
+            nodes_arr, value_set=pa.array(sorted(set(personalization)), pa.string())
+        ).to_numpy(zero_copy_only=False)
+        n_seeds = int(seed_mask.sum())
+        if n_seeds == 0:
+            raise ValueError("pagerank: no personalization seed appears in the graph")
+        r0 = seed_mask.astype(np.float64) / n_seeds
     E_idx = _indexed_edges(E, nodes_arr)
-    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    rank = r0.copy()
     safe_deg = np.where(deg > 0, deg, 1.0)
     for _ in range(iters):
         dangling = float(rank[deg == 0.0].sum())
@@ -210,7 +223,7 @@ def _pagerank_small(
                 part.column("ci").to_numpy(zero_copy_only=False),
                 part.column("c").to_numpy(zero_copy_only=False),
             )
-        rank = (1.0 - damping) / n + damping * dangling / n + damping * acc
+        rank = (1.0 - damping + damping * dangling) * r0 + damping * acc
     return ray.data.from_arrow(
         pa.table({"node": nodes_arr, "rank": pa.array(rank, pa.float64())})
     )
@@ -326,16 +339,20 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     small_graph_nodes: int = SMALL_GRAPH_NODES,
+    personalization: list[str] | None = None,
 ) -> ray.data.Dataset:
     """PageRank over a directed edge list: (node, rank) after ``iters``
-    power iterations.
+    power iterations. ``personalization`` switches the restart
+    distribution r0 from uniform to uniform-over-seeds (personalized
+    PageRank: teleports land only on the seeds, so rank measures
+    proximity to them); dangling mass follows r0 in both modes, so
+    ranks sum to 1 every round either way.
 
-    The rank table permanently carries the (static) out-degree, so each
-    iteration costs exactly ONE hash join (edge sources ← shares), one
-    grouped SUM of contributions (combined per batch first), and one
-    left-outer update join — the Pregel-on-a-Dataset shape shared with
-    :func:`connected_components`. Dangling nodes' mass redistributes
-    uniformly (the standard correction), so ranks sum to 1 every round.
+    The rank table permanently carries the (static) out-degree AND its
+    r0 entry, so each iteration costs exactly ONE hash join (edge
+    sources ← shares), one grouped SUM of contributions (combined per
+    batch first), and one left-outer update join — the
+    Pregel-on-a-Dataset shape shared with :func:`connected_components`.
     Float sums are shuffle-order-dependent in the last ulps; compare
     with tolerance (tests use a dense numpy reference).
     """
@@ -376,20 +393,44 @@ def pagerank(
         .aggregate(Sum("deg", alias_name="deg"))
     )
     if n_nodes <= small_graph_nodes:
-        return _pagerank_small(E, nodes, degrees, n_nodes, damping, iters)
+        return _pagerank_small(E, nodes, degrees, n_nodes, damping, iters, personalization)
     from ..config import shuffle_width
 
     nparts = shuffle_width()
+    if personalization is None:
+        seed_ref = None
+        n_seeds = n_nodes
+    else:
+        seed_arr = pa.array(sorted(set(personalization)), pa.string())
+        # seed count restricted to nodes actually in the graph — r0
+        # must sum to 1 over the node universe
+        def seed_partial(b: pa.Table) -> pa.Table:
+            m = pc.is_in(b.column("node"), value_set=seed_arr)
+            return pa.table({"s": pa.array([int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0)], pa.int64())})
+
+        n_seeds = sum(
+            p["s"] for p in nodes.map_batches(seed_partial, batch_format="pyarrow").take_all()
+        )
+        if n_seeds == 0:
+            raise ValueError("pagerank: no personalization seed appears in the graph")
+        seed_ref = ray.put(seed_arr)
 
     def init_rank(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         deg = pc.fill_null(pc.cast(b.column("deg"), pa.float64()), 0.0)
+        if seed_ref is None:
+            r0 = pa.array(np.full(b.num_rows, 1.0 / n_nodes), pa.float64())
+        else:
+            sa = ray.get(seed_ref) if isinstance(seed_ref, ray.ObjectRef) else seed_ref
+            m = pc.is_in(b.column("node"), value_set=sa)
+            r0 = pc.if_else(m, pa.scalar(1.0 / n_seeds), pa.scalar(0.0))
         return pa.table(
             {
                 "node": b.column("node"),
                 "deg": deg,
-                "rank": pa.array(np.full(b.num_rows, 1.0 / n_nodes), pa.float64()),
+                "r0": r0,
+                "rank": r0,
             }
         )
 
@@ -441,14 +482,26 @@ def pagerank(
             .groupby("cnode")
             .aggregate(Sum("c", alias_name="c"))
         )
-        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        # per-row base: teleport + dangling mass land on r0 (uniform →
+        # the classic scalar; personalized → only on seeds)
+        base_coef = 1.0 - damping + damping * dangling
 
         def apply_rank(b: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
             c = pc.fill_null(b.column("c"), 0.0)
-            r = pc.add(pc.multiply(c, pa.scalar(damping)), pa.scalar(base))
-            return pa.table({"node": b.column("node"), "deg": b.column("deg"), "rank": r})
+            r = pc.add(
+                pc.multiply(c, pa.scalar(damping)),
+                pc.multiply(b.column("r0"), pa.scalar(base_coef)),
+            )
+            return pa.table(
+                {
+                    "node": b.column("node"),
+                    "deg": b.column("deg"),
+                    "r0": b.column("r0"),
+                    "rank": r,
+                }
+            )
 
         joined = ranks.join(
             contribs, join_type="left_outer", num_partitions=nparts, on=("node",), right_on=("cnode",)
@@ -465,7 +518,12 @@ def pagerank(
     return ranks.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def pagerank_local(edge_pairs: list[tuple[str, str]], damping: float = 0.85, iters: int = 10) -> dict[str, float]:
+def pagerank_local(
+    edge_pairs: list[tuple[str, str]],
+    damping: float = 0.85,
+    iters: int = 10,
+    personalization: list[str] | None = None,
+) -> dict[str, float]:
     """Dense numpy reference (tests)."""
     nodes = sorted({n for e in edge_pairs for n in e})
     idx = {n: i for i, n in enumerate(nodes)}
@@ -473,7 +531,13 @@ def pagerank_local(edge_pairs: list[tuple[str, str]], damping: float = 0.85, ite
     out: dict[int, list[int]] = {}
     for a, b in edge_pairs:
         out.setdefault(idx[a], []).append(idx[b])
-    r = np.full(n, 1.0 / n)
+    if personalization is None:
+        r0 = np.full(n, 1.0 / n)
+    else:
+        seeds = [idx[s] for s in set(personalization) if s in idx]
+        r0 = np.zeros(n)
+        r0[seeds] = 1.0 / len(seeds)
+    r = r0.copy()
     for _ in range(iters):
         nxt = np.zeros(n)
         dangling = 0.0
@@ -485,7 +549,7 @@ def pagerank_local(edge_pairs: list[tuple[str, str]], damping: float = 0.85, ite
             share = r[u] / len(targets)
             for v in targets:
                 nxt[v] += share
-        r = (1.0 - damping) / n + damping * (nxt + dangling / n)
+        r = (1.0 - damping + damping * dangling) * r0 + damping * nxt
     return {nodes[i]: float(r[i]) for i in range(n)}
 
 
