@@ -1046,3 +1046,37 @@ def text_topk_ngrams(sf_dir: str) -> pa.Table:
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     return topk_ngrams(docs, n=2, k=50)
+
+
+@register("text_clean", None)  # text payload out → rows-only; property-tested
+def text_clean(sf_dir: str) -> ray.data.Dataset:
+    """Corpus text normalization (stages/analyze.clean_text): NFC,
+    control/zero-width strip, whitespace collapse, trim — the
+    tokenizer-hygiene pass that runs before hashing/dedup (idempotence
+    is the load-bearing property: re-ingest must not churn bytes).
+    Pure pyarrow.compute kernels. Returns (doc_id, text) cleaned,
+    sorted by doc_id."""
+    from ..stages.analyze import clean_text
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return clean_text(docs).sort("doc_id")
+
+
+@register("media_frame_dedup", None)  # hashed ids → rows-only; planted-twin tested
+def media_frame_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Near-duplicate FRAME detection across videos — the multimodal
+    dedup composition (stages/media.frame_dedup_pairs): sampled frames
+    re-keyed as vectors and pushed through the SAME hyperplane-LSH
+    embedding dedup used for text embeddings — one operator family,
+    two modalities. Returns (doc_a, doc_b, cosine) hashed frame-id
+    pairs at cosine ≥ 0.999; the derived corpus has unique per-doc
+    refs, so planted-twin recall is tested on hand-built frames in
+    tests/test_media_dedup.py."""
+    from ..stages.media import frame_dedup_pairs, frame_samples, media_features, media_refs
+
+    frames = frame_samples(
+        media_features(media_refs(derive_interleaved(f"{sf_dir}/documents.parquet")))
+    )
+    return frame_dedup_pairs(frames).sort(["doc_a", "doc_b"])

@@ -876,3 +876,59 @@ def topk_ngrams(
     allp = pa.concat_tables(parts, promote_options="default")
     idx = pc.sort_indices(allp, sort_keys=[("n", "descending"), ("ngram", "ascending")])[:k]
     return allp.take(idx)
+
+
+# ----------------------------------------------- corpus text cleaning
+
+# C0/C1 control chars (keep \t \n \r for structure), zero-width chars,
+# and the BOM — the bytes that poison tokenizers and dedup hashes.
+_CLEAN_CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F​‌‍﻿]"
+
+
+def clean_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Normalize a text column for training: NFC unicode normalization,
+    control/zero-width-char strip, horizontal-whitespace collapse,
+    trim — IDEMPOTENT (clean∘clean = clean, property-tested), so
+    re-running an ingest never churns bytes (which would break
+    content-hash dedup and lineage fingerprints downstream).
+
+    The strip/collapse steps are pyarrow.compute kernels. NFC is
+    CPython unicodedata: this build's pc.utf8_normalize DECOMPOSES for
+    every ``form`` value including NFC (measured: U+00E9 → e+U+0301),
+    so it cannot produce composed output; unicodedata.is_normalized is
+    a C-speed fast path that skips the (rare) rewrite."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    t = batch.column(text_col)
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    vals = t.to_pylist()
+    if any(v is not None and not unicodedata.is_normalized("NFC", v) for v in vals):
+        t = pa.array(
+            [
+                v
+                if v is None or unicodedata.is_normalized("NFC", v)
+                else unicodedata.normalize("NFC", v)
+                for v in vals
+            ],
+            pa.string(),
+        )
+    t = pc.replace_substring_regex(t, _CLEAN_CONTROL_RE, "")
+    t = pc.replace_substring_regex(t, r"[ \t]+", " ")  # collapse runs
+    t = pc.replace_substring_regex(t, r" ?\n ?", "\n")  # spaces around breaks
+    t = pc.replace_substring_regex(t, r"\n{3,}", "\n\n")  # ≤1 blank line
+    t = pc.utf8_trim_whitespace(t)
+    i = batch.schema.get_field_index(text_col)
+    return batch.set_column(i, text_col, t)
+
+
+def clean_text(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    import functools
+
+    return ds.map_batches(
+        functools.partial(clean_text_batch, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -178,3 +178,37 @@ def frame_samples(ds: ray.data.Dataset, every_n: int = 24, max_frames: int = 8) 
         zero_copy_batch=True,
         fn_kwargs={"every_n": every_n, "max_frames": max_frames},
     )
+
+
+def frame_dedup_pairs(
+    frames: ray.data.Dataset, threshold: float = 0.999
+) -> ray.data.Dataset:
+    """Near-duplicate frames ACROSS documents: each sampled frame
+    becomes a vector row (vec_id = stable hash of doc|ref#frame — the
+    doc in the key makes the same video cited by two docs produce two
+    ids with identical features, i.e. a cosine-1 pair, which is the
+    cross-document duplicate signal) and flows through the SAME
+    hyperplane-LSH plan as text-embedding dedup
+    (stages/dedup.embedding_dedup_pairs). Output: (doc_a, doc_b,
+    cosine) hashed frame-id pairs."""
+    from ..functions.hashing import stable_u64
+    from .dedup import embedding_dedup_pairs
+
+    def rekey(b: pa.Table) -> pa.Table:
+        docs = b.column("doc_id").to_pylist()
+        refs = b.column("media_ref").to_pylist()
+        idxs = b.column("frame_idx").to_pylist()
+        ids = [
+            int(stable_u64(f"{d}|{r}#f{i}")) >> 1
+            for d, r, i in zip(docs, refs, idxs)
+        ]
+        feat = b.column("feature")
+        if isinstance(feat, pa.ChunkedArray):
+            feat = feat.combine_chunks()
+        emb = pa.FixedSizeListArray.from_arrays(
+            feat.flatten().cast(pa.float64()), MEDIA_FEATURE_DIM
+        )
+        return pa.table({"vec_id": pa.array(ids, pa.int64()), "embedding": emb})
+
+    vecs = frames.map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True)
+    return embedding_dedup_pairs(vecs, threshold=threshold, dim=MEDIA_FEATURE_DIM)
