@@ -113,7 +113,12 @@ def _warn_not_converged(which: str, max_iters: int) -> None:
 
 
 def _components_small(
-    und: ray.data.Dataset, labels_ds: ray.data.Dataset, max_iters: int
+    und: ray.data.Dataset,
+    labels_ds: ray.data.Dataset,
+    max_iters: int,
+    checkpoint_dir: str | None = None,
+    round0: int = 0,
+    n_nodes: int = 0,
 ) -> ray.data.Dataset:
     """Small regime: label vector broadcast per round, edges distributed.
 
@@ -127,7 +132,7 @@ def _components_small(
     labels = lab_tbl.column("label").to_numpy(zero_copy_only=False).copy()
     E_idx = _indexed_edges(und, nodes_arr)
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         lab_ref = ray.put(labels)
 
         def min_partial(b: pa.Table, _ref=lab_ref) -> pa.Table:
@@ -148,10 +153,20 @@ def _components_small(
             ci = part.column("ci").to_numpy(zero_copy_only=False)
             m = part.column("m").to_numpy(zero_copy_only=False)
             np.minimum.at(new, ci, m)
-        if np.array_equal(new, labels):
+        done = np.array_equal(new, labels)
+        labels = new
+        if checkpoint_dir is not None:
+            _ckpt_write(
+                checkpoint_dir,
+                round0 + it + 1,
+                ray.data.from_arrow(
+                    pa.table({"node": nodes_arr, "label": pa.array(labels, pa.int64())})
+                ),
+                {"n_nodes": n_nodes or len(labels)},
+            )
+        if done:
             converged = True
             break
-        labels = new
     if not converged:
         _warn_not_converged("connected_components", max_iters)
     return ray.data.from_arrow(
@@ -235,12 +250,22 @@ def connected_components(
     dst_col: str = "dst",
     max_iters: int = 25,
     small_graph_nodes: int = SMALL_GRAPH_NODES,
+    checkpoint_dir: str | None = None,
 ) -> ray.data.Dataset:
     """(node, component) for every node in the edge list.
 
     ``component`` is the minimum node-label hash in the node's connected
     component (undirected reachability regardless of edge direction).
-    """
+
+    ``checkpoint_dir`` makes the loop RESUMABLE: each round's node-scale
+    label table commits atomically (state dir + meta pointer), and a
+    re-run with the same dir continues from the last committed round
+    instead of round 0 — at 100 TB an iterative graph job runs hours,
+    and min-propagation is monotone + idempotent, so resuming from ANY
+    committed round reaches the identical fixpoint (equality-tested
+    against an uninterrupted run). ``max_iters`` counts iterations per
+    CALL. The node universe is fingerprinted (n_nodes) and asserted on
+    resume."""
 
     def undirect(b: pa.Table) -> pa.Table:
         # Columnar symmetrization: concat the two columns both ways —
@@ -270,11 +295,31 @@ def connected_components(
     n_nodes = labels.count()
     if n_nodes == 0:
         return labels
+    round0 = 0
+    if checkpoint_dir is not None:
+        ck = _ckpt_load(checkpoint_dir)
+        if ck is not None:
+            meta, state_path = ck
+            if meta.get("n_nodes") != n_nodes:
+                raise ValueError(
+                    f"connected_components: checkpoint at {checkpoint_dir} was "
+                    f"written for n_nodes={meta.get('n_nodes')}, input has "
+                    f"{n_nodes} — refusing to resume across a different graph"
+                )
+            labels = ray.data.read_parquet(state_path).materialize()
+            round0 = int(meta["round"])
     if n_nodes <= small_graph_nodes:
-        return _components_small(und, labels, max_iters)
+        return _components_small(
+            und, labels, max_iters, checkpoint_dir=checkpoint_dir,
+            round0=round0, n_nodes=n_nodes,
+        )
     from ..config import shuffle_width
 
     nparts = shuffle_width()
+    if checkpoint_dir is not None and round0:
+        # checkpointed labels come back as raw parquet blocks — restore
+        # the shuffle-friendly layout (and the zero-column-block guard)
+        labels = labels.repartition(nparts).materialize()
 
     def checksum(ds: ray.data.Dataset) -> int:
         """EXACT arbitrary-precision label sum (one cheap aggregate).
@@ -309,7 +354,7 @@ def connected_components(
 
     prev = checksum(labels)
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # message pass: each edge (u, v) sends u's current label to v.
         msgs = und.join(
             labels, join_type="inner", num_partitions=nparts, on=("u",), right_on=("node",)
@@ -322,6 +367,8 @@ def connected_components(
 
         both = labels.union(msgs.map_batches(to_msgs, batch_format="pyarrow"))
         labels = both.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+        if checkpoint_dir is not None:
+            _ckpt_write(checkpoint_dir, round0 + it + 1, labels, {"n_nodes": n_nodes})
         cur = checksum(labels)
         if cur == prev:
             converged = True
@@ -1522,3 +1569,49 @@ def shortest_path(
         )
 
     return dists.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------- iterative-loop checkpointing
+
+def _ckpt_load(d: str):
+    """(meta, state_path) of the last COMMITTED round, or None."""
+    import json
+    import os
+
+    meta_p = os.path.join(d, "meta.json")
+    if not os.path.exists(meta_p):
+        return None
+    with open(meta_p) as f:
+        meta = json.load(f)
+    path = os.path.join(d, f"state-{meta['round']}")
+    return (meta, path) if os.path.isdir(path) else None
+
+
+def _ckpt_write(d: str, round_i: int, state: ray.data.Dataset, extra: dict) -> None:
+    """Commit one round's node-scale state: per-round state dir (tmp +
+    rename), then the meta.json pointer (the commit point — a crash
+    before it leaves the previous round authoritative), then GC of
+    older rounds. Node-scale, not edge-scale: checkpointing costs one
+    labels write per round, never a corpus write."""
+    import json
+    import os
+    import shutil
+
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"state-{round_i}")
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    state.write_parquet(tmp)
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(tmp, path)
+    meta_tmp = os.path.join(d, "meta.json.tmp")
+    with open(meta_tmp, "w") as f:
+        json.dump({"round": round_i, **extra}, f)
+    os.replace(meta_tmp, os.path.join(d, "meta.json"))
+    for name in os.listdir(d):
+        if (
+            name.startswith("state-")
+            and name != f"state-{round_i}"
+            and not name.endswith(".tmp")
+        ):
+            shutil.rmtree(os.path.join(d, name), ignore_errors=True)
