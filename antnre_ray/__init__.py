@@ -78,6 +78,11 @@ def __getattr__(name):
         "corpus_divergence": ("antnre_ray.stages.analyze", "corpus_divergence"),
         "union_aligned": ("antnre_ray.sources.io", "union_aligned"),
         "compact_parquet_dir": ("antnre_ray.sources.io", "compact_parquet_dir"),
+        "harmonic_centrality": ("antnre_ray.stages.graph_algos", "harmonic_centrality"),
+        "clean_text": ("antnre_ray.stages.analyze", "clean_text"),
+        "topk_ngrams": ("antnre_ray.stages.analyze", "topk_ngrams"),
+        "frame_dedup_pairs": ("antnre_ray.stages.media", "frame_dedup_pairs"),
+        "plan_join": ("antnre_ray.pipelines.relational", "plan_join"),
         "dsir_log_weights": ("antnre_ray.stages.analyze", "dsir_log_weights"),
         "dsir_select": ("antnre_ray.stages.analyze", "dsir_select"),
     }

@@ -512,6 +512,28 @@ def kg_shortest_path(sf_dir: str) -> ray.data.Dataset:
     return shortest_path(edges, seeds, weight_col="w").sort(["dist", "node"])
 
 
+@register("kg_harmonic", None)
+def kg_harmonic(sf_dir: str) -> ray.data.Dataset:
+    """Landmark harmonic centrality over the materialized KG
+    (stages/graph_algos.harmonic_centrality, 8 landmarks): the
+    distance-based centrality beside PageRank's flow-based one;
+    exactness with all-node landmarks is pinned in
+    tests/test_window_distinct.py. Top 20, rounded to 8 decimals."""
+    import pyarrow as pa
+
+    from ..stages.graph_algos import harmonic_centrality
+
+    adj = _graph(sf_dir)["adjacency"]
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column("src"), "dst": b.column("dst")})
+
+    edges = adj.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return harmonic_centrality(edges, k_landmarks=8).sort(
+        ["centrality", "node"], descending=[True, False]
+    ).limit(20)
+
+
 @register("kg_triangles", None)
 def kg_triangles(sf_dir: str):
     """Exact triangle count of the materialized KG — the clustering/

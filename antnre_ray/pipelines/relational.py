@@ -6193,3 +6193,40 @@ def b60_latest_by_key(sf_dir: str) -> ray.data.Dataset:
         .map_groups(latest, batch_format="pyarrow"),
         "ts",
     ).sort("user_id")
+
+
+@register("b61_window_distinct", None)  # exact counts; DuckDB-tested locally
+def b61_window_distinct(sf_dir: str) -> ray.data.Dataset:
+    """Distinct users per tumbling hour — the COUNT(DISTINCT) window
+    the b26 SUM window can't express: exact, via the two-level plan
+    that scales (per-batch (bucket, user) dedup combiner → one grouped
+    dedup shuffle keyed on the PAIR → per-bucket Count). The wire
+    carries distinct pairs per batch, not events; no per-key Python.
+    Returns (bucket, n_users) sorted by bucket.
+    tests/test_window_distinct.py checks DuckDB count(distinct)
+    equality."""
+    from ray.data.aggregate import Count
+
+    def pairs(b: pa.Table) -> pa.Table:
+        bucket = pc.floor_temporal(b.column("ts"), unit="hour")
+        t = pa.table({"bucket": bucket, "user_id": b.column("user_id")})
+        return t.group_by(["bucket", "user_id"]).aggregate([]).rename_columns(
+            ["bucket", "user_id"]
+        )
+
+    distinct_pairs = (
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["bucket", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def drop_c(b: pa.Table) -> pa.Table:
+        return pa.table({"bucket": b.column("bucket")})
+
+    counts = (
+        distinct_pairs.map_batches(drop_c, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n_users"))
+    )
+    return _pin_ts_col(counts, "bucket").sort("bucket")
