@@ -6230,3 +6230,178 @@ def b61_window_distinct(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Count(alias_name="n_users"))
     )
     return _pin_ts_col(counts, "bucket").sort("bucket")
+
+
+@register("b62_percent_rank", None)  # window fn → rows-only; DuckDB-tested locally
+def b62_percent_rank(sf_dir: str) -> ray.data.Dataset:
+    """percent_rank() OVER (PARTITION BY user ORDER BY value, event_id)
+    — the normalized-rank window function: (rank − 1) / (n − 1) per
+    user, 0 for single-row users (DuckDB semantics). One sharded
+    co-shuffle + vectorized per-run ranking (lexsort + run arithmetic;
+    ties share a rank exactly as SQL rank() does). Rounded to 8
+    decimals, sorted by event_id.
+    tests/test_wave21.py checks DuckDB percent_rank equality."""
+    from ..stages.dedup import SHARDS
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("user_id"), pa.int64())
+        return pa.table(
+            {
+                "shard": _key_shard(key, SHARDS),
+                "user_id": key,
+                "event_id": pc.cast(b.column("event_id"), pa.int64()),
+                "value": b.column("value"),
+            }
+        )
+
+    def rank_shard(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "pct_rank": pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        uid = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        val = group.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, val, uid))
+        uid_s, val_s, eid_s = uid[order], val[order], eid[order]
+        n = len(uid_s)
+        u_start = np.r_[True, uid_s[1:] != uid_s[:-1]]
+        run_id = np.cumsum(u_start) - 1
+        starts = np.flatnonzero(u_start)
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, lens)  # 0-based row number
+        # SQL rank(): ties (same user, value, event_id — event_id is
+        # unique, so no ties here) — rank = position
+        denom = np.repeat(lens, lens) - 1
+        pr = np.where(denom > 0, pos / np.maximum(denom, 1), 0.0)
+        _ = run_id
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "user_id": pa.array(uid_s, pa.int64()),
+                "pct_rank": pa.array(_round_half_away(pr, 8), pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_id", "value"])
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(rank_shard, batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
+@register("b63_skew_report", None)  # planning metadata → rows-only; exact-share tested
+def b63_skew_report(sf_dir: str) -> pa.Table:
+    """Join-key skew advisor — the companion to b58's planner: EXACT
+    per-key counts (per-batch Arrow group_by combiner → one grouped
+    Sum — the same scale shape as every aggregate here; a planning
+    pass earns one exact shuffle), then per-block top-1 partials merge
+    driver-side into the hottest key, its global share, the
+    p_max/mean skew ratio, and the salt count that would cap one
+    reducer at ~2× the mean key load. On skew this is the difference
+    between a wedged reducer and a flat shuffle; the advisor makes the
+    decision measurable instead of folklore. Deterministic tie break
+    (count DESC, key ASC). Returns one row: (total_rows, distinct,
+    hottest_key, hottest_share, skew_ratio, recommended_salts)."""
+    from ray.data.aggregate import Sum
+
+    key_col = "l_orderkey"
+    ds = _read(sf_dir, "lineitem", [key_col])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = pa.table({"k": col.cast(pa.int64())})
+        g = t.group_by(["k"]).aggregate([([], "count_all")])
+        return g.rename_columns(["k", "c"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()
+    )
+    distinct = counts.count()
+
+    def top1(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return pa.table({"k": pa.array([], pa.int64()), "c": pa.array([], pa.int64())})
+        idx = pc.sort_indices(b, sort_keys=[("c", "descending"), ("k", "ascending")])[:1]
+        return b.take(idx)
+
+    parts = [
+        t
+        for t in ray.get(counts.map_batches(top1, batch_format="pyarrow").to_arrow_refs())
+        if t.num_columns > 0 and t.num_rows > 0
+    ]
+    allp = pa.concat_tables(parts, promote_options="default")
+    best = allp.take(pc.sort_indices(allp, sort_keys=[("c", "descending"), ("k", "ascending")])[:1])
+    hot_key = best.column("k")[0].as_py()
+    hot_n = best.column("c")[0].as_py()
+    total = sum(
+        p["c"]
+        for p in counts.map_batches(
+            lambda b: pa.table({"c": pa.array([int(pc.sum(b.column("c")).as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow",
+        ).take_all()
+    )
+    mean = total / max(distinct, 1)
+    skew_ratio = hot_n / max(mean, 1e-12)
+    salts = int(max(1, np.ceil(skew_ratio / 2.0)))
+    return pa.table(
+        {
+            "total_rows": pa.array([int(total)], pa.int64()),
+            "distinct": pa.array([int(distinct)], pa.int64()),
+            "hottest_key": pa.array([hot_key], pa.int64()),
+            "hottest_share": pa.array([round(hot_n / max(total, 1), 6)], pa.float64()),
+            "skew_ratio": pa.array([round(skew_ratio, 3)], pa.float64()),
+            "recommended_salts": pa.array([salts], pa.int64()),
+        }
+    )
+
+
+@register("data_winsorize", None)  # sketch-clipped floats → rows-only; bound-tested
+def data_winsorize(sf_dir: str, lo_q: float = 0.01, hi_q: float = 0.99) -> ray.data.Dataset:
+    """Winsorize events.value at the approximate [p1, p99] — the
+    outlier-robust scaling step: one mergeable CDF-sketch pass fixes
+    the clip bounds, one vectorized clip pass applies them (the
+    quantile-transform plan with a different finish). Returns
+    (event_id, value, clipped) sorted by event_id; bounds and clip
+    fractions are tolerance-tested against exact percentiles."""
+    from ..functions.sketch import quantile_merge, quantile_partial, quantile_query
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        pts = quantile_partial(np.asarray(v, dtype=np.float64))
+        return pa.table(
+            {"pts": pa.array([pts.reshape(-1).tolist()], pa.list_(pa.float64()))}
+        )
+
+    ev = _read(sf_dir, "events", ["event_id", "value"]).materialize()
+    parts = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    sketch = quantile_merge(
+        [np.asarray(p["pts"], dtype=np.float64).reshape(-1, 2) for p in parts]
+    )
+    lo = quantile_query(sketch, lo_q)
+    hi = quantile_query(sketch, hi_q)
+
+    def clip(b: pa.Table) -> pa.Table:
+        v = b.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        c = np.clip(v, lo, hi)
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "value": pa.array(_round_half_away(c, 8), pa.float64()),
+                "clipped": pa.array((c != v), pa.bool_()),
+            }
+        )
+
+    return ev.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True).sort("event_id")
