@@ -1080,3 +1080,26 @@ def media_frame_dedup(sf_dir: str) -> ray.data.Dataset:
         media_features(media_refs(derive_interleaved(f"{sf_dir}/documents.parquet")))
     )
     return frame_dedup_pairs(frames).sort(["doc_a", "doc_b"])
+
+
+@register("data_quality_report", None)  # contract report → rows-only; planted-violation tested
+def data_quality_report(sf_dir: str) -> pa.Table:
+    """Declarative data-quality expectations over the events table
+    (stages/expect.expectations_report): one shared streaming pass for
+    null/range/accepted-value/row-count rules, one exact grouped count
+    per uniqueness rule. The generated corpus satisfies every rule, so
+    all rows report passed=True here; planted-violation coverage lives
+    in tests/test_expectations.py."""
+    from ..stages import expect as ex
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "value"]
+    )
+    rules = [
+        ex.not_null("event_id"),
+        ex.not_null("event_type"),
+        ex.unique("event_id"),
+        ex.in_range("user_id", 0, 10**12),
+        ex.row_count_between(1, 10**12),
+    ]
+    return ex.expectations_report(ev, rules)
