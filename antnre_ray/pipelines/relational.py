@@ -6405,3 +6405,89 @@ def data_winsorize(sf_dir: str, lo_q: float = 0.01, hi_q: float = 0.99) -> ray.d
         )
 
     return ev.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True).sort("event_id")
+
+
+def _affine_scan(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Inclusive scan of z_t = A_t·z_{t−1} + B_t by doubling — O(log n)
+    vectorized passes; A = 0 at segment starts blocks propagation
+    across segments, so no boundary masking is needed (ts_ewma's
+    pattern, shared with the halflife variant)."""
+    n = len(A)
+    d = 1
+    while d < n:
+        B[d:] = B[d:] + A[d:] * B[:-d]
+        A[d:] = A[d:] * A[:-d]
+        d *= 2
+    return B
+
+
+@register("ts_ewma_halflife", None)  # recurrence semantics tested vs a loop reference
+def ts_ewma_halflife(sf_dir: str, halflife_s: float = 3600.0) -> ray.data.Dataset:
+    """Time-decayed EWMA for IRREGULARLY sampled events — the
+    physically meaningful smoother when gaps vary (ts_ewma's per-event
+    α treats a 1-second and a 1-week gap identically): z_t = a·z_{t−1}
+    + (1−a)·v_t with a = 2^(−Δt/halflife) (Müller's operator; a young
+    previous value keeps weight, a stale one decays away). Same
+    sharded shuffle + O(log n) affine doubling scan as ts_ewma — the
+    decay only changes the per-row A coefficients, not the plan. Each
+    user's first event has A = 0 (z = v). Rounded to 8 decimals,
+    sorted by event_id; equality vs a sequential loop reference in
+    tests/test_ewma.py."""
+    from ..stages.dedup import SHARDS
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("user_id"), pa.int64())
+        return pa.table(
+            {
+                "shard": _key_shard(key, SHARDS),
+                "user_id": key,
+                "ts": b.column("ts"),
+                "event_id": pc.cast(b.column("event_id"), pa.int64()),
+                "value": b.column("value"),
+            }
+        )
+
+    def ewma_shard(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ewma": pa.array([], pa.float64()),
+            }
+        )
+        n = group.num_rows
+        if n == 0:
+            return empty
+        uid = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = (
+            group.column("ts")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        val = group.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, val_s, eid_s = uid[order], ts[order], val[order].astype(np.float64), eid[order]
+        is_start = np.r_[True, uid_s[1:] != uid_s[:-1]]
+        dt = np.r_[0, np.diff(ts_s)] / 1e6  # seconds
+        a = np.exp2(-dt / halflife_s)
+        A = np.where(is_start, 0.0, a)
+        B = np.where(is_start, val_s, (1.0 - A) * val_s)
+        z = _affine_scan(A, B)
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "user_id": pa.array(uid_s, pa.int64()),
+                "ewma": pa.array(_round_half_away(z, 8), pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(ewma_shard, batch_format="pyarrow")
+        .sort("event_id")
+    )
