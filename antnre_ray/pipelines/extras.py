@@ -1103,3 +1103,30 @@ def data_quality_report(sf_dir: str) -> pa.Table:
         ex.row_count_between(1, 10**12),
     ]
     return ex.expectations_report(ev, rules)
+
+
+@register("graph_cooccurrence", None)  # projection → rows-only; brute-force tested
+def graph_cooccurrence(sf_dir: str) -> ray.data.Dataset:
+    """Event-type co-occurrence graph: the bipartite (user → event_type)
+    edge list projected onto event types
+    (stages/graph_algos.bipartite_project) — weight = number of users
+    who performed both types. The co-occurrence builder every
+    recommender/association pipeline starts from; brute-force equality
+    and the high-degree drop rule are tested in
+    tests/test_bipartite.py. Sorted by (item_a, item_b)."""
+    from ..stages.graph_algos import bipartite_project
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(b.column("user_id"), pa.string()),
+                "dst": b.column("event_type"),
+            }
+        )
+
+    edges = ev.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    return bipartite_project(edges).sort(["item_a", "item_b"])

@@ -1739,3 +1739,118 @@ def harmonic_centrality(
         )
 
     return out.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------- bipartite projection
+
+def bipartite_project(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int = 256,
+) -> ray.data.Dataset:
+    """Project a bipartite edge list onto its RIGHT side: (item_a,
+    item_b, weight) where weight counts the left nodes connected to
+    both — the co-occurrence graph builder (users×items → item-item,
+    docs×terms → term co-occurrence) that feeds similarity and
+    community ops downstream.
+
+    Scale shape: distinct (src, dst) pairs only (one grouped dedup),
+    then src-sharded VECTORIZED pair emission (sort + run-detect +
+    np.triu_indices per shard — one Python call per shard, the
+    shared_passages pattern) with per-shard pre-counted pairs before
+    the final grouped Sum. A left node of degree d emits d·(d−1)/2
+    pairs — quadratic — so degrees above ``max_degree`` are DROPPED
+    (not truncated) and counted in a loud log line: a user who touched
+    every item co-occurs with everything and carries no pair-specific
+    signal (the boilerplate rule from shared_passages/dedup). Pairs
+    are ordered (item_a < item_b lexicographically)."""
+    import logging
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import polars_u64
+    from .dedup import SHARDS
+
+    def dedup_pairs(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "u": b.column(src_col).combine_chunks().cast(pa.string()),
+                "v": b.column(dst_col).combine_chunks().cast(pa.string()),
+            }
+        )
+        return t.group_by(["u", "v"]).aggregate([]).rename_columns(["u", "v"])
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        h = polars_u64(b.column("u").combine_chunks())
+        return b.append_column(
+            "shard", pa.array((h % np.uint64(SHARDS)).astype(np.int32), pa.int32())
+        )
+
+    from ray.data.aggregate import Count
+
+    def drop_count(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b.column("u"), "v": b.column("v")})
+
+    distinct = (
+        edges.map_batches(dedup_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(drop_count, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def shard_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "item_a": pa.array([], pa.string()),
+                "item_b": pa.array([], pa.string()),
+                "w": pa.array([], pa.int64()),
+            }
+        )
+        n = group.num_rows
+        if n < 2:
+            return empty
+        u = group.column("u").combine_chunks()
+        v = group.column("v").combine_chunks()
+        order = pc.sort_indices(
+            pa.table({"u": u, "v": v}), sort_keys=[("u", "ascending"), ("v", "ascending")]
+        )
+        u = u.take(order)
+        v = v.take(order)
+        same = pc.equal(u.slice(1), u.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, ~same])
+        ends = np.r_[starts[1:], n]
+        a_parts, b_parts = [], []
+        n_dropped = 0
+        for s, e in zip(starts, ends):
+            d = e - s
+            if d < 2:
+                continue
+            if d > max_degree:
+                n_dropped += 1
+                continue
+            iu, ju = np.triu_indices(d, k=1)
+            a_parts.append(s + iu)
+            b_parts.append(s + ju)
+        if n_dropped:
+            logging.getLogger(__name__).info(
+                "bipartite_project: dropped %d left nodes with degree > %d "
+                "(quadratic pair blowup; no pair-specific signal)",
+                n_dropped,
+                max_degree,
+            )
+        if not a_parts:
+            return empty
+        ia = pa.array(np.concatenate(a_parts))
+        ib = pa.array(np.concatenate(b_parts))
+        t = pa.table({"item_a": v.take(ia), "item_b": v.take(ib)})
+        g = t.group_by(["item_a", "item_b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["item_a", "item_b", "w"])
+
+    return (
+        distinct.groupby("shard")
+        .map_groups(shard_pairs, batch_format="pyarrow")
+        .groupby(["item_a", "item_b"])
+        .aggregate(Sum("w", alias_name="weight"))
+    )
