@@ -85,6 +85,7 @@ def __getattr__(name):
         "plan_join": ("antnre_ray.pipelines.relational", "plan_join"),
         "expectations_report": ("antnre_ray.stages.expect", "expectations_report"),
         "bipartite_project": ("antnre_ray.stages.graph_algos", "bipartite_project"),
+        "association_rules": ("antnre_ray.stages.graph_algos", "association_rules"),
         "dsir_log_weights": ("antnre_ray.stages.analyze", "dsir_log_weights"),
         "dsir_select": ("antnre_ray.stages.analyze", "dsir_select"),
     }

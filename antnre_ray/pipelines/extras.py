@@ -1130,3 +1130,28 @@ def graph_cooccurrence(sf_dir: str) -> ray.data.Dataset:
 
     edges = ev.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
     return bipartite_project(edges).sort(["item_a", "item_b"])
+
+
+@register("graph_assoc_rules", None)  # rule stats → rows-only; brute-force tested
+def graph_assoc_rules(sf_dir: str) -> ray.data.Dataset:
+    """Pairwise association rules over (user → event_type) baskets
+    (stages/graph_algos.association_rules): support / confidence /
+    lift per ordered type pair — the market-basket statistics on top
+    of the co-occurrence projection. Hand-computed-reference tests in
+    tests/test_bipartite.py. Sorted by (antecedent, consequent)."""
+    from ..stages.graph_algos import association_rules
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(b.column("user_id"), pa.string()),
+                "dst": b.column("event_type"),
+            }
+        )
+
+    edges = ev.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    return association_rules(edges).sort(["antecedent", "consequent"])

@@ -1854,3 +1854,75 @@ def bipartite_project(
         .groupby(["item_a", "item_b"])
         .aggregate(Sum("w", alias_name="weight"))
     )
+
+
+def association_rules(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int = 256,
+    min_support: int = 1,
+) -> ray.data.Dataset:
+    """Pairwise association rules from a bipartite (basket → item)
+    edge list: for each ordered item pair, support (co-baskets),
+    confidence = support / baskets(a), and lift = support·N /
+    (baskets(a)·baskets(b)) — the classic market-basket statistics,
+    built on :func:`bipartite_project` (same dedup/cap rules) plus one
+    grouped per-item basket count and one broadcast of the item-count
+    dict (items are the SMALL side of any basket dataset). Emits both
+    directions of every pair (confidence is asymmetric); rows below
+    ``min_support`` drop. Floats rounded to 8 decimals."""
+    from ray.data.aggregate import Count
+
+    pairs = bipartite_project(
+        edges, src_col=src_col, dst_col=dst_col, max_degree=max_degree
+    )
+
+    def dedup(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "u": b.column(src_col).combine_chunks().cast(pa.string()),
+                "v": b.column(dst_col).combine_chunks().cast(pa.string()),
+            }
+        )
+        return t.group_by(["u", "v"]).aggregate([]).rename_columns(["u", "v"])
+
+    distinct = edges.map_batches(dedup, batch_format="pyarrow", zero_copy_batch=True)
+    item_counts = (
+        distinct.groupby("v").aggregate(Count(alias_name="n"))
+    )
+    n_baskets_tbl = distinct.groupby("u").aggregate(Count(alias_name="_n"))
+    n_baskets = n_baskets_tbl.count()
+    counts = {
+        r["v"]: r["n"] for r in item_counts.take_all()
+    }  # item-side vocabulary: small by construction (see docstring)
+    counts_ref = ray.put(counts)
+
+    def score(b: pa.Table, _ref=counts_ref) -> pa.Table:
+        c = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        a_col = b.column("item_a").to_pylist()
+        b_col = b.column("item_b").to_pylist()
+        w = b.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = np.array([c[x] for x in a_col], np.float64)
+        cb = np.array([c[x] for x in b_col], np.float64)
+        keep = w >= min_support
+        out_a = a_col + b_col
+        out_b = b_col + a_col
+        ww = np.r_[w, w]
+        d1 = np.r_[ca, cb]
+        d2 = np.r_[cb, ca]
+        kk = np.r_[keep, keep]
+        conf = np.round(ww / d1, 8)
+        lift = np.round(ww * float(n_baskets) / (d1 * d2), 8)
+        t = pa.table(
+            {
+                "antecedent": pa.array(out_a, pa.string()),
+                "consequent": pa.array(out_b, pa.string()),
+                "support": pa.array(ww.astype(np.int64), pa.int64()),
+                "confidence": pa.array(conf, pa.float64()),
+                "lift": pa.array(lift, pa.float64()),
+            }
+        )
+        return t.filter(pa.array(kk))
+
+    return pairs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

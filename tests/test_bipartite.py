@@ -70,3 +70,35 @@ def test_partition_invariant(ray_session):
     a = _got(ray.data.from_items(edges).repartition(1))
     b = _got(ray.data.from_items(edges).repartition(9))
     assert a == b == _ref(_basket_edges())
+
+
+# ------------------------------------------- association rules
+
+def test_association_rules_match_reference(ray_session):
+    from antnre_ray.stages.graph_algos import association_rules
+
+    edges = _basket_edges()
+    rows = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(ray.data.from_items(edges)).take_all()
+    }
+    # baskets: milk in u1,u2,u3 (3); bread in u1,u2 (2); beer in u3,u4 (2)
+    r = rows[("bread", "milk")]
+    assert r["support"] == 2
+    assert r["confidence"] == 1.0       # both bread baskets have milk
+    assert abs(r["lift"] - 2 * 4 / (2 * 3)) < 1e-7  # support·N/(c_a·c_b), rounded to 8
+    r2 = rows[("milk", "bread")]
+    assert r2["support"] == 2 and abs(r2["confidence"] - 2 / 3) < 1e-7
+    # both directions present, symmetric lift
+    assert r["lift"] == r2["lift"]
+    # beer-milk co-occurs once (u3)
+    assert rows[("beer", "milk")]["support"] == 1
+
+
+def test_association_rules_min_support(ray_session):
+    from antnre_ray.stages.graph_algos import association_rules
+
+    edges = _basket_edges()
+    rows = association_rules(ray.data.from_items(edges), min_support=2).take_all()
+    pairs = {(r["antecedent"], r["consequent"]) for r in rows}
+    assert ("bread", "milk") in pairs and ("beer", "milk") not in pairs
