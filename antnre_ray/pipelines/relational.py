@@ -6491,3 +6491,144 @@ def ts_ewma_halflife(sf_dir: str, halflife_s: float = 3600.0) -> ray.data.Datase
         .map_groups(ewma_shard, batch_format="pyarrow")
         .sort("event_id")
     )
+
+
+@register("ts_event_bigrams", None)  # exact counts; DuckDB lead() tested
+def ts_event_bigrams(sf_dir: str, k: int = 25) -> pa.Table:
+    """Sequential pattern mining, the simplest member: top-k
+    consecutive event-type bigrams across users' time-ordered streams
+    (what follows what?). One sharded co-shuffle on user, vectorized
+    per-shard bigram extraction (lexsort; pairs WITHIN user runs only —
+    a boundary between users never forms a bigram), per-shard Arrow
+    group-count combiner, grouped Sum, per-block top-k merged
+    driver-side. Deterministic ties (count DESC, pair ASC).
+    tests/test_event_bigrams.py checks DuckDB lead()-window equality
+    including tie order."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import SHARDS
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("user_id"), pa.int64())
+        return pa.table(
+            {
+                "shard": _key_shard(key, SHARDS),
+                "user_id": key,
+                "ts": b.column("ts"),
+                "event_id": pc.cast(b.column("event_id"), pa.int64()),
+                "event_type": b.column("event_type"),
+            }
+        )
+
+    def bigrams(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"pair": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+        )
+        n = group.num_rows
+        if n < 2:
+            return empty
+        uid = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = (
+            group.column("ts")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        eid = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        et = group.column("event_type").combine_chunks()
+        order = np.lexsort((eid, ts, uid))
+        uid_s = uid[order]
+        et_s = et.take(pa.array(order))
+        same_user = uid_s[1:] == uid_s[:-1]
+        lhs = et_s.slice(0, n - 1).filter(pa.array(same_user))
+        rhs = et_s.slice(1).filter(pa.array(same_user))
+        pair = pc.binary_join_element_wise(lhs, rhs, "→")
+        t = pa.table({"pair": pair})
+        g = t.group_by(["pair"]).aggregate([([], "count_all")])
+        return g.rename_columns(["pair", "c"])
+
+    summed = (
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(bigrams, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return pa.table(
+                {"pair": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        idx = pc.sort_indices(b, sort_keys=[("n", "descending"), ("pair", "ascending")])[:k]
+        return b.take(idx)
+
+    parts = [
+        t
+        for t in ray.get(
+            summed.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_columns > 0
+    ]
+    allp = pa.concat_tables(parts, promote_options="default")
+    idx = pc.sort_indices(allp, sort_keys=[("n", "descending"), ("pair", "ascending")])[:k]
+    return allp.take(idx)
+
+
+@register("b64_chi_square", None)  # exact counts + closed-form stat; numpy-reference tested
+def b64_chi_square(sf_dir: str) -> pa.Table:
+    """Chi-square independence test between event_type and
+    above-vs-below-mean value — the categorical-association
+    diagnostic: one global Mean aggregate fixes the split, exact
+    contingency counts come from ONE grouped aggregate (per-batch
+    combiner), and the χ² statistic, degrees of freedom and Cramér's V
+    are closed-form on the driver-tiny contingency table.
+    Deterministic (integer counts; the statistic rounds to 6).
+    tests/test_event_bigrams.py checks the statistic vs a numpy
+    reference."""
+    from ray.data.aggregate import Mean
+
+    ds0 = _read(sf_dir, "events", ["event_type", "value"]).materialize()
+    mu = float(ds0.aggregate(Mean("value", alias_name="m"))["m"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        sign = pc.if_else(
+            pc.greater_equal(b.column("value"), pa.scalar(mu)),
+            pa.scalar("high"),
+            pa.scalar("low"),
+        )
+        t = pa.table({"et": b.column("event_type"), "sign": sign})
+        g = t.group_by(["et", "sign"]).aggregate([([], "count_all")])
+        return g.rename_columns(["et", "sign", "c"])
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds0.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["et", "sign"])
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    ets = sorted({r["et"] for r in counts})
+    signs = sorted({r["sign"] for r in counts})
+    M = np.zeros((len(ets), len(signs)), dtype=np.float64)
+    for r in counts:
+        M[ets.index(r["et"]), signs.index(r["sign"])] = r["c"]
+    n = M.sum()
+    expected = np.outer(M.sum(axis=1), M.sum(axis=0)) / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        chi2 = float(np.nansum((M - expected) ** 2 / np.where(expected > 0, expected, np.nan)))
+    dof = (len(ets) - 1) * (len(signs) - 1)
+    cramers_v = float(np.sqrt(chi2 / (n * max(min(len(ets), len(signs)) - 1, 1)))) if n else 0.0
+    return pa.table(
+        {
+            "n": pa.array([int(n)], pa.int64()),
+            "rows": pa.array([len(ets)], pa.int64()),
+            "cols": pa.array([len(signs)], pa.int64()),
+            "chi2": pa.array([round(chi2, 6)], pa.float64()),
+            "dof": pa.array([dof], pa.int64()),
+            "cramers_v": pa.array([round(cramers_v, 6)], pa.float64()),
+        }
+    )
