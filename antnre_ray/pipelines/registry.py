@@ -17,26 +17,53 @@ def register(name: str, sql: str | None):
 
 
 # The driver's correctness sweep checks the FIRST 50 registry entries
-# (measured cap, rounds 1-2). _PREFIX is therefore a curated verification
-# budget, ordered by marginal evidence value:
-#   1. oracle-backed queries NEVER driver-verified (9 round-2 additions),
-#   2. new round-3 queries,
-#   3. rows-only queries never driver-run (kg_components and
-#      dedup_incremental ceded the last two slots to b40b/b53 —
-#      46 unverified oracle queries + 2 re-confirms + 2 rows-only
-#      representatives fill the window exactly),
-#   4. oracle-backed queries verified only in round 1 (re-confirm),
-#   5. queries whose code paths changed this round (re-confirm),
-#   6. one representative per rows-only family,
-#   7. proven oracle-backed queries filling the remaining slots.
-# Everything not listed registers after the prefix, in import order —
-# all of it stays gated by tests/test_oracle_conformance.py.
-# tests/test_registry_order.py asserts no never-verified oracle query
-# can silently land past the cap again.
+# (measured cap, rounds 1-3). _PREFIX is therefore a curated
+# verification budget: never-driver-verified oracle-backed queries
+# first, then re-confirm slots for code paths rewritten this round,
+# then proven oracle-backed fill. Everything not listed registers after
+# the prefix, in import order — all of it stays gated by
+# tests/test_oracle_conformance.py. tests/test_registry_order.py
+# asserts no never-verified oracle query can silently land past the
+# cap. (Earlier rounds' curated windows live in git history; r01-r03
+# verified 91 distinct oracle queries green.)
 SWEEP_CAP = 50
 
 _PREFIX = [
-    # 1 — oracle-backed, never driver-verified
+    # ---- ROUND 4 window (r01+r02+r03 verified 91 distinct oracle
+    # queries; VERDICT r3 #1 asked for the rows-only→oracle promotion
+    # tranche). Slots, by marginal evidence value:
+    #   1. the 15 promoted entries (SQL oracles attached this round:
+    #      b55-b57, b59-b64, ts_*, data_group_normalize),
+    #   2. kg_eval_prf — rows-only, but its returned row carries the
+    #      P/R/F1 gate values (VERDICT r3 #8),
+    #   3. new round-4 oracle-backed queries,
+    #   4. re-confirm slots for oracle queries whose code paths changed
+    #      this round (ADVICE rounding/assert fixes: b48, q09, q11, q22),
+    #   5. proven oracle-backed fill (rotating re-confirmation).
+    # 1 — promoted rows-only → oracle-backed
+    "b55_cube",
+    "b56_corr_matrix",
+    "b57_histogram",
+    "b59_cdc_apply",
+    "b60_latest_by_key",
+    "b61_window_distinct",
+    "b62_percent_rank",
+    "b63_skew_report",
+    "b64_chi_square",
+    "ts_ewma",
+    "ts_ewma_halflife",
+    "ts_resample_ffill",
+    "ts_interpolate",
+    "ts_event_bigrams",
+    "data_group_normalize",
+    # 2 — the P/R gate, visible in the driver artifact
+    "kg_eval_prf",
+    # 4 — re-confirms for this round's ADVICE fixes
+    "b48_grouped_regression",
+    "q09_product_profit",
+    "q11_important_value",
+    "q22_idle_rich_customers",
+    # 5 — proven fill (r02/r03-green, rotating)
     "q02_top_supplier_per_nation",
     "q07_nation_volume",
     "q18_big_orders",
@@ -46,7 +73,6 @@ _PREFIX = [
     "b21b_stratified_sample",
     "b31_pivot_event_types",
     "b32_group_centroids",
-    # 2 — round-3 additions
     "b33_range_join",
     "b34_lag_delta",
     "b35_ntile",
@@ -68,46 +94,8 @@ _PREFIX = [
     "b44_group_mode",
     "b45_funnel",
     "b46_edit_distance_join",
-    "b47_max_concurrency",
-    "b48_grouped_regression",
-    "b45b_strict_funnel",
-    "b49_scan_pushdown",
-    # 2b — round-3 sixth wave: the TPC-H tail + dense rank, all
-    #      hash-exact vs DuckDB at sf0.001 and sf0.01 locally
-    "q08_market_share",
-    "q12_late_lineitems",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q21_blocking_supplier",
-    "q22_idle_rich_customers",
-    "b51_dense_rank",
-    "b11e_skew_join_auto",
-    "b52_moving_frame",
-    "b40b_row_number_rangepart",
-    "b53_fk_audit",
-    # 2c — round-3 ninth wave: the remaining TPC-H tail (Q9/Q11/Q16/Q20
-    #      shapes over the no-partsupp schema), hash-exact vs DuckDB at
-    #      sf0.001 and sf0.01 locally. These took the window's last four
-    #      slots: text_shared_passages + quarantine_report (rows-only —
-    #      their planted-overlap / planted-bad-row tests exceed a
-    #      rows-only driver row) and b14/b27 (driver-verified r02; the
-    #      round-3 shard rewrite stays hash-gated by conformance tests).
-    "q09_product_profit",
-    "q11_important_value",
-    "q16_supplier_part_count",
-    "q20_top_quantity_suppliers",
-    # 3 — rows-only, never driver-run (one per family; media_frames,
-    #     dedup_clean_corpus, kg_adjacency_incremental, kg_span_integrity,
-    #     kg_pagerank, dedup_clusters, the sketch entries (b18b/b15d),
-    #     bm25, packing, repetition filter and b27b_topk_per_user ceded
-    #     their slots to new HASH-checked queries — a rows-only driver
-    #     row proves only "ran, n rows", which their in-suite
-    #     invariant/equivalence tests already exceed)
-    # 5/7 — re-confirms and proven fill: none — every slot is spent on
-    #     never-verified oracle entries; q01, b14, b27 etc. stay gated
-    #     by tests/test_oracle_conformance.py.
 ]
+
 assert len(_PREFIX) == SWEEP_CAP, len(_PREFIX)
 
 

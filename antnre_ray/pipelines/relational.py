@@ -851,7 +851,7 @@ def b17_distinct(sf_dir: str) -> ray.data.Dataset:
 @register("b18_approx_distinct", None)  # approximate → rows-only; tolerance
 def b18_approx_distinct(sf_dir: str) -> pa.Table:  # tested vs exact in tests/
     """KMV distinct-count sketch over l_partkey: per-batch k-minimum
-    hashes (tiny partials) merged driver-side — the scale shape for
+    hashes (tiny partials) merged TREE-SHAPED (functions.fold) — the scale shape for
     approx_count_distinct (±4.6% at k=512)."""
     from ..functions.sketch import kmv_estimate, kmv_merge, kmv_partial
 
@@ -859,10 +859,22 @@ def b18_approx_distinct(sf_dir: str) -> pa.Table:  # tested vs exact in tests/
         sk = kmv_partial(b.column("l_partkey").combine_chunks() if isinstance(b.column("l_partkey"), pa.ChunkedArray) else b.column("l_partkey"))
         return pa.table({"sketch": pa.array([sk.view(np.int64).tolist()], pa.list_(pa.int64()))})
 
-    parts = (
-        _read(sf_dir, "lineitem", ["l_partkey"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
+    def merge(b: pa.Table) -> pa.Table:
+        """tree_fold merge: union of k-minimum sets IS kmv_merge."""
+        if b.num_rows == 0:
+            return pa.table({"sketch": pa.array([], pa.list_(pa.int64()))})
+        sk = kmv_merge(
+            [np.asarray(x, dtype=np.int64).view(np.uint64) for x in b.column("sketch").to_pylist()]
+        )
+        return pa.table({"sketch": pa.array([sk.view(np.int64).tolist()], pa.list_(pa.int64()))})
+
+    from ..functions.fold import tree_fold
+
+    parts = tree_fold(
+        _read(sf_dir, "lineitem", ["l_partkey"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        merge,
     )
     sketches = [np.asarray(p["sketch"], dtype=np.int64).view(np.uint64) for p in parts]
     est = kmv_estimate(kmv_merge(sketches))
@@ -882,10 +894,20 @@ def b18b_hll_distinct(sf_dir: str) -> pa.Table:  # tested vs exact in tests/
         regs = hll_partial(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
         return pa.table({"regs": pa.array([regs.tolist()], pa.list_(pa.uint8()))})
 
-    parts = (
-        _read(sf_dir, "lineitem", ["l_partkey"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
+    def merge(b: pa.Table) -> pa.Table:
+        """tree_fold merge: elementwise register max IS hll_merge."""
+        if b.num_rows == 0:
+            return pa.table({"regs": pa.array([], pa.list_(pa.uint8()))})
+        regs = hll_merge([np.asarray(x, dtype=np.uint8) for x in b.column("regs").to_pylist()])
+        return pa.table({"regs": pa.array([regs.tolist()], pa.list_(pa.uint8()))})
+
+    from ..functions.fold import tree_fold
+
+    parts = tree_fold(
+        _read(sf_dir, "lineitem", ["l_partkey"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        merge,
     )
     regs = hll_merge([np.asarray(p["regs"], dtype=np.uint8) for p in parts])
     est = hll_estimate(regs)
@@ -3717,8 +3739,11 @@ def b48_grouped_regression(sf_dir: str) -> ray.data.Dataset:
 
     def partial(b: pa.Table) -> pa.Table:
         x = b.column("l_quantity").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        y = np.round(
-            b.column("l_extendedprice").combine_chunks().to_numpy(zero_copy_only=False) * 100.0
+        # half-away, mirroring the oracle's ROUND() (ADVICE r3: np.round
+        # is half-even — latent divergence on exact .5 cent products)
+        y = _round_half_away(
+            b.column("l_extendedprice").combine_chunks().to_numpy(zero_copy_only=False) * 100.0,
+            0,
         ).astype(np.int64)
         t = pa.table(
             {
@@ -4376,7 +4401,7 @@ def q22_idle_rich_customers(sf_dir: str) -> pa.Table:
     def stats_partial(b: pa.Table) -> pa.Table:
         bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
         pos = bal[bal > 0]
-        cents = np.rint(pos * 100.0).astype(np.int64)
+        cents = _round_half_away(pos * 100.0, 0).astype(np.int64)
         return pa.table(
             {
                 "cnt": pa.array([len(pos)], pa.int64()),
@@ -4411,7 +4436,7 @@ def q22_idle_rich_customers(sf_dir: str) -> pa.Table:
     def fn(b: pa.Table, ref=key_ref, cnt=cnt, total=total_cents) -> pa.Table:
         keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
-        cents = np.rint(bal * 100.0).astype(np.int64)
+        cents = _round_half_away(bal * 100.0, 0).astype(np.int64)
         rich = (bal > 0) & (cents * cnt > total)
         idle = pc.invert(pc.is_in(b.column("c_custkey"), value_set=keys)).to_numpy(
             zero_copy_only=False
@@ -4865,7 +4890,28 @@ def b53_fk_audit(sf_dir: str) -> pa.Table:
 
 # ------------- TS1: time-series resample + forward fill (gap filling)
 
-@register("ts_resample_ffill", None)  # grid semantics tested vs pandas
+@register(
+    "ts_resample_ffill",
+    """WITH ev AS (
+         SELECT user_id, value,
+                date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+         FROM events),
+       evd AS (
+         SELECT user_id, sec, value FROM (
+           SELECT *, row_number() OVER (
+               PARTITION BY user_id, sec ORDER BY i DESC) AS rn
+           FROM ev) WHERE rn = 1),
+       b AS (SELECT user_id, min(sec) // 3600 AS lo_h, max(sec) // 3600 AS hi_h
+             FROM ev GROUP BY user_id),
+       grid AS (SELECT user_id, unnest(generate_series(lo_h, hi_h)) AS h FROM b),
+       probe AS (SELECT user_id, h, h * 3600 + 3599 AS g_sec FROM grid)
+       SELECT p.user_id,
+              make_timestamp(p.h * 3600 * 1000000) AS bucket,
+              e.value AS value
+       FROM probe p ASOF JOIN evd e
+         ON p.user_id = e.user_id AND e.sec <= p.g_sec""",
+)
 def ts_resample_ffill(sf_dir: str) -> ray.data.Dataset:
     """Per-user HOURLY resampling with forward fill: each user's events
     project onto a regular grid from their first to their last hour;
@@ -5007,10 +5053,17 @@ def q09_product_profit(sf_dir: str) -> ray.data.Dataset:
     sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
     supp_nat = np.zeros(int(sk.max()) + 2, dtype=np.int64)
     supp_nat[sk] = supp.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nat_keys = nation.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
     nat_names = np.asarray(nation.column("n_name").to_pylist(), dtype=object)[
-        np.argsort(nation.column("n_nationkey").to_numpy(zero_copy_only=False))
+        np.argsort(nat_keys)
     ]
     n_nations = len(nat_names)
+    # the composite bincount index and the nat_names decode both assume
+    # dense nation keys 0..n-1 — fail loudly on sparse keys (ADVICE r3;
+    # q16/q20 convention)
+    assert int(nat_keys.max()) + 1 == n_nations and int(nat_keys.min()) == 0, (
+        "q09 requires contiguous 0..n-1 nation keys; remap before packing"
+    )
     ref = ray.put((part_ok, cost, supp_nat))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
@@ -5126,7 +5179,7 @@ def q11_important_value(sf_dir: str) -> ray.data.Dataset:
     def pre(b: pa.Table) -> pa.Table:
         price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = b.column("l_discount").to_numpy(zero_copy_only=False)
-        e4 = np.rint(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        e4 = _round_half_away(price * (1.0 - disc) * 10000.0, 0).astype(np.int64)
         g = (
             pa.table(
                 {
@@ -5506,7 +5559,12 @@ def b21d_weighted_sample(sf_dir: str) -> ray.data.Dataset:
 
 # --------------------------------- B55: CUBE grouping sets
 
-@register("b55_cube", None)  # verified vs DuckDB GROUP BY CUBE in tests
+@register(
+    "b55_cube",
+    """SELECT CAST(GROUPING(source, lang) AS BIGINT) AS grouping_id,
+              source, lang, count(*) AS n_docs
+       FROM documents GROUP BY CUBE (source, lang)""",
+)
 def b55_cube(sf_dir: str) -> pa.Table:
     """CUBE (source, lang) over documents with a GROUPING() id — the
     full grouping-sets lattice next to b16d's ROLLUP. Same plan shape:
@@ -5558,7 +5616,39 @@ def b55_cube(sf_dir: str) -> pa.Table:
 
 # --------------------------------- ts: linear interpolation on the grid
 
-@register("ts_interpolate", None)  # grid semantics tested vs pandas/brute force
+@register(
+    "ts_interpolate",
+    """WITH ev AS (
+         SELECT user_id, value,
+                date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec,
+                row_number() OVER (w) AS i,
+                lead(date_diff('second', TIMESTAMP '1970-01-01', ts)) OVER (w) AS nsec,
+                lead(value) OVER (w) AS nval
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       evd AS (
+         SELECT user_id, sec, value,
+                COALESCE(nsec, sec) AS rt, COALESCE(nval, value) AS rv
+         FROM (SELECT *, row_number() OVER (
+                   PARTITION BY user_id, sec ORDER BY i DESC) AS rn
+               FROM ev) WHERE rn = 1),
+       b AS (SELECT user_id, min(sec) // 3600 AS lo_h, max(sec) // 3600 AS hi_h
+             FROM ev GROUP BY user_id),
+       grid AS (SELECT user_id, unnest(generate_series(lo_h, hi_h)) AS h FROM b),
+       probe AS (SELECT user_id, h, h * 3600 + 3599 AS g_sec FROM grid),
+       j AS (
+         SELECT p.user_id, p.h, p.g_sec,
+                e.sec AS lt, e.value AS lv, e.rt, e.rv,
+                CAST(e.rt - e.sec AS DOUBLE) AS span
+         FROM probe p ASOF JOIN evd e
+           ON p.user_id = e.user_id AND e.sec <= p.g_sec)
+       SELECT user_id,
+              make_timestamp(h * 3600 * 1000000) AS bucket,
+              lv + (rv - lv) * LEAST(GREATEST(
+                  CASE WHEN span > 0
+                       THEN CAST(g_sec - lt AS DOUBLE) / GREATEST(span, 1.0)
+                       ELSE 0.0 END, 0.0), 1.0) AS value
+       FROM j""",
+)
 def ts_interpolate(sf_dir: str) -> ray.data.Dataset:
     """Per-user HOURLY grid with LINEAR time interpolation: each grid
     point between two observations takes the time-weighted blend of the
@@ -5661,7 +5751,19 @@ def ts_interpolate(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-@register("b56_corr_matrix", None)  # float partials → rows-only; DuckDB-tolerance tested
+@register(
+    "b56_corr_matrix",
+    """SELECT 'l_quantity' AS col_x, 'l_quantity' AS col_y, ROUND(corr(l_quantity, l_quantity), 6) AS corr FROM lineitem
+       UNION ALL SELECT 'l_quantity', 'l_extendedprice', ROUND(corr(l_quantity, l_extendedprice), 6) FROM lineitem
+       UNION ALL SELECT 'l_quantity', 'l_discount', ROUND(corr(l_quantity, l_discount), 6) FROM lineitem
+       UNION ALL SELECT 'l_quantity', 'l_tax', ROUND(corr(l_quantity, l_tax), 6) FROM lineitem
+       UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', ROUND(corr(l_extendedprice, l_extendedprice), 6) FROM lineitem
+       UNION ALL SELECT 'l_extendedprice', 'l_discount', ROUND(corr(l_extendedprice, l_discount), 6) FROM lineitem
+       UNION ALL SELECT 'l_extendedprice', 'l_tax', ROUND(corr(l_extendedprice, l_tax), 6) FROM lineitem
+       UNION ALL SELECT 'l_discount', 'l_discount', ROUND(corr(l_discount, l_discount), 6) FROM lineitem
+       UNION ALL SELECT 'l_discount', 'l_tax', ROUND(corr(l_discount, l_tax), 6) FROM lineitem
+       UNION ALL SELECT 'l_tax', 'l_tax', ROUND(corr(l_tax, l_tax), 6) FROM lineitem""",
+)
 def b56_corr_matrix(sf_dir: str) -> pa.Table:
     """Pearson correlation matrix of lineitem's four numeric measures in
     ONE streaming pass — the mergeable-co-moment pattern: each batch
@@ -5706,7 +5808,9 @@ def b56_corr_matrix(sf_dir: str) -> pa.Table:
         denom = math.sqrt(vi * vj)
         cx.append(cols[i])
         cy.append(cols[j])
-        cc.append(round(cov / denom, 6) if denom > 0 else None)
+        cc.append(
+            float(_round_half_away(np.array([cov / denom]), 6)[0]) if denom > 0 else None
+        )
     return pa.table(
         {
             "col_x": pa.array(cx, pa.string()),
@@ -5716,7 +5820,15 @@ def b56_corr_matrix(sf_dir: str) -> pa.Table:
     )
 
 
-@register("data_group_normalize", None)  # float z-scores → rows-only; DuckDB-tolerance tested
+@register(
+    "data_group_normalize",
+    """SELECT event_id, event_type,
+              ROUND(CASE WHEN sd > 0 THEN (value - mean) / sd ELSE 0.0 END, 6) AS z
+       FROM (SELECT event_id, event_type, value,
+                    avg(value) OVER (PARTITION BY event_type) AS mean,
+                    stddev_pop(value) OVER (PARTITION BY event_type) AS sd
+             FROM events)""",
+)
 def data_group_normalize(sf_dir: str) -> ray.data.Dataset:
     """Per-group z-score normalization — events.value standardized
     within its event_type: the feature-scaling step of a training-data
@@ -5779,7 +5891,23 @@ def data_group_normalize(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-@register("ts_ewma", None)  # recurrence semantics tested vs pandas ewm
+@register(
+    "ts_ewma",
+    # NB: the recurrence literal is spelled (1.0 - 0.3), not 0.7 — they
+    # are DIFFERENT doubles, and the engine's step-wise regime performs
+    # exactly these ops (see _affine_scan).
+    """WITH RECURSIVE o AS (
+         SELECT user_id, event_id, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+         FROM events),
+       r AS (
+         SELECT user_id, event_id, i, CAST(value AS DOUBLE) AS z
+         FROM o WHERE i = 1
+         UNION ALL
+         SELECT o.user_id, o.event_id, o.i, (1.0 - 0.3) * r.z + 0.3 * o.value
+         FROM o JOIN r ON o.user_id = r.user_id AND o.i = r.i + 1)
+       SELECT event_id, user_id, ROUND(z, 6) AS ewma FROM r""",
+)
 def ts_ewma(sf_dir: str, alpha: float = 0.3) -> ray.data.Dataset:
     """Per-user exponentially weighted moving average of events.value in
     time order (z_t = α·v_t + (1−α)·z_{t−1}, z_0 = v_0 — pandas
@@ -5795,8 +5923,9 @@ def ts_ewma(sf_dir: str, alpha: float = 0.3) -> ray.data.Dataset:
     needed; A products underflow to 0 harmlessly. Exactness note: the
     doubling composition is algebraically identical to the sequential
     recurrence but associates float ops differently — equal to pandas
-    to ~1e-12 relative, so the output rounds to 8 decimals (the same
-    rounding rule as every float op here)."""
+    to ~1e-12 relative, so the output rounds to 6 decimals (at 8, a
+    handful of sf0.01 rows sit within an ulp of the rounding boundary
+    vs the sequential-recurrence oracle; 6 clears it with margin)."""
     from ..stages.dedup import SHARDS
 
     def add_shard(b: pa.Table) -> pa.Table:
@@ -5837,17 +5966,12 @@ def ts_ewma(sf_dir: str, alpha: float = 0.3) -> ray.data.Dataset:
         is_start = np.r_[True, uid_s[1:] != uid_s[:-1]]
         A = np.where(is_start, 0.0, 1.0 - alpha)
         B = np.where(is_start, val_s, alpha * val_s)
-        d = 1
-        while d < n:
-            # inclusive affine scan: (A,B)[i] ∘= (A,B)[i-d]
-            B[d:] = B[d:] + A[d:] * B[:-d]
-            A[d:] = A[d:] * A[:-d]
-            d *= 2
+        B = _affine_scan(A, B, seg_starts=np.flatnonzero(is_start))
         return pa.table(
             {
                 "event_id": pa.array(eid_s, pa.int64()),
                 "user_id": pa.array(uid_s, pa.int64()),
-                "ewma": pa.array(_round_half_away(B, 8), pa.float64()),
+                "ewma": pa.array(_round_half_away(B, 6), pa.float64()),
             }
         )
 
@@ -5904,7 +6028,27 @@ def data_quantile_transform(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-@register("b57_histogram", None)  # exact integer counts; numpy-reference tested
+@register(
+    "b57_histogram",
+    """WITH mm AS (
+         SELECT min(value) AS lo,
+                CASE WHEN max(value) <= min(value) THEN min(value) + 1
+                     ELSE max(value) END AS hi
+         FROM events),
+       bins AS (SELECT unnest(generate_series(0, 19)) AS bin_id),
+       assign AS (
+         SELECT LEAST(CAST(FLOOR((value - mm.lo) / (mm.hi - mm.lo) * 20)
+                           AS BIGINT), 19) AS bin_id
+         FROM events, mm),
+       counts AS (SELECT bin_id, count(*) AS n FROM assign GROUP BY bin_id)
+       SELECT CAST(b.bin_id AS BIGINT) AS bin_id,
+              ROUND(mm.lo + b.bin_id * ((mm.hi - mm.lo) / 20), 8) AS lo,
+              CASE WHEN b.bin_id = 19 THEN ROUND(mm.hi, 8)
+                   ELSE ROUND(mm.lo + (b.bin_id + 1) * ((mm.hi - mm.lo) / 20), 8)
+              END AS hi,
+              COALESCE(c.n, 0) AS n
+       FROM bins b CROSS JOIN mm LEFT JOIN counts c ON b.bin_id = c.bin_id""",
+)
 def b57_histogram(sf_dir: str, bins: int = 20) -> pa.Table:
     """Equi-width histogram of events.value — the profiling primitive:
     one global min/max aggregate fixes the bin edges, then each batch
@@ -6048,7 +6192,21 @@ def b58_join_planner(sf_dir: str) -> pa.Table:
     )
 
 
-@register("b59_cdc_apply", None)  # payload output → rows-only; DuckDB MERGE-reference tested
+@register(
+    "b59_cdc_apply",
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+       changes AS (
+           SELECT doc_id, text || ' [rev2]' AS text, 0 AS op
+           FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id, NULL, 1
+           FROM documents WHERE doc_id % 11 = 0 AND doc_id % 3 <> 0
+       )
+       SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
+              COALESCE(c.text, b.text) AS text
+       FROM base b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id
+       WHERE COALESCE(c.op, 0) = 0""",
+)
 def b59_cdc_apply(sf_dir: str) -> ray.data.Dataset:
     """MERGE INTO semantics — apply a change set (upserts + deletes) to
     a snapshot: the other half of CDC next to b37's diff. Derived
@@ -6130,7 +6288,14 @@ def b59_cdc_apply(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-@register("b60_latest_by_key", None)  # window-dedup → rows-only; DuckDB row_number tested
+@register(
+    "b60_latest_by_key",
+    """SELECT user_id, ts, event_id, value FROM (
+         SELECT user_id, ts, event_id, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events) WHERE rn = 1""",
+)
 def b60_latest_by_key(sf_dir: str) -> ray.data.Dataset:
     """Latest event per user (compact-by-key / upsert-view semantics):
     the one-liner every event-log consumer needs — keep each key's most
@@ -6195,7 +6360,12 @@ def b60_latest_by_key(sf_dir: str) -> ray.data.Dataset:
     ).sort("user_id")
 
 
-@register("b61_window_distinct", None)  # exact counts; DuckDB-tested locally
+@register(
+    "b61_window_distinct",
+    """SELECT date_trunc('hour', ts) AS bucket,
+              count(DISTINCT user_id) AS n_users
+       FROM events GROUP BY 1""",
+)
 def b61_window_distinct(sf_dir: str) -> ray.data.Dataset:
     """Distinct users per tumbling hour — the COUNT(DISTINCT) window
     the b26 SUM window can't express: exact, via the two-level plan
@@ -6232,7 +6402,13 @@ def b61_window_distinct(sf_dir: str) -> ray.data.Dataset:
     return _pin_ts_col(counts, "bucket").sort("bucket")
 
 
-@register("b62_percent_rank", None)  # window fn → rows-only; DuckDB-tested locally
+@register(
+    "b62_percent_rank",
+    """SELECT event_id, user_id,
+              ROUND(percent_rank() OVER (
+                  PARTITION BY user_id ORDER BY value, event_id), 8) AS pct_rank
+       FROM events""",
+)
 def b62_percent_rank(sf_dir: str) -> ray.data.Dataset:
     """percent_rank() OVER (PARTITION BY user ORDER BY value, event_id)
     — the normalized-rank window function: (rank − 1) / (n − 1) per
@@ -6297,7 +6473,23 @@ def b62_percent_rank(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-@register("b63_skew_report", None)  # planning metadata → rows-only; exact-share tested
+@register(
+    "b63_skew_report",
+    """WITH c AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+       tot AS (SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS nd FROM c),
+       hot AS (SELECT k, c FROM c ORDER BY c DESC, k ASC LIMIT 1)
+       SELECT tot.total AS total_rows,
+              tot.nd AS "distinct",
+              hot.k AS hottest_key,
+              ROUND(CAST(hot.c AS DOUBLE) / tot.total, 6) AS hottest_share,
+              ROUND(CAST(hot.c AS DOUBLE)
+                    / (CAST(tot.total AS DOUBLE) / tot.nd), 3) AS skew_ratio,
+              CAST(GREATEST(1, CEIL(
+                  (CAST(hot.c AS DOUBLE)
+                   / (CAST(tot.total AS DOUBLE) / tot.nd)) / 2.0)) AS BIGINT)
+                AS recommended_salts
+       FROM tot CROSS JOIN hot""",
+)
 def b63_skew_report(sf_dir: str) -> pa.Table:
     """Join-key skew advisor — the companion to b58's planner: EXACT
     per-key counts (per-batch Arrow group_by combiner → one grouped
@@ -6361,8 +6553,12 @@ def b63_skew_report(sf_dir: str) -> pa.Table:
             "total_rows": pa.array([int(total)], pa.int64()),
             "distinct": pa.array([int(distinct)], pa.int64()),
             "hottest_key": pa.array([hot_key], pa.int64()),
-            "hottest_share": pa.array([round(hot_n / max(total, 1), 6)], pa.float64()),
-            "skew_ratio": pa.array([round(skew_ratio, 3)], pa.float64()),
+            "hottest_share": pa.array(
+                _round_half_away(np.array([hot_n / max(total, 1)]), 6), pa.float64()
+            ),
+            "skew_ratio": pa.array(
+                _round_half_away(np.array([skew_ratio]), 3), pa.float64()
+            ),
             "recommended_salts": pa.array([salts], pa.int64()),
         }
     )
@@ -6407,21 +6603,62 @@ def data_winsorize(sf_dir: str, lo_q: float = 0.01, hi_q: float = 0.99) -> ray.d
     return ev.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True).sort("event_id")
 
 
-def _affine_scan(A: np.ndarray, B: np.ndarray) -> np.ndarray:
-    """Inclusive scan of z_t = A_t·z_{t−1} + B_t by doubling — O(log n)
-    vectorized passes; A = 0 at segment starts blocks propagation
-    across segments, so no boundary masking is needed (ts_ewma's
-    pattern, shared with the halflife variant)."""
+def _affine_scan(
+    A: np.ndarray,
+    B: np.ndarray,
+    seg_starts: np.ndarray | None = None,
+    max_step_len: int = 4096,
+) -> np.ndarray:
+    """Inclusive scan of z_t = A_t·z_{t−1} + B_t; A = 0 at segment
+    starts blocks propagation across segments (ts_ewma's pattern,
+    shared with the halflife variant).
+
+    Two regimes: when ``seg_starts`` is given and every segment is
+    ≤ ``max_step_len`` rows, the recurrence runs STEP-WISE, vectorized
+    across segments — each step performs the recurrence's own double
+    ops (A·z then + B), so the output is bit-identical to row-at-a-time
+    evaluation (pandas, a SQL recursive CTE). Longer segments fall back
+    to the O(log n)-pass doubling scan in 80-bit intermediates
+    (≈ exactly rounded, but associates ops differently, so last ulps
+    may differ from sequential)."""
     n = len(A)
+    if seg_starts is not None and n:
+        lens = np.diff(np.r_[seg_starts, n])
+        max_len = int(lens.max())
+        if max_len <= max_step_len:
+            z = np.empty(n, np.float64)
+            z[seg_starts] = B[seg_starts]  # A = 0 at starts
+            for k in range(1, max_len):
+                act = seg_starts[lens > k] + k
+                z[act] = A[act] * z[act - 1] + B[act]
+            return z
+    A = A.astype(np.longdouble)
+    B = B.astype(np.longdouble)
     d = 1
     while d < n:
         B[d:] = B[d:] + A[d:] * B[:-d]
         A[d:] = A[d:] * A[:-d]
         d *= 2
-    return B
+    return B.astype(np.float64)
 
 
-@register("ts_ewma_halflife", None)  # recurrence semantics tested vs a loop reference
+@register(
+    "ts_ewma_halflife",
+    """WITH RECURSIVE o AS (
+         SELECT user_id, event_id, value,
+                row_number() OVER (w) AS i,
+                date_diff('microsecond', lag(ts) OVER (w), ts) / 1000000.0 AS dt
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       r AS (
+         SELECT user_id, event_id, i, CAST(value AS DOUBLE) AS z
+         FROM o WHERE i = 1
+         UNION ALL
+         SELECT o.user_id, o.event_id, o.i,
+                power(2.0, -o.dt / 3600.0) * r.z
+                  + (1.0 - power(2.0, -o.dt / 3600.0)) * o.value
+         FROM o JOIN r ON o.user_id = r.user_id AND o.i = r.i + 1)
+       SELECT event_id, user_id, ROUND(z, 8) AS ewma FROM r""",
+)
 def ts_ewma_halflife(sf_dir: str, halflife_s: float = 3600.0) -> ray.data.Dataset:
     """Time-decayed EWMA for IRREGULARLY sampled events — the
     physically meaningful smoother when gaps vary (ts_ewma's per-event
@@ -6475,7 +6712,7 @@ def ts_ewma_halflife(sf_dir: str, halflife_s: float = 3600.0) -> ray.data.Datase
         a = np.exp2(-dt / halflife_s)
         A = np.where(is_start, 0.0, a)
         B = np.where(is_start, val_s, (1.0 - A) * val_s)
-        z = _affine_scan(A, B)
+        z = _affine_scan(A, B, seg_starts=np.flatnonzero(is_start))
         return pa.table(
             {
                 "event_id": pa.array(eid_s, pa.int64()),
@@ -6493,7 +6730,17 @@ def ts_ewma_halflife(sf_dir: str, halflife_s: float = 3600.0) -> ray.data.Datase
     )
 
 
-@register("ts_event_bigrams", None)  # exact counts; DuckDB lead() tested
+@register(
+    "ts_event_bigrams",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                lead(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+         FROM events)
+       SELECT event_type || '→' || nxt AS pair, count(*) AS n
+       FROM seq WHERE nxt IS NOT NULL
+       GROUP BY 1 ORDER BY n DESC, pair LIMIT 25""",
+)
 def ts_event_bigrams(sf_dir: str, k: int = 25) -> pa.Table:
     """Sequential pattern mining, the simplest member: top-k
     consecutive event-type bigrams across users' time-ordered streams
@@ -6577,7 +6824,31 @@ def ts_event_bigrams(sf_dir: str, k: int = 25) -> pa.Table:
     return allp.take(idx)
 
 
-@register("b64_chi_square", None)  # exact counts + closed-form stat; numpy-reference tested
+@register(
+    "b64_chi_square",
+    """WITH mu AS (SELECT avg(value) AS m FROM events),
+       cells AS (
+         SELECT event_type AS et,
+                CASE WHEN value >= mu.m THEN 'high' ELSE 'low' END AS sign,
+                count(*) AS c
+         FROM events CROSS JOIN mu GROUP BY 1, 2),
+       tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                      count(DISTINCT et) AS r, count(DISTINCT sign) AS s
+               FROM cells),
+       rt AS (SELECT et, CAST(sum(c) AS DOUBLE) AS rc FROM cells GROUP BY et),
+       ct AS (SELECT sign, CAST(sum(c) AS DOUBLE) AS cc FROM cells GROUP BY sign),
+       chi AS (
+         SELECT sum((cells.c - rt.rc * ct.cc / tot.n)
+                    * (cells.c - rt.rc * ct.cc / tot.n)
+                    / (rt.rc * ct.cc / tot.n)) AS chi2
+         FROM cells JOIN rt USING (et) JOIN ct USING (sign) CROSS JOIN tot)
+       SELECT tot.n AS n, tot.r AS rows, tot.s AS cols,
+              ROUND(chi.chi2, 6) AS chi2,
+              CAST((tot.r - 1) * (tot.s - 1) AS BIGINT) AS dof,
+              ROUND(sqrt(chi.chi2 / (tot.n * GREATEST(LEAST(tot.r, tot.s) - 1, 1))), 6)
+                AS cramers_v
+       FROM tot CROSS JOIN chi""",
+)
 def b64_chi_square(sf_dir: str) -> pa.Table:
     """Chi-square independence test between event_type and
     above-vs-below-mean value — the categorical-association
@@ -6627,8 +6898,10 @@ def b64_chi_square(sf_dir: str) -> pa.Table:
             "n": pa.array([int(n)], pa.int64()),
             "rows": pa.array([len(ets)], pa.int64()),
             "cols": pa.array([len(signs)], pa.int64()),
-            "chi2": pa.array([round(chi2, 6)], pa.float64()),
+            "chi2": pa.array(_round_half_away(np.array([chi2]), 6), pa.float64()),
             "dof": pa.array([dof], pa.int64()),
-            "cramers_v": pa.array([round(cramers_v, 6)], pa.float64()),
+            "cramers_v": pa.array(
+                _round_half_away(np.array([cramers_v]), 6), pa.float64()
+            ),
         }
     )

@@ -168,13 +168,21 @@ def compact_parquet_dir(
     multi = [b for b in bins if len(b) > 1]
 
     @_ray.remote
-    def _compact_bin(paths: list[str], out_path: str, tmp_path: str) -> int:
+    def _compact_bin(
+        uri_root: str, paths: list[str], out_path: str, tmp_path: str
+    ) -> int:
         import pyarrow as pa2
         import pyarrow.fs as pafs2
         import pyarrow.parquet as pq
 
-        f2, _ = pafs2.FileSystem.from_uri(paths[0]) if "://" in paths[0] else (
-            pafs2.LocalFileSystem(), None
+        # Re-derive the filesystem from the ORIGINAL user URI, not from
+        # paths[0]: FileInfo.path as returned by a URI filesystem is
+        # scheme-less, so sniffing '://' there silently fell back to
+        # LocalFileSystem on object stores (ADVICE r3).
+        f2 = (
+            pafs2.FileSystem.from_uri(uri_root)[0]
+            if "://" in uri_root
+            else pafs2.LocalFileSystem()
         )
         tables = [pq.read_table(p, filesystem=f2) for p in paths]
         merged = pa2.concat_tables(tables, promote_options="default")
@@ -191,7 +199,7 @@ def compact_parquet_dir(
         digest = hashlib.sha1("|".join(i.base_name for i in b).encode()).hexdigest()[:12]
         out = f"{root}/compacted-{digest}-{len(b)}.parquet"
         tmp = f"{root}/.compact-{digest}.tmp"
-        futures.append(_compact_bin.remote([i.path for i in b], out, tmp))
+        futures.append(_compact_bin.remote(path, [i.path for i in b], out, tmp))
     _ray.get(futures)  # every bin committed before any input dies
     if delete_inputs:
         for b in multi:

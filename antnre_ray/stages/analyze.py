@@ -366,6 +366,46 @@ def _df_partial(batch: pa.Table) -> pa.Table:
     )
 
 
+def _merge_sparse_counts(total_col: str):
+    """Merge fn for tree_fold over (idx: list<int64>, cnt: list<int64>,
+    <total_col>: int64) partial rows: concatenates the sparse pairs,
+    re-uniques, and sums the scalar — integer addition, so the tree
+    grouping cannot change the final dense fold."""
+
+    def merge(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "idx": pa.array([], pa.list_(pa.int64())),
+                    "cnt": pa.array([], pa.list_(pa.int64())),
+                    total_col: pa.array([], pa.int64()),
+                }
+            )
+        idx = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in b.column("idx").to_pylist()]
+            or [np.empty(0, dtype=np.int64)]
+        )
+        cnt = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in b.column("cnt").to_pylist()]
+            or [np.empty(0, dtype=np.int64)]
+        )
+        uniq, inv = np.unique(idx, return_inverse=True)
+        summed = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(summed, inv, cnt)
+        total = int(pc.sum(b.column(total_col)).as_py() or 0)
+        return pa.table(
+            {
+                "idx": pa.array([uniq.tolist()], pa.list_(pa.int64())),
+                "cnt": pa.array([summed.tolist()], pa.list_(pa.int64())),
+                total_col: pa.array([total], pa.int64()),
+            }
+        )
+
+    return merge
+
+
 class _TfidfScorer:
     """Actor-pool stage: df table (4 MB int32) fetched ONCE per actor."""
 
@@ -411,10 +451,10 @@ class _TfidfScorer:
 def tfidf_keywords(ds, top_k: int = 3):
     """Top-k TF-IDF keywords per document, two streaming passes:
 
-    pass 1 folds per-block SPARSE df partials into one dense 2^20
-    int32 table driver-side (partials are vocabulary-sized, never
-    corpus-sized; a 256-node run would tree-merge them with a
-    map_batches reduce instead of the driver fold);
+    pass 1 reduces per-block SPARSE df partials TREE-SHAPED (one
+    distributed merge level via functions.fold.tree_fold, so the
+    driver folds ≤ k rows, never O(num_blocks)) into one dense 2^20
+    int32 table;
     pass 2 broadcasts the df table once (``ray.put`` -> actor
     ``__init__``) and scores each doc locally — no shuffle at all.
     Hash-bucketed df (2^20) trades exact idf for bounded state; a
@@ -423,9 +463,12 @@ def tfidf_keywords(ds, top_k: int = 3):
     precedent); everything per-doc is numpy."""
     import ray
 
-    parts = ds.map_batches(
-        _df_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
+    from ..functions.fold import tree_fold
+
+    parts = tree_fold(
+        ds.map_batches(_df_partial, batch_format="pyarrow", zero_copy_batch=True),
+        _merge_sparse_counts("n_docs"),
+    )
     df = np.zeros(TFIDF_BUCKETS, dtype=np.int32)
     n_docs = 0
     for p in parts:
@@ -517,17 +560,21 @@ def lm_perplexity(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     down-weighted).
 
     Two streaming passes, same shape as :func:`tfidf_keywords`: pass 1
-    folds sparse per-block hashed term-count partials into one dense
-    2^20 int32 table driver-side (vocabulary-sized, never corpus-
-    sized; tree-merge at cluster scale); pass 2 broadcasts the table
-    once and scores every doc locally with add-one smoothing over the
-    bucket space. Deterministic and partition-independent: the model
-    is a pure function of corpus counts, each doc scores alone."""
+    reduces sparse per-block hashed term-count partials TREE-SHAPED
+    (functions.fold.tree_fold — the driver folds ≤ k rows, never
+    O(num_blocks)) into one dense 2^20 int32 table; pass 2 broadcasts
+    the table once and scores every doc locally with add-one smoothing
+    over the bucket space. Deterministic and partition-independent:
+    the model is a pure function of corpus counts, each doc scores
+    alone."""
     import ray
 
-    parts = ds.map_batches(
-        _tf_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
+    from ..functions.fold import tree_fold
+
+    parts = tree_fold(
+        ds.map_batches(_tf_partial, batch_format="pyarrow", zero_copy_batch=True),
+        _merge_sparse_counts("n_tokens"),
+    )
     tf = np.zeros(LM_BUCKETS, dtype=np.int32)
     total = 0
     for p in parts:
@@ -758,7 +805,37 @@ def corpus_divergence(docs: "ray.data.Dataset", group_col: str = "source") -> pa
             }
         )
 
-    parts = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    def merge_groups(b: pa.Table) -> pa.Table:
+        """tree_fold merge: re-combine (g, idx, cnt) sparse rows per
+        group within one batch — integer sums, order-free."""
+        acc: dict[str, np.ndarray] = {}
+        for r_g, r_idx, r_cnt in zip(
+            b.column("g").to_pylist(), b.column("idx").to_pylist(), b.column("cnt").to_pylist()
+        ):
+            v = acc.setdefault(r_g, np.zeros(DSIR_BUCKETS, dtype=np.int64))
+            np.add.at(v, np.asarray(r_idx, dtype=np.int64), np.asarray(r_cnt, dtype=np.int64))
+        gs, idxs, cnts = [], [], []
+        for g in sorted(acc):
+            nz = np.flatnonzero(acc[g])
+            gs.append(g)
+            idxs.append(nz.tolist())
+            cnts.append(acc[g][nz].tolist())
+        return pa.table(
+            {
+                "g": pa.array(gs, pa.string()),
+                "idx": pa.array(idxs, pa.list_(pa.int64())),
+                "cnt": pa.array(cnts, pa.list_(pa.int64())),
+            }
+        )
+
+    from ..functions.fold import tree_fold
+
+    parts = tree_fold(
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        merge_groups,
+        k=8,
+        rows_per_merge=64,  # ≤64 groups asserted below
+    )
     dense: dict[str, np.ndarray] = {}
     for p in parts:
         v = dense.setdefault(p["g"], np.zeros(DSIR_BUCKETS, dtype=np.int64))

@@ -112,6 +112,14 @@ def _warn_not_converged(which: str, max_iters: int) -> None:
     )
 
 
+def _check_max_iters(max_iters: int) -> None:
+    """Iterative ops need >= 1 round: max_iters=0 returned the initial
+    state in the small regime and raised UnboundLocalError in the large
+    one (ADVICE r3) — fail loudly at entry instead."""
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+
+
 def _components_small(
     und: ray.data.Dataset,
     labels_ds: ray.data.Dataset,
@@ -266,6 +274,7 @@ def connected_components(
     against an uninterrupted run). ``max_iters`` counts iterations per
     CALL. The node universe is fingerprinted (n_nodes) and asserted on
     resume."""
+    _check_max_iters(max_iters)
 
     def undirect(b: pa.Table) -> pa.Table:
         # Columnar symmetrization: concat the two columns both ways —
@@ -403,6 +412,7 @@ def pagerank(
     Float sums are shuffle-order-dependent in the last ulps; compare
     with tolerance (tests use a dense numpy reference).
     """
+    _check_max_iters(iters)
     from ray.data.aggregate import Count, Sum
 
     def edge_rows(b: pa.Table) -> pa.Table:
@@ -832,6 +842,7 @@ def kcore(
       key-partitioned shuffles. Convergence = alive count unchanged
       (strictly decreasing otherwise, so equality is exact).
     """
+    _check_max_iters(max_iters)
     from ray.data.aggregate import Count
 
     def undirect_simple(b: pa.Table) -> pa.Table:
@@ -1046,6 +1057,7 @@ def label_propagation(
       ``changed`` bit and convergence is an exact Sum(changed) == 0 —
       no extra join, no checksum heuristics.
     """
+    _check_max_iters(max_iters)
     from ray.data.aggregate import Count, Min, Sum
 
     def undirect_simple(b: pa.Table) -> pa.Table:
@@ -1296,6 +1308,7 @@ def bfs_depth(
     MIN combiner + grouped Min — node-scale state only between rounds;
     convergence via the exact 16-bit-slice depth-sum (strictly decreasing
     under min-propagation). Small regime broadcasts the depth vector."""
+    _check_max_iters(max_iters)
     seed_arr = pa.array(sorted(set(seeds)), pa.string())
 
     def undirect(b: pa.Table) -> pa.Table:
@@ -1467,6 +1480,7 @@ def shortest_path(
     :func:`bfs_depth`: stored distances only decrease and are capped at
     the sentinel, so the exact 16-bit-slice sum strictly decreases
     until the fixpoint."""
+    _check_max_iters(max_iters)
     seed_arr = pa.array(sorted(set(seeds)), pa.string())
 
     def edge_rows(b: pa.Table) -> pa.Table:
@@ -1640,6 +1654,7 @@ def harmonic_centrality(
     (partition-invariant bottom-k). Unreachable pairs contribute 0
     (the harmonic convention — why this beats closeness on disconnected
     graphs)."""
+    _check_max_iters(max_iters)
     from ray.data.aggregate import Count, Sum
 
     from ..functions.hashing import stable_u64

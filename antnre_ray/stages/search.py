@@ -64,7 +64,30 @@ def bm25_topk(ds: ray.data.Dataset, query: str, k: int = 10) -> pa.Table:
             }
         )
 
-    parts = ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    def merge_stats(b: pa.Table) -> pa.Table:
+        """tree_fold merge: integer sums of (n_docs, sum_dl, df[])."""
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "n_docs": pa.array([], pa.int64()),
+                    "sum_dl": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        df_sum = np.sum([np.asarray(x, dtype=np.int64) for x in b.column("df").to_pylist()], axis=0)
+        return pa.table(
+            {
+                "n_docs": pa.array([int(pc.sum(b.column("n_docs")).as_py() or 0)], pa.int64()),
+                "sum_dl": pa.array([int(pc.sum(b.column("sum_dl")).as_py() or 0)], pa.int64()),
+                "df": pa.array([df_sum.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    from ..functions.fold import tree_fold
+
+    parts = tree_fold(
+        ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True), merge_stats
+    )
     n_docs = sum(p["n_docs"] for p in parts)
     if n_docs == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())})

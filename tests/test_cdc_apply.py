@@ -22,7 +22,7 @@ def test_cdc_apply_matches_merge_sql(ray_session, sf001):
     from antnre_ray.pipelines.registry import load_all
 
     fn, sql = load_all()["b59_cdc_apply"]
-    assert sql is None
+    assert sql is not None
     rows = fn(sf001).take_all()
     ref = _con(sf001).execute(
         """
@@ -69,7 +69,7 @@ def test_latest_by_key_matches_window_sql(ray_session, sf001):
     from antnre_ray.pipelines.registry import load_all
 
     fn, sql = load_all()["b60_latest_by_key"]
-    assert sql is None
+    assert sql is not None
     rows = fn(sf001).take_all()
     ref = _con(sf001).execute(
         """

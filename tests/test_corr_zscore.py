@@ -19,7 +19,7 @@ def test_corr_matrix_matches_duckdb(ray_session, sf001):
     from antnre_ray.pipelines.registry import load_all
 
     fn, sql = load_all()["b56_corr_matrix"]
-    assert sql is None
+    assert sql is not None
     out = fn(sf001)
     got = {
         (x, y): c
@@ -65,7 +65,7 @@ def test_group_normalize_matches_duckdb(ray_session, sf001):
     from antnre_ray.pipelines.registry import load_all
 
     fn, sql = load_all()["data_group_normalize"]
-    assert sql is None
+    assert sql is not None
     rows = fn(sf001).take_all()
     got = {r["event_id"]: r["z"] for r in rows}
     con = duckdb.connect()

@@ -12,7 +12,7 @@ def test_event_bigrams_match_duckdb(ray_session, sf001):
     from antnre_ray.pipelines.registry import load_all
 
     fn, sql = load_all()["ts_event_bigrams"]
-    assert sql is None
+    assert sql is not None
     out = fn(sf001)
     got = list(zip(out.column("pair").to_pylist(), out.column("n").to_pylist()))
     con = duckdb.connect()
@@ -63,7 +63,7 @@ def test_chi_square_matches_reference(ray_session, sf001):
     from antnre_ray.pipelines.registry import load_all
 
     fn, sql = load_all()["b64_chi_square"]
-    assert sql is None
+    assert sql is not None
     out = fn(sf001)
     row = {c: out.column(c)[0].as_py() for c in out.column_names}
     df = pd.read_parquet(f"{sf001}/events.parquet", columns=["event_type", "value"])

@@ -18,7 +18,7 @@ def test_histogram_matches_numpy(ray_session, sf001):
     from antnre_ray.pipelines.registry import load_all
 
     fn, sql = load_all()["b57_histogram"]
-    assert sql is None
+    assert sql is not None
     out = fn(sf001)
     v = pd.read_parquet(f"{sf001}/events.parquet", columns=["value"])["value"].to_numpy()
     edges = np.linspace(v.min(), v.max(), 21)

@@ -12,7 +12,7 @@ def test_percent_rank_matches_duckdb(ray_session, sf001):
     from antnre_ray.pipelines.registry import load_all
 
     fn, sql = load_all()["b62_percent_rank"]
-    assert sql is None
+    assert sql is not None
     rows = fn(sf001).take_all()
     con = duckdb.connect()
     con.execute(
@@ -37,7 +37,7 @@ def test_skew_report_exact_share(ray_session, sf001):
     from antnre_ray.pipelines.registry import load_all
 
     fn, sql = load_all()["b63_skew_report"]
-    assert sql is None
+    assert sql is not None
     out = fn(sf001)
     row = {c: out.column(c)[0].as_py() for c in out.column_names}
     df = pd.read_parquet(f"{sf001}/lineitem.parquet", columns=["l_orderkey"])

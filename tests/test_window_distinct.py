@@ -13,7 +13,7 @@ def test_window_distinct_matches_duckdb(ray_session, sf001):
     from antnre_ray.pipelines.registry import load_all
 
     fn, sql = load_all()["b61_window_distinct"]
-    assert sql is None
+    assert sql is not None
     rows = fn(sf001).take_all()
     con = duckdb.connect()
     con.execute(
