@@ -12,7 +12,7 @@ Two plans:
 from __future__ import annotations
 
 import os
-import shutil
+
 import uuid
 
 import numpy as np
@@ -223,27 +223,25 @@ def build_ann_index(
     reads ONLY the hit-bucket directories instead of re-scanning the
     whole table per query set (round-1 gap: scan-per-query ANN).
     Raw float32 vectors are stored, so query-side scores bit-match the
-    scan-based :func:`ann_lsh_topk` plan. Idempotent: a ``_built``
-    marker skips rebuilds (resumable-output rule).
+    scan-based :func:`ann_lsh_topk` plan. Idempotent: a committed
+    manifest skips rebuilds (resumable-output rule).
 
-    DEPLOYMENT CONSTRAINT (build side): ``index_path`` must be a
-    filesystem every node sees at the same path (single node, NFS, or
-    a FUSE-mounted object store). Workers ``write_parquet`` the bucket
-    shards while the driver writes the marker and renames the tmp
-    dir — on a multi-node cluster with node-local paths the shards
-    would land on other nodes and queries would silently miss them. A
-    pure object-store backend additionally needs the rename-based
-    atomicity replaced with a manifest-file commit. The QUERY side is
-    already URI-capable: shard enumeration goes through ``pyarrow.fs``
-    (see ``_shard_files``), so a built index copied/synced to s3://…
-    serves queries directly.
+    DEPLOYMENT: BOTH sides are URI-capable. Shards are written under a
+    fresh ``<index>/<build-id>/`` directory on the target filesystem
+    (any ``pyarrow.fs`` URI — s3://…, hdfs://…, or a local/NFS path),
+    then a single ``_manifest.json`` write publishes them atomically
+    (``_commit_index_build``) — no rename anywhere, so plain object
+    stores work; a crashed build leaves only invisible orphan files.
+    Queries resolve shards through the manifest (``_shard_files``),
+    never by directory listing.
     """
-    marker = os.path.join(index_path, "_built")
-    if os.path.exists(marker) and not overwrite:
+    if _index_is_built(index_path) and not overwrite:
         return index_path
     planes = _hyperplanes(dim, seed)
     pw = np.int64(1) << np.arange(N_PLANES, dtype=np.int64)
-    tmp_path = f"{index_path}.tmp.{uuid.uuid4().hex[:8]}"
+    build_id = f"build-{uuid.uuid4().hex[:8]}"
+    filesystem, root = _index_filesystem(index_path)
+    build_root = f"{root.rstrip('/')}/{build_id}"
 
     def rows(b: pa.Table) -> pa.Table:
         emb = b.column("embedding")
@@ -273,39 +271,143 @@ def build_ann_index(
             )
         return pa.concat_tables(outs)
 
-    # Write-then-rename (the lineage pattern): appending into a live
-    # index dir would mix stale bucket files from a previous/crashed
-    # build into query results.
+    # Write-then-manifest-commit: shards land under a fresh build dir
+    # on the TARGET filesystem; the manifest write (last) publishes
+    # them atomically, so a previous/crashed build can never mix stale
+    # bucket files into query results — and no rename is needed.
     embeddings.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
-        tmp_path, partition_cols=["bucket"]
+        build_root, filesystem=filesystem, partition_cols=["bucket"]
     )
-    with open(os.path.join(tmp_path, "_built"), "w") as f:
-        f.write("ok")
-    if os.path.exists(index_path):
-        shutil.rmtree(index_path)
-    os.replace(tmp_path, index_path)
+    _commit_index_build(index_path, build_id, {})
     return index_path
 
 
-def _shard_files(index_path: str, subdirs: list[str]) -> tuple[list[str], object]:
-    """Enumerate the parquet shards of the given partition directories
-    through ``pyarrow.fs`` instead of ``os.listdir``, so a query-side
-    ``index_path`` may be any Arrow-filesystem URI (s3://…, hdfs://…)
-    as well as a local/NFS path — the ADVICE-r2 multi-node gap, closed
-    for READS. Returns (fs-native shard paths, filesystem) to pass to
-    ``ray.data.read_parquet(..., filesystem=...)``; missing directories
-    contribute no files; per-directory order is sorted (deterministic
-    merge order, same as the old listdir path). Index BUILDS still
-    require a rename-capable shared filesystem (see build_ann_index)."""
+def _index_filesystem(index_path: str) -> tuple[object, str]:
+    """(filesystem, fs-native root) for a local path or any
+    Arrow-filesystem URI (s3://…, hdfs://…)."""
     from pyarrow import fs as pafs
 
     if "://" in index_path:
-        filesystem, root = pafs.FileSystem.from_uri(index_path)
-    else:  # plain (possibly relative) local path — from_uri rejects those
-        filesystem, root = pafs.LocalFileSystem(), os.path.abspath(index_path)
+        return pafs.FileSystem.from_uri(index_path)
+    # plain (possibly relative) local path — from_uri rejects those
+    return pafs.LocalFileSystem(), os.path.abspath(index_path)
+
+
+def _load_manifest(index_path: str) -> dict | None:
+    """The committed manifest, or None if the index has none (never
+    built, build in flight, or a legacy rename-committed layout)."""
+    import json
+
+    from pyarrow import fs as pafs
+
+    filesystem, root = _index_filesystem(index_path)
+    p = f"{root.rstrip('/')}/_manifest.json"
+    try:
+        info = filesystem.get_file_info(p)
+    except OSError:
+        return None
+    if info.type != pafs.FileType.File:
+        return None
+    with filesystem.open_input_stream(p) as f:
+        return json.loads(f.read().decode())
+
+
+def _index_is_built(index_path: str) -> bool:
+    if _load_manifest(index_path) is not None:
+        return True
+    return os.path.exists(os.path.join(index_path, "_built"))  # legacy layout
+
+
+def _write_npy(filesystem, path: str, arr: np.ndarray) -> None:
+    import io
+
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    with filesystem.open_output_stream(path) as f:
+        f.write(buf.getvalue())
+
+
+def _read_npy(filesystem, path: str) -> np.ndarray:
+    import io
+
+    with filesystem.open_input_stream(path) as f:
+        return np.load(io.BytesIO(f.read()))
+
+
+def _load_index_array(index_path: str, name: str) -> np.ndarray:
+    """Read centroids.npy / codebooks.npy through the manifest (URI-
+    capable); fall back to the legacy flat layout."""
+    man = _load_manifest(index_path)
+    filesystem, root = _index_filesystem(index_path)
+    if man is not None:
+        return _read_npy(filesystem, f"{root.rstrip('/')}/{man['build']}/{name}")
+    return np.load(os.path.join(index_path, name))
+
+
+def _commit_index_build(index_path: str, build_id: str, arrays: dict) -> None:
+    """MANIFEST-FILE commit (VERDICT r3 #4): shards were already
+    written under ``<index>/<build_id>/`` via the target filesystem; we
+    (1) write the sidecar arrays there, (2) enumerate the build's
+    parquet shards, and (3) write ``_manifest.json`` at the index root
+    LAST — a single-file PUT, atomic on object stores, so a crashed
+    build leaves the previous manifest (and the previous index) fully
+    readable and an uncommitted pile of orphan files. Queries resolve
+    shards THROUGH the manifest, never by directory listing, so no
+    rename-capable filesystem is required anywhere in the build path.
+    The superseded build directory is deleted best-effort after the
+    commit (a crash there only leaks storage)."""
+    import json
+
+    from pyarrow import fs as pafs
+
+    filesystem, root = _index_filesystem(index_path)
+    root = root.rstrip("/")
+    build_root = f"{root}/{build_id}"
+    filesystem.create_dir(build_root, recursive=True)
+    for name, arr in arrays.items():
+        _write_npy(filesystem, f"{build_root}/{name}", arr)
+    sel = pafs.FileSelector(build_root, recursive=True, allow_not_found=True)
+    rel = sorted(
+        i.path[len(build_root) + 1 :]
+        for i in filesystem.get_file_info(sel)
+        if i.is_file and i.path.endswith(".parquet")
+    )
+    prev = _load_manifest(index_path)
+    with filesystem.open_output_stream(f"{root}/_manifest.json") as f:
+        f.write(json.dumps({"build": build_id, "files": rel}).encode())
+    if prev is not None and prev.get("build") and prev["build"] != build_id:
+        try:
+            filesystem.delete_dir(f"{root}/{prev['build']}")
+        except OSError:
+            pass
+
+
+def _shard_files(index_path: str, subdirs: list[str]) -> tuple[list[str], object]:
+    """Resolve the parquet shards of the given partition directories.
+
+    Manifest-committed indexes (the only kind this module now builds)
+    resolve through ``_manifest.json`` — no directory listing at all,
+    so query-side ``index_path`` may be any Arrow-filesystem URI and
+    uncommitted/orphaned build files are invisible. Legacy layouts
+    (rename-committed, pre-manifest) fall back to a ``pyarrow.fs``
+    directory scan. Returns (fs-native shard paths, filesystem) for
+    ``ray.data.read_parquet(..., filesystem=...)``; missing partitions
+    contribute no files; order is sorted (deterministic merge order)."""
+    from pyarrow import fs as pafs
+
+    filesystem, root = _index_filesystem(index_path)
+    root = root.rstrip("/")
+    man = _load_manifest(index_path)
+    if man is not None:
+        want = set(subdirs)
+        build_root = f"{root}/{man['build']}"
+        return (
+            sorted(f"{build_root}/{r}" for r in man["files"] if r.split("/")[0] in want),
+            filesystem,
+        )
     files: list[str] = []
     for d in subdirs:
-        sel = pafs.FileSelector(f"{root.rstrip('/')}/{d}", allow_not_found=True)
+        sel = pafs.FileSelector(f"{root}/{d}", allow_not_found=True)
         infos = filesystem.get_file_info(sel)
         files.extend(
             sorted(i.path for i in infos if i.is_file and i.path.endswith(".parquet"))
@@ -357,6 +459,38 @@ IVF_SAMPLE = 4096
 IVF_ITERS = 10
 
 
+def _bottomk_sample(
+    embeddings: ray.data.Dataset, seed: int, k: int = IVF_SAMPLE
+) -> list[dict]:
+    """Partitioning-INDEPENDENT uniform sample for index training, in
+    ONE pass with no count(): the min(N, k) rows with the smallest
+    splitmix64(vec_id) are a uniform draw (the KMV order-statistic
+    trick — semantic_dedup's fix, dedup.py). Dataset.random_sample
+    draws per-block, so the same corpus at a different block layout
+    yielded DIFFERENT training sets and therefore different centroids
+    for the "same" index (VERDICT r3 #3). Each batch contributes a
+    ≤ k-row combiner partial; the driver keeps the global bottom-k by
+    (hash, vec_id)."""
+    from ..functions.hashing import mix64
+
+    def draw(b: pa.Table, seed=seed) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("_h", pa.array([], pa.int64()))
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = mix64(ids, seed=seed).view(np.int64) ^ np.int64(-(2**63))  # order-preserving
+        t = b.append_column("_h", pa.array(h, pa.int64()))
+        if b.num_rows <= k:
+            return t
+        keep = np.argpartition(h, k)[:k]
+        return t.take(pa.array(np.sort(keep)))
+
+    rows = embeddings.map_batches(
+        draw, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    rows.sort(key=lambda r: (r["_h"], r["vec_id"]))
+    return rows[:k]
+
+
 def _kmeans(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     """Deterministic numpy k-means (k-means++ init off a fixed RNG).
     Runs driver-side on a SAMPLE only — centroids are k×dim floats."""
@@ -394,32 +528,23 @@ def build_ivf_index(
     pass and written parquet-partitioned by centroid id. The inverted
     lists give a tunable recall/latency dial (``nprobe``) that the
     hyperplane-LSH index lacks; both share the read-only-hit-buckets
-    query plan. Raw float32 vectors stored; idempotent via ``_built``.
-    Same deployment constraint as :func:`build_ann_index`: index_path
-    must be visible to all nodes at the same path."""
-    marker = os.path.join(index_path, "_built")
-    if os.path.exists(marker) and not overwrite:
+    query plan. Raw float32 vectors stored; idempotent via the
+    committed manifest. Same manifest-commit deployment story as
+    :func:`build_ann_index` (URI-capable, no rename)."""
+    if _index_is_built(index_path) and not overwrite:
         return index_path
-    tmp_path = f"{index_path}.tmp.{uuid.uuid4().hex[:8]}"
-    # Sample driver-side: seeded random_sample keeps the draw stable.
-    n_total = embeddings.count()
-    frac = min(1.0, IVF_SAMPLE / max(n_total, 1))
-    sample = embeddings.random_sample(frac, seed=seed).take_all() if n_total else []
+    build_id = f"build-{uuid.uuid4().hex[:8]}"
+    filesystem, root = _index_filesystem(index_path)
+    build_root = f"{root.rstrip('/')}/{build_id}"
+    # Partition-invariant bottom-k-by-hash draw (one pass, no count).
+    sample = _bottomk_sample(embeddings, seed)
     if not sample:
         # Empty table → empty (but valid) index: zero centroids, no lists.
-        os.makedirs(tmp_path, exist_ok=True)
-        np.save(os.path.join(tmp_path, "centroids.npy"), np.zeros((0, dim)))
-        with open(os.path.join(tmp_path, "_built"), "w") as f:
-            f.write("ok")
-        if os.path.exists(index_path):
-            shutil.rmtree(index_path)
-        os.replace(tmp_path, index_path)
+        _commit_index_build(index_path, build_id, {"centroids.npy": np.zeros((0, dim))})
         return index_path
     S = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
     Sn = _normalize(S)
     C = _kmeans(Sn, n_centroids, IVF_ITERS, seed)
-    os.makedirs(tmp_path, exist_ok=True)
-    np.save(os.path.join(tmp_path, "centroids.npy"), C)
     c_ref = ray.put(C)
 
     def assign(b: pa.Table, ref=c_ref) -> pa.Table:
@@ -440,13 +565,9 @@ def build_ivf_index(
         )
 
     embeddings.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
-        tmp_path, partition_cols=["centroid"]
+        build_root, filesystem=filesystem, partition_cols=["centroid"]
     )
-    with open(os.path.join(tmp_path, "_built"), "w") as f:
-        f.write("ok")
-    if os.path.exists(index_path):
-        shutil.rmtree(index_path)
-    os.replace(tmp_path, index_path)
+    _commit_index_build(index_path, build_id, {"centroids.npy": C})
     return index_path
 
 
@@ -461,9 +582,9 @@ def query_ivf_index(
     """Top-k against the IVF index: each query probes its ``nprobe``
     nearest centroids' lists only. Reads are pruned to the probed
     partitions; per-batch partial top-ks merge driver-side."""
-    import os
-
-    C = np.load(os.path.join(index_path, "centroids.npy"))
+    C = _load_index_array(index_path, "centroids.npy")
+    if len(C) == 0:
+        return _empty_topk(k)
     Qn = _normalize(np.asarray(queries, dtype=np.float64))
     sims = Qn @ C.T  # [q, k_cent]
     probe = np.argsort(-sims, axis=1)[:, :nprobe]  # [q, nprobe]
@@ -548,26 +669,26 @@ def build_ivfpq_index(
     bounded sample as the IVF build; encoding is one distributed pass
     (per batch: one matmul per subspace via the ‖r−c‖² = ‖r‖²−2r·c+‖c‖²
     expansion, never an n×256×d temp). Same deployment constraint and
-    atomic tmp+rename build as :func:`build_ann_index`."""
+    manifest-commit build as :func:`build_ann_index`."""
     assert dim % m == 0, (dim, m)
     sub = dim // m
-    marker = os.path.join(index_path, "_built")
-    if os.path.exists(marker) and not overwrite:
+    if _index_is_built(index_path) and not overwrite:
         return index_path
-    tmp_path = f"{index_path}.tmp.{uuid.uuid4().hex[:8]}"
+    build_id = f"build-{uuid.uuid4().hex[:8]}"
+    filesystem, root = _index_filesystem(index_path)
+    build_root = f"{root.rstrip('/')}/{build_id}"
 
-    n_total = embeddings.count()
-    frac = min(1.0, IVF_SAMPLE / max(n_total, 1))
-    sample = embeddings.random_sample(frac, seed=seed).take_all() if n_total else []
-    os.makedirs(tmp_path, exist_ok=True)
+    # Partition-invariant bottom-k-by-hash draw (one pass, no count).
+    sample = _bottomk_sample(embeddings, seed)
     if not sample:
-        np.save(os.path.join(tmp_path, "centroids.npy"), np.zeros((0, dim)))
-        np.save(os.path.join(tmp_path, "codebooks.npy"), np.zeros((m, PQ_K, sub)))
-        with open(os.path.join(tmp_path, "_built"), "w") as f:
-            f.write("ok")
-        if os.path.exists(index_path):
-            shutil.rmtree(index_path)
-        os.replace(tmp_path, index_path)
+        _commit_index_build(
+            index_path,
+            build_id,
+            {
+                "centroids.npy": np.zeros((0, dim)),
+                "codebooks.npy": np.zeros((m, PQ_K, sub)),
+            },
+        )
         return index_path
 
     S = _normalize(np.asarray([r["embedding"] for r in sample], dtype=np.float64))
@@ -582,8 +703,6 @@ def build_ivfpq_index(
             for j in range(m)
         ]
     )  # (m, PQ_K, sub)
-    np.save(os.path.join(tmp_path, "centroids.npy"), C)
-    np.save(os.path.join(tmp_path, "codebooks.npy"), codebooks)
     state = ray.put((C, codebooks))
 
     def encode(b: pa.Table, ref=state) -> pa.Table:
@@ -613,13 +732,11 @@ def build_ivfpq_index(
         )
 
     embeddings.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
-        tmp_path, partition_cols=["centroid"]
+        build_root, filesystem=filesystem, partition_cols=["centroid"]
     )
-    with open(os.path.join(tmp_path, "_built"), "w") as f:
-        f.write("ok")
-    if os.path.exists(index_path):
-        shutil.rmtree(index_path)
-    os.replace(tmp_path, index_path)
+    _commit_index_build(
+        index_path, build_id, {"centroids.npy": C, "codebooks.npy": codebooks}
+    )
     return index_path
 
 
@@ -662,8 +779,8 @@ def query_ivfpq_index(
     Reads touch only the nprobe probed partitions (codes column, 8 B a
     row). Scores are approximations of cosine (quantization error), so
     recall is the tested contract, exactness is not."""
-    C = np.load(os.path.join(index_path, "centroids.npy"))
-    CB = np.load(os.path.join(index_path, "codebooks.npy"))  # (m, 256, sub)
+    C = _load_index_array(index_path, "centroids.npy")
+    CB = _load_index_array(index_path, "codebooks.npy")  # (m, 256, sub)
     if len(C) == 0:
         return _empty_topk(k)
     m, _, sub = CB.shape

@@ -243,9 +243,9 @@ def test_ivf_index_recall_vs_brute_force_clustered(tmp_path):
 
     recall = len(keyset(approx) & keyset(exact)) / len(keyset(exact))
     assert recall >= 0.8, f"IVF recall {recall}"
-    mtime = os.path.getmtime(os.path.join(idx, "_built"))
+    mtime = os.path.getmtime(os.path.join(idx, "_manifest.json"))
     build_ivf_index(ds, idx)
-    assert os.path.getmtime(os.path.join(idx, "_built")) == mtime
+    assert os.path.getmtime(os.path.join(idx, "_manifest.json")) == mtime
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -264,7 +264,7 @@ def test_persisted_ann_index_matches_scan_plan(sf001, tmp_path):
     Q, qids = _ann_queries(sf001)
     idx = str(tmp_path / "annidx")
     build_ann_index(ds, idx)
-    assert os.path.exists(os.path.join(idx, "_built"))
+    assert os.path.exists(os.path.join(idx, "_manifest.json"))
     indexed = query_ann_index(idx, Q, qids, k=5)
     scanned = ann_lsh_topk(ds, Q, qids, k=5)
 
@@ -273,9 +273,9 @@ def test_persisted_ann_index_matches_scan_plan(sf001, tmp_path):
 
     assert rows(indexed) == rows(scanned)
     # Idempotent rebuild: the marker short-circuits (no second write).
-    mtime = os.path.getmtime(os.path.join(idx, "_built"))
+    mtime = os.path.getmtime(os.path.join(idx, "_manifest.json"))
     build_ann_index(ds, idx)
-    assert os.path.getmtime(os.path.join(idx, "_built")) == mtime
+    assert os.path.getmtime(os.path.join(idx, "_manifest.json")) == mtime
 
 
 def test_langid_on_multilingual_samples():
@@ -1012,23 +1012,21 @@ def test_ivfpq_index_recall_and_compression(tmp_path):
     assert recall_refined >= recall_at_20 - 1e-9
 
     # Compression: codes column is fixed_size_list<uint8>[PQ_M] — 8 bytes
-    # per vector where float32[64] is 256.
-    part_dirs = [d for d in os.listdir(idx) if d.startswith("centroid=")]
-    f = next(
-        os.path.join(idx, d, fn)
-        for d in part_dirs
-        for fn in sorted(os.listdir(os.path.join(idx, d)))
-        if fn.endswith(".parquet")
-    )
+    # per vector where float32[64] is 256. Shards resolve through the
+    # committed manifest (no directory-listing assumption).
+    from antnre_ray.stages.similarity import _load_manifest
+
+    man = _load_manifest(idx)
+    f = os.path.join(idx, man["build"], man["files"][0])
     schema = pq.read_schema(f)
     codes_t = schema.field("codes").type
     assert pa.types.is_fixed_size_list(codes_t) and codes_t.list_size == PQ_M
     assert codes_t.value_type == pa.uint8()
     assert "vec" not in schema.names  # raw vectors never stored
 
-    mtime = os.path.getmtime(os.path.join(idx, "_built"))
+    mtime = os.path.getmtime(os.path.join(idx, "_manifest.json"))
     build_ivfpq_index(ds, idx)
-    assert os.path.getmtime(os.path.join(idx, "_built")) == mtime
+    assert os.path.getmtime(os.path.join(idx, "_manifest.json")) == mtime
 
 
 def test_dsir_weights_prefer_target_vocabulary(ray_session):
@@ -1106,3 +1104,94 @@ def test_dsir_select_fraction_and_determinism(ray_session, sf001):
     assert n == pq.ParquetFile(f"{sf001}/documents.parquet").metadata.num_rows
     sel = sum(1 for s in a.column("selected").to_pylist() if s)
     assert 0.15 <= sel / n <= 0.35, sel / n  # frac=0.25, quantile estimated
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_build_sampling_is_partition_invariant(tmp_path):
+    """VERDICT r3 #3: index TRAINING must not depend on block layout.
+    The bottom-k-by-hash draw replaces Dataset.random_sample (which
+    samples per block): building the same corpus at 2 vs 8 input
+    blocks must produce bit-identical centroids (IVF) and codebooks
+    (IVF-PQ)."""
+    import numpy as np
+    import os
+
+    import ray.data
+
+    from antnre_ray.stages.similarity import (
+        _load_index_array,
+        build_ivf_index,
+        build_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((600, 64)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(600), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float32())),
+        }
+    )
+    for builder, arrays in [
+        (build_ivf_index, ["centroids.npy"]),
+        (build_ivfpq_index, ["centroids.npy", "codebooks.npy"]),
+    ]:
+        got = {}
+        for nblocks in (2, 8):
+            ds = ray.data.from_arrow(tbl).repartition(nblocks)
+            idx = str(tmp_path / f"{builder.__name__}-{nblocks}")
+            builder(ds, idx)
+            got[nblocks] = [_load_index_array(idx, a) for a in arrays]
+        for a2, a8 in zip(got[2], got[8]):
+            np.testing.assert_array_equal(a2, a8)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_index_build_and_query_through_file_uri(tmp_path):
+    """VERDICT r3 #4: the manifest-commit build must round-trip through
+    a URI filesystem path (file://…) with NO rename — build AND query
+    through the URI, results identical to the local-path build."""
+    import numpy as np
+    import os
+
+    import ray.data
+
+    from antnre_ray.stages.similarity import (
+        _load_manifest,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((10, 64))
+    X = np.repeat(centers, 50, axis=0) + 0.2 * rng.standard_normal((500, 64))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(500), pa.int64()),
+            "embedding": pa.array(
+                [r.astype(np.float32).tolist() for r in X], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    local = str(tmp_path / "ivf-local")
+    uri = "file://" + str(tmp_path / "ivf-uri")
+    build_ivf_index(ds, local)
+    build_ivf_index(ds, uri)
+    # committed via manifest, readable through either addressing mode
+    assert _load_manifest(local) is not None and _load_manifest(uri) is not None
+    assert not os.path.exists(os.path.join(str(tmp_path / "ivf-uri"), "_built"))
+    qids = [0, 50, 100]
+    Q = X[qids]
+    a = query_ivf_index(local, Q, qids, k=5).to_pylist()
+    b = query_ivf_index(uri, Q, qids, k=5).to_pylist()
+    assert a == b and len(a) > 0
+    # idempotence through the manifest: rebuild without overwrite no-ops
+    m = _load_manifest(uri)["build"]
+    build_ivf_index(ds, uri)
+    assert _load_manifest(uri)["build"] == m
+    # overwrite: a NEW build id is committed and the old dir is gone
+    build_ivf_index(ds, uri, overwrite=True)
+    m2 = _load_manifest(uri)["build"]
+    assert m2 != m
+    assert not os.path.exists(os.path.join(str(tmp_path / "ivf-uri"), m))
