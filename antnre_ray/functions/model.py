@@ -65,8 +65,89 @@ def lstm_forward(
     return H
 
 
-def bilstm_forward(X, mask, params: dict) -> np.ndarray:
-    """Bidirectional LSTM → [B, T, 2h] (forward ‖ backward states)."""
+def lstm_forward_sorted(
+    X: np.ndarray,  # [B, T, D] float32, right-padded, rows sorted by length ASC
+    lengths: np.ndarray,  # [B] int, ascending
+    Wx: np.ndarray,
+    Wh: np.ndarray,
+    b: np.ndarray,
+    reverse: bool = False,
+    Xp: np.ndarray | None = None,
+) -> np.ndarray:
+    """`lstm_forward` for length-SORTED batches — bit-identical output,
+    ~1.2× faster (profiled: the extraction kernel is 80% of corpus-
+    scale wall, VERDICT r3 #6).
+
+    Two exact transformations of the masked loop:
+    - rows are sorted ascending, so at step t the rows still running
+      (len > t) form a contiguous SUFFIX in BOTH directions (a frozen
+      forward row stays frozen; a reverse row starts only at its own
+      last token) — the three mask-blend expressions (2 ops-chains on
+      state + one on H) collapse to suffix ASSIGNMENTS. For active
+      rows `m = 1`: `1·x + 0·y ≡ x` exactly; for frozen rows nothing
+      is touched, which is what `m = 0` computed. The gemm keeps the
+      FULL batch every step (a row-count-varying gemm was measured to
+      flip last ulps on this BLAS build — constant shape keeps H
+      bit-identical to the masked loop).
+    - Xp transposes once to [T, B, 4h] so every step reads a
+      contiguous slab instead of a strided plane.
+    """
+    h = Wh.shape[0]
+    if Xp is None:
+        B, T, D = X.shape
+        Xp = (X.reshape(B * T, D) @ Wx).reshape(B, T, 4 * h) + b
+    else:
+        B, T = Xp.shape[0], Xp.shape[1]
+    H = np.zeros((B, T, h), dtype=np.float32)
+    ht = np.zeros((B, h), dtype=np.float32)
+    ct = np.zeros((B, h), dtype=np.float32)
+    Xp = np.ascontiguousarray(Xp.transpose(1, 0, 2))  # [T, B, 4h]
+    steps = range(T - 1, -1, -1) if reverse else range(T)
+    for t in steps:
+        a0 = int(np.searchsorted(lengths, t, side="right"))
+        if a0 >= B:
+            continue
+        g = Xp[t] + ht @ Wh
+        ifo = sigmoid(g[:, : 3 * h])
+        i = ifo[:, :h]
+        f = ifo[:, h : 2 * h]
+        o = ifo[:, 2 * h :]
+        c_hat = np.tanh(g[:, 3 * h :])
+        c_new = f * ct + i * c_hat
+        h_new = o * np.tanh(c_new)
+        if a0 == 0:
+            ct, ht = c_new, h_new
+            H[:, t, :] = h_new
+        else:
+            ct[a0:] = c_new[a0:]
+            ht[a0:] = h_new[a0:]
+            H[a0:, t, :] = h_new[a0:]
+    return H
+
+
+def bilstm_forward(
+    X,
+    mask,
+    params: dict,
+    lengths: np.ndarray | None = None,
+    Xp_f: np.ndarray | None = None,
+    Xp_b: np.ndarray | None = None,
+) -> np.ndarray:
+    """Bidirectional LSTM → [B, T, 2h] (forward ‖ backward states).
+
+    Pass ``lengths`` (ascending) for length-sorted batches to take the
+    bit-identical fast path; otherwise the general masked loop runs.
+    ``Xp_f``/``Xp_b`` are optional precomputed (already biased) input
+    projections [B, T, 4h] — the per-unique-token projection gather
+    (see extract_sentences), which skips the per-bucket input gemm."""
+    if lengths is not None:
+        fwd = lstm_forward_sorted(
+            X, lengths, params["Wx_f"], params["Wh_f"], params["b_f"], Xp=Xp_f
+        )
+        bwd = lstm_forward_sorted(
+            X, lengths, params["Wx_b"], params["Wh_b"], params["b_b"], reverse=True, Xp=Xp_b
+        )
+        return np.concatenate([fwd, bwd], axis=-1)
     fwd = lstm_forward(X, mask, params["Wx_f"], params["Wh_f"], params["b_f"], reverse=False)
     bwd = lstm_forward(X, mask, params["Wx_b"], params["Wh_b"], params["b_b"], reverse=True)
     return np.concatenate([fwd, bwd], axis=-1)
@@ -114,27 +195,51 @@ def crf_viterbi(
     maximum) — pinned for determinism (SURVEY.md §4.3.3).
     """
     B, T, K = emissions.shape
-    dp_hist = np.empty((B, T, K), dtype=np.float32)
+    # contiguous per-step slabs (emissions[:, t, :] is a strided plane)
+    em_t = np.ascontiguousarray(emissions.transpose(1, 0, 2))  # [T, B, K]
     bp = np.zeros((B, T, K), dtype=np.int32)
-    dp = start[None, :] + emissions[:, 0, :]
-    dp_hist[:, 0] = dp
+    dp = start[None, :] + em_t[0]
+    # Per-row FINAL dp captured the step the row ends — replaces the
+    # full [B, T, K] dp history (written every step, read once).
+    final_dp = np.empty((B, K), dtype=np.float32)
+    done0 = lengths <= 1
+    if done0.any():
+        final_dp[done0] = dp[done0]
+    # Length-sorted batches (the extractor's buckets) update the still-
+    # running SUFFIX by assignment; unsorted inputs use the masked
+    # where() — bit-identical either way (active rows get dp_new
+    # verbatim, frozen rows keep dp verbatim).
+    is_sorted = bool(np.all(lengths[1:] >= lengths[:-1])) if B > 1 else True
     for t in range(1, T):
         scores = dp[:, :, None] + trans[None, :, :]  # [B, from, to]
         best_prev = scores.argmax(axis=1)  # [B, K] lowest-index ties
-        dp_new = np.take_along_axis(scores, best_prev[:, None, :], axis=1)[:, 0, :] + emissions[:, t, :]
-        active = (lengths > t)[:, None]
-        dp = np.where(active, dp_new, dp)
+        # max() IS the argmax element (no NaNs here) — same value,
+        # without take_along_axis's per-step Python overhead
+        dp_new = scores.max(axis=1) + em_t[t]
+        if is_sorted:
+            a0 = int(np.searchsorted(lengths, t, side="right"))
+            if a0 == 0:
+                dp = dp_new
+            else:
+                dp[a0:] = dp_new[a0:]
+        else:
+            dp = np.where((lengths > t)[:, None], dp_new, dp)
         bp[:, t, :] = best_prev
-        dp_hist[:, t] = dp
+        ends_here = lengths == t + 1
+        if ends_here.any():
+            final_dp[ends_here] = dp[ends_here]
+    if T > 0 and (lengths >= T).any():
+        final_dp[lengths >= T] = dp[lengths >= T]
     tags = np.zeros((B, T), dtype=np.int32)
     last = np.maximum(lengths - 1, 0)
-    final = dp_hist[np.arange(B), last, :] + end[None, :]
+    ar = np.arange(B)
+    final = final_dp + end[None, :]
     cur = final.argmax(axis=1).astype(np.int32)
-    tags[np.arange(B), last] = cur
+    tags[ar, last] = cur
     # Vectorized backtrack: walk t from the right; only sentences whose
     # last position is ≥ t participate at step t.
     for t in range(T - 1, 0, -1):
-        prev = bp[np.arange(B), t, cur]
+        prev = bp[ar, t, cur]
         step_here = last >= t
         tags[:, t - 1] = np.where(step_here, prev, tags[:, t - 1])
         cur = np.where(step_here, prev, cur).astype(np.int32)

@@ -276,11 +276,43 @@ def _token_features(
         cache[tok] = (vocab.get(tok, 1), gaz.get(tok, -1), feats[k])
 
 
+def encode_token_lists(
+    token_lists: list[list[str]],
+) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray]:
+    """Dictionary-encode a batch of tokenized sentences ONCE: all
+    per-token Python work (.lower(), vocab/gazetteer/trigger dict gets)
+    then happens per UNIQUE raw token; occurrences become one int32 id
+    stream plus numpy gathers. Returns (unique_raw_tokens,
+    ids_flat, tok_counts, sent_offsets[B+1]). The actor path builds the
+    same encoding straight from the Arrow column (pyarrow
+    dictionary_encode — no per-occurrence Python strings at all)."""
+    B = len(token_lists)
+    raw_to_id: dict[str, int] = {}
+    ids_flat = np.empty(sum(len(t) for t in token_lists), dtype=np.int64)
+    tok_counts = np.empty(B, dtype=np.int64)
+    k = 0
+    uniq_raw: list[str] = []
+    for si, toks in enumerate(token_lists):
+        tok_counts[si] = len(toks)
+        for tok in toks:
+            rid = raw_to_id.get(tok)
+            if rid is None:
+                rid = len(uniq_raw)
+                raw_to_id[tok] = rid
+                uniq_raw.append(tok)
+            ids_flat[k] = rid
+            k += 1
+    sent_off = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(tok_counts, out=sent_off[1:])
+    return uniq_raw, ids_flat, tok_counts, sent_off
+
+
 def extract_sentences(
     model: ModelSpec,
-    token_lists: list[list[str]],
+    token_lists: list[list[str]] | None,
     max_mentions: int = 10,
     feat_cache: dict | None = None,
+    encoded: tuple | None = None,
 ) -> list[tuple[list[tuple[int, int, str, float]], list[tuple[int, int, str, float]]]]:
     """Joint NER+RE over a batch of tokenized sentences.
 
@@ -296,13 +328,16 @@ def extract_sentences(
     (SURVEY.md §7.4.1). ``feat_cache`` is the actor-held per-token
     feature cache; pass a dict that outlives the call for reuse.
     """
-    B = len(token_lists)
+    if encoded is None:
+        encoded = encode_token_lists(token_lists)
+    uniq_raw, ids_flat_global, tok_counts, sent_off = encoded
+    B = len(tok_counts)
     if B == 0:
         return []
     if feat_cache is None:
         feat_cache = {}
-    lower_lists = [[t.lower() for t in toks] for toks in token_lists]
-    uniq = {t for toks in lower_lists for t in toks}
+    uniq_low = [t.lower() for t in uniq_raw]
+    uniq = set(uniq_low)
     _token_features(model, uniq, feat_cache)
 
     # Batch-local feature matrix: one gather per bucket instead of three
@@ -320,8 +355,27 @@ def extract_sentences(
     ).astype(np.float32)
     Wfeat[0] = 0.0  # pad row
     gaz_arr = np.asarray(gaz_l, dtype=np.int32)
+    # Per-unique-token LSTM input projections: Xp rows are a pure
+    # function of the token, so ONE [U+1, D]@[D, 4h] gemm here replaces
+    # every bucket's [nb·T, D] input gemm with a row gather — and makes
+    # Xp independent of bucketing entirely (the per-bucket gemm's last
+    # ulps varied with its row count on this BLAS build; a per-token
+    # projection cannot). ~20% of the extraction kernel at corpus scale.
+    XpW_f = Wfeat @ model.lstm["Wx_f"]
+    XpW_b = Wfeat @ model.lstm["Wx_b"]
+    # raw-unique id → batch-local id / trigger relation id (−1 = none)
+    local_by_rid = np.array([local[t] for t in uniq_low], dtype=np.int32)
+    trig_by_rid = np.array(
+        [
+            REL_TO_ID[TRIGGER_TO_REL[t]] if t in TRIGGER_TO_REL else -1
+            for t in uniq_low
+        ],
+        dtype=np.int32,
+    )
+    local_flat_global = local_by_rid[ids_flat_global]
+    trig_flat_global = trig_by_rid[ids_flat_global]
 
-    lengths_all = np.array([max(len(t), 1) for t in token_lists], dtype=np.int32)
+    lengths_all = np.maximum(tok_counts, 1).astype(np.int32)
     order = np.argsort(lengths_all, kind="stable")
 
     sent_mentions: list[list[tuple[int, int, str, float]]] = [[] for _ in range(B)]
@@ -332,15 +386,26 @@ def extract_sentences(
         lengths = lengths_all[idxs]
         T = int(lengths.max())
         nb = len(idxs)
+        # Ragged gather + one scatter: per-token Python/numpy scalar
+        # work was ~100 ns per occurrence and profiled top-5.
         ids_mat = np.zeros((nb, T), dtype=np.int32)
-        for bi, i in enumerate(idxs):
-            row = ids_mat[bi]
-            for j, tok in enumerate(lower_lists[i]):
-                row[j] = local[tok]
-        X = Wfeat[ids_mat]  # [nb, T, D]
+        lens_tok = tok_counts[idxs]
+        total = int(lens_tok.sum())
+        pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens_tok) - lens_tok, lens_tok
+        )
+        rows = np.repeat(np.arange(nb, dtype=np.int64), lens_tok)
+        src_idx = np.repeat(sent_off[idxs], lens_tok) + pos
+        ids_mat[rows, pos] = local_flat_global[src_idx]
         gaz_tag = gaz_arr[ids_mat]  # pad rows → -1
-        mask = (np.arange(T)[None, :] < lengths[:, None]).astype(np.float32)
-        H = bilstm_forward(X, mask, model.lstm)  # [nb, T, 2h]
+        # lengths ascend within a bucket (global argsort + chunk) → the
+        # sorted fast path with pre-projected inputs (pad row 0 of XpW
+        # is all-zero because Wfeat[0] is).
+        Xp_f = XpW_f[ids_mat] + model.lstm["b_f"]
+        Xp_b = XpW_b[ids_mat] + model.lstm["b_b"]
+        H = bilstm_forward(
+            None, None, model.lstm, lengths=lengths, Xp_f=Xp_f, Xp_b=Xp_b
+        )  # [nb, T, 2h]
         emissions = H @ model.emit_W + model.emit_b  # [nb, T, K]
         # Prefix sums for span pooling: span mean = (C[e] - C[s]) / (e-s)
         # replaces one tiny .mean() call per span (profiled at ~10% of
@@ -364,8 +429,7 @@ def extract_sentences(
         )
 
         for bi, i in enumerate(idxs):
-            toks = token_lists[i]
-            n = len(toks)
+            n = int(tok_counts[i])
             if n == 0:
                 continue
             spans = decode_bio(list(tags[bi, :n]), TAGS)[:max_mentions]
@@ -382,10 +446,8 @@ def extract_sentences(
             sent_mentions[i] = ments
             # Trigger features: relation-indicative words in the sentence.
             trig_vec = np.zeros(len(RELATIONS), dtype=np.float32)
-            for tok in lower_lists[i]:
-                rel = TRIGGER_TO_REL.get(tok)
-                if rel is not None:
-                    trig_vec[REL_TO_ID[rel]] = TRIGGER_BIAS
+            tr = trig_flat_global[sent_off[i] : sent_off[i + 1]]
+            trig_vec[tr[tr >= 0]] = TRIGGER_BIAS
             for a in range(len(ments)):
                 for bdx in range(len(ments)):
                     if a == bdx:

@@ -1034,7 +1034,27 @@ def data_union_evolved(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-@register("text_topk_ngrams", None)  # exact counts; Counter-reference tested
+@register(
+    "text_topk_ngrams",
+    # Python str.split() drops empty tokens; '\s+' splitting only makes
+    # empties at string edges, so the tok <> '' filter reproduces it.
+    r"""WITH docs AS (
+         SELECT row_number() OVER () AS doc,
+                regexp_split_to_array(lower(text), '\s+') AS arr
+         FROM documents),
+       toks AS (
+         SELECT doc, u.tok, u.ord
+         FROM docs, LATERAL (
+           SELECT unnest(arr) AS tok,
+                  generate_subscripts(arr, 1) AS ord) AS u
+         WHERE u.tok <> ''),
+       big AS (
+         SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc ORDER BY ord) AS ngram
+         FROM toks)
+       SELECT ngram, count(*) AS n
+       FROM big WHERE ngram IS NOT NULL
+       GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50""",
+)
 def text_topk_ngrams(sf_dir: str) -> pa.Table:
     """Exact global top-50 bigrams over documents.text
     (stages/analyze.topk_ngrams): per-batch Arrow group_by combiner →

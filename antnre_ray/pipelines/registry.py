@@ -58,6 +58,10 @@ _PREFIX = [
     "data_group_normalize",
     # 2 — the P/R gate, visible in the driver artifact
     "kg_eval_prf",
+    # 3 — new round-4 oracle-backed queries
+    "b65_grouped_topn",
+    "ts_anomaly_zscore",
+    "text_topk_ngrams",
     # 4 — re-confirms for this round's ADVICE fixes
     "b48_grouped_regression",
     "q09_product_profit",
@@ -91,9 +95,6 @@ _PREFIX = [
     "data_train_val_split",
     "b11d_salted_skew_join",
     "b21c_group_sample_bottomk",
-    "b44_group_mode",
-    "b45_funnel",
-    "b46_edit_distance_join",
 ]
 
 assert len(_PREFIX) == SWEEP_CAP, len(_PREFIX)

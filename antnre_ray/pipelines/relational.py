@@ -6905,3 +6905,179 @@ def b64_chi_square(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# --------------------------------- B65: per-group top-N rows
+
+@register(
+    "b65_grouped_topn",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) WHERE rn <= 3""",
+)
+def b65_grouped_topn(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Per-group top-N rows (each customer's 3 priciest orders) — the
+    windowed companion to b20's global top-k: one sharded co-shuffle on
+    o_custkey % SHARDS, then a fully vectorized per-shard ranking
+    (lexsort on (custkey, −price, orderkey), run detection, position
+    within run) — no per-customer Python, no global sort. Prices are
+    copied verbatim (no arithmetic), so the result is hash-exact
+    against the SQL window. At 100 TB this is the standard
+    \"N rows per key\" reducer: shuffle volume is the input, reducer
+    state one run at a time."""
+    from ..stages.dedup import SHARDS
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("o_custkey"), pa.int64())
+        return pa.table(
+            {
+                "shard": _key_shard(key, SHARDS),
+                "o_custkey": key,
+                "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+                "o_totalprice": b.column("o_totalprice"),
+            }
+        )
+
+    def topn_shard(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_totalprice": pa.array([], pa.float64()),
+                "rn": pa.array([], pa.int64()),
+            }
+        )
+        n = group.num_rows
+        if n == 0:
+            return empty
+        cust = group.column("o_custkey").combine_chunks().to_numpy(zero_copy_only=False)
+        okey = group.column("o_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+        price = group.column("o_totalprice").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, -price, cust))
+        cust_s, okey_s, price_s = cust[order], okey[order], price[order]
+        starts = np.nonzero(np.r_[True, cust_s[1:] != cust_s[:-1]])[0]
+        pos = np.arange(n) - np.repeat(starts, np.diff(np.r_[starts, n]))
+        keep = pos < 3
+        return pa.table(
+            {
+                "o_custkey": pa.array(cust_s[keep], pa.int64()),
+                "o_orderkey": pa.array(okey_s[keep], pa.int64()),
+                "o_totalprice": pa.array(price_s[keep], pa.float64()),
+                "rn": pa.array(pos[keep] + 1, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(topn_shard, batch_format="pyarrow")
+    )
+
+
+# --------------------------------- ts: rolling z-score anomaly flags
+
+@register(
+    "ts_anomaly_zscore",
+    """SELECT event_id, user_id,
+              ROUND(CASE WHEN sd > 0
+                         THEN (CAST(cents AS DOUBLE) - mu) / sd
+                         ELSE 0.0 END, 8) AS z,
+              CASE WHEN sd > 0
+                   THEN abs((CAST(cents AS DOUBLE) - mu) / sd) > 3.0
+                   ELSE FALSE END AS is_anomaly
+       FROM (
+         SELECT event_id, user_id, cents,
+                CAST(s AS DOUBLE) / c AS mu,
+                sqrt(GREATEST(CAST(q AS DOUBLE) / c
+                              - (CAST(s AS DOUBLE) / c) * (CAST(s AS DOUBLE) / c),
+                              0.0)) AS sd
+         FROM (
+           SELECT event_id, user_id, cents,
+                  sum(cents) OVER w AS s,
+                  sum(cents * cents) OVER w AS q,
+                  count(*) OVER w AS c
+           FROM (SELECT event_id, user_id, ts,
+                        CAST(ROUND(value * 100) AS BIGINT) AS cents
+                 FROM events)
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)))""",
+)
+def ts_anomaly_zscore(sf_dir: str) -> ray.data.Dataset:
+    """Rolling-window anomaly detection — each event's z-score against
+    its user's trailing 6-event window (the monitoring primitive next
+    to the EWMA smoothers). Values quantize to EXACT integer cents
+    (the b52 rule) so the rolling Σv and Σv² are exact integers and the
+    final float expression — evaluated in the same operation order as
+    the SQL oracle — is bit-exact: mean = s/c, var = max(q/c − mean²,
+    0), z = (v − mean)/σ, flag at |z| > 3. One sharded co-shuffle +
+    per-shard cumsum differences with run-start clamping (the b52
+    frame kernel, carrying a second cumsum for Σv²). Sorted by
+    event_id."""
+    from ..stages.dedup import SHARDS
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("user_id"), pa.int64())
+        cents = _round_half_away(
+            b.column("value").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "shard": _key_shard(key, SHARDS),
+                "user_id": key,
+                "ts": b.column("ts"),
+                "event_id": pc.cast(b.column("event_id"), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def z_shard(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "z": pa.array([], pa.float64()),
+                "is_anomaly": pa.array([], pa.bool_()),
+            }
+        )
+        n = group.num_rows
+        if n == 0:
+            return empty
+        uid = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = group.column("ts").combine_chunks().to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        cents = group.column("cents").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, eid_s, v = uid[order], eid[order], cents[order]
+        starts = np.nonzero(np.r_[True, uid_s[1:] != uid_s[:-1]])[0]
+        pos = np.arange(n) - np.repeat(starts, np.diff(np.r_[starts, n]))
+        width = np.minimum(pos, 5) + 1
+        cs = np.cumsum(v)
+        cq = np.cumsum(v * v)
+        lo = np.arange(n) - width
+        s = cs - np.where(lo >= 0, cs[np.maximum(lo, 0)], 0)
+        q = cq - np.where(lo >= 0, cq[np.maximum(lo, 0)], 0)
+        c = width.astype(np.float64)
+        mu = s.astype(np.float64) / c
+        var = np.maximum(q.astype(np.float64) / c - mu * mu, 0.0)
+        sd = np.sqrt(var)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd > 0, (v.astype(np.float64) - mu) / np.where(sd > 0, sd, 1.0), 0.0)
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "user_id": pa.array(uid_s, pa.int64()),
+                "z": pa.array(_round_half_away(z, 8), pa.float64()),
+                "is_anomaly": pa.array((sd > 0) & (np.abs(z) > 3.0), pa.bool_()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(z_shard, batch_format="pyarrow")
+        .sort("event_id")
+    )

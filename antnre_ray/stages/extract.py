@@ -67,17 +67,46 @@ class ExtractorActor:
         self.feat_cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        token_lists = batch.column("tokens").to_pylist()
-        texts = batch.column("text").to_pylist()
-        tok_offs = batch.column("tok_offsets").to_pylist()
+        import numpy as np
+        import pyarrow.compute as pc
+
+        # Encode tokens straight from Arrow: list_flatten +
+        # dictionary_encode are C kernels, so only the batch's UNIQUE
+        # tokens ever become Python strings (to_pylist of the full
+        # token column was ~10% of the stage's wall).
+        tokens_col = batch.column("tokens")
+        if isinstance(tokens_col, pa.ChunkedArray):
+            tokens_col = tokens_col.combine_chunks()
+        flat = tokens_col.flatten()
+        denc = pc.dictionary_encode(flat)
+        uniq_raw = denc.dictionary.to_pylist()
+        ids_flat = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_counts = pc.list_value_length(tokens_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sent_off = np.zeros(len(tok_counts) + 1, dtype=np.int64)
+        np.cumsum(tok_counts, out=sent_off[1:])
         results = extract_sentences(
-            self.model, token_lists, self.max_mentions, feat_cache=self.feat_cache
+            self.model,
+            None,
+            self.max_mentions,
+            feat_cache=self.feat_cache,
+            encoded=(uniq_raw, ids_flat, tok_counts, sent_off),
         )
+        # Surfaces from flat arrays: char offsets and code-point token
+        # lengths index with sent_off — no per-token Python lists.
+        texts = batch.column("text").to_pylist()
+        offs_col = batch.column("tok_offsets")
+        if isinstance(offs_col, pa.ChunkedArray):
+            offs_col = offs_col.combine_chunks()
+        offs_flat = offs_col.flatten().to_numpy(zero_copy_only=False)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
         mentions_col, triples_col = [], []
-        for toks, text, offs, (ments, trips) in zip(token_lists, texts, tok_offs, results):
+        for i, (text, (ments, trips)) in enumerate(zip(texts, results)):
+            base = sent_off[i]
             mrows = []
             for (s, e, etype, score) in ments:
-                surface = text[offs[s] : offs[e - 1] + len(toks[e - 1])]
+                surface = text[
+                    offs_flat[base + s] : offs_flat[base + e - 1] + tok_len[base + e - 1]
+                ]
                 mrows.append(
                     {"start": s, "end": e, "ent_type": etype, "surface": surface, "score": score}
                 )

@@ -54,7 +54,7 @@ def test_topk_ngrams_matches_counter(ray_session, sf001):
     from antnre_ray.pipelines.registry import load_all
 
     fn, sql = load_all()["text_topk_ngrams"]
-    assert sql is None
+    assert sql is not None
     out = fn(sf001)
     got = list(zip(out.column("ngram").to_pylist(), out.column("n").to_pylist()))
     texts = pd.read_parquet(f"{sf001}/documents.parquet", columns=["text"])["text"]
