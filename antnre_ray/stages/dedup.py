@@ -466,18 +466,20 @@ def build_minhash_index(
     dirs), so a query touches only the shards its band keys hash into.
     Signatures (512 B/doc) are stored; text never is.
 
-    Idempotent via a ``_built`` marker + write-tmp-then-rename (the
-    lineage pattern). Same deployment constraint as
-    similarity.build_ann_index: index_path must be a filesystem every
-    node sees at the same path."""
-    import os
-    import shutil as _shutil
+    Idempotent + atomic via the MANIFEST-FILE commit shared with the
+    ANN indexes (similarity._commit_index_build): shards land under a
+    fresh ``<index>/<build-id>/`` on the target pyarrow filesystem
+    (any URI), then one ``_manifest.json`` write publishes them — no
+    rename, object-store-safe, crashed builds invisible."""
     import uuid
 
-    marker = os.path.join(index_path, "_built")
-    if os.path.exists(marker) and not overwrite:
+    from .similarity import _commit_index_build, _index_filesystem, _index_is_built
+
+    if _index_is_built(index_path) and not overwrite:
         return index_path
-    tmp_path = f"{index_path}.tmp.{uuid.uuid4().hex[:8]}"
+    build_id = f"build-{uuid.uuid4().hex[:8]}"
+    filesystem, root = _index_filesystem(index_path)
+    build_root = f"{root.rstrip('/')}/{build_id}"
 
     def rows(b: pa.Table) -> pa.Table:
         t = minhash_band_rows(b)
@@ -486,13 +488,9 @@ def build_minhash_index(
         return t.append_column("bshard", t.column("shard"))
 
     docs.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
-        tmp_path, partition_cols=["bshard"]
+        build_root, filesystem=filesystem, partition_cols=["bshard"]
     )
-    with open(os.path.join(tmp_path, "_built"), "w") as f:
-        f.write("ok")
-    if os.path.exists(index_path):
-        _shutil.rmtree(index_path)
-    os.replace(tmp_path, index_path)
+    _commit_index_build(index_path, build_id, {})
     return index_path
 
 
@@ -522,16 +520,11 @@ def query_minhash_index(
     shards = (keys_flat % np.uint64(SHARDS)).astype(np.int64)
     # (band, key) lookup keys for the vectorized bucket match below.
     probe = (band.astype(np.int64) << np.int64(48)) ^ keys_flat.view(np.int64)
-    files = [
-        os.path.join(d, f)
-        for d in (
-            f"{index_path}/bshard={s}"
-            for s in sorted(set(shards.tolist()))
-            if os.path.isdir(f"{index_path}/bshard={s}")
-        )
-        for f in sorted(os.listdir(d))
-        if f.endswith(".parquet")
-    ]
+    from .similarity import _shard_files
+
+    files, filesystem = _shard_files(
+        index_path, [f"bshard={s}" for s in sorted(set(shards.tolist()))]
+    )
     if not files:
         return _pairs_schema("est_jaccard").empty_table()
     import pyarrow.parquet as pq
@@ -540,7 +533,7 @@ def query_minhash_index(
     seen: set[tuple[int, int]] = set()
     probe_arr = pa.array(probe, pa.int64())
     for fpath in files:
-        t = pq.read_table(fpath, columns=["band", "key", "doc_id", "sig"])
+        t = pq.read_table(fpath, columns=["band", "key", "doc_id", "sig"], filesystem=filesystem)
         if t.num_rows == 0:
             continue
         ib = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
