@@ -2600,10 +2600,23 @@ def b15d_approx_quantiles(sf_dir: str) -> pa.Table:  # tested vs exact in tests/
             {"sketch": pa.array([sk.reshape(-1).tolist()], pa.list_(pa.float64()))}
         )
 
-    parts = (
-        _read(sf_dir, "lineitem", ["l_extendedprice"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
+    def merge(b: pa.Table) -> pa.Table:
+        """tree_fold merge: quantile_merge is the sketch's own mergeable
+        op (its error analysis covers the two-level tree)."""
+        if b.num_rows == 0:
+            return pa.table({"sketch": pa.array([], pa.list_(pa.float64()))})
+        sk = quantile_merge(
+            [np.asarray(x, dtype=np.float64).reshape(-1, 2) for x in b.column("sketch").to_pylist()]
+        )
+        return pa.table({"sketch": pa.array([sk.reshape(-1).tolist()], pa.list_(pa.float64()))})
+
+    from ..functions.fold import tree_fold
+
+    parts = tree_fold(
+        _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        merge,
     )
     sketches = [np.asarray(p["sketch"], dtype=np.float64).reshape(-1, 2) for p in parts]
     merged = quantile_merge(sketches)
@@ -3007,10 +3020,39 @@ def b41_heavy_hitters(sf_dir: str) -> pa.Table:
             }
         )
 
-    parts = (
-        _read(sf_dir, "lineitem", ["l_partkey"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
+    def merge(b: pa.Table) -> pa.Table:
+        """tree_fold merge: mg_merge is Misra-Gries' own mergeable op
+        (the one-sided error bound composes across the tree)."""
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "items": pa.array([], pa.list_(pa.int64())),
+                    "counts": pa.array([], pa.list_(pa.int64())),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        it, ct = mg_merge(
+            [
+                (np.asarray(i, dtype=np.int64), np.asarray(c, dtype=np.int64))
+                for i, c in zip(b.column("items").to_pylist(), b.column("counts").to_pylist())
+            ]
+        )
+        n = int(pc.sum(b.column("n")).as_py() or 0)
+        return pa.table(
+            {
+                "items": pa.array([it.tolist()], pa.list_(pa.int64())),
+                "counts": pa.array([ct.tolist()], pa.list_(pa.int64())),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    from ..functions.fold import tree_fold
+
+    parts = tree_fold(
+        _read(sf_dir, "lineitem", ["l_partkey"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        merge,
     )
     items, est = mg_merge(
         [
@@ -3930,13 +3972,28 @@ def b50_count_min(sf_dir: str) -> pa.Table:
         grid = cm_partial(b.column("o_custkey").combine_chunks().cast(pa.string()))
         return pa.table({"grid": pa.array([grid.reshape(-1).view(np.int64).tolist()], pa.list_(pa.int64()))})
 
-    parts = (
-        _read(sf_dir, "orders", ["o_custkey"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
-    )
     from ..functions.sketch import CM_D, CM_W
 
+    def merge(b: pa.Table) -> pa.Table:
+        """tree_fold merge: counter addition IS cm_merge (exact)."""
+        if b.num_rows == 0:
+            return pa.table({"grid": pa.array([], pa.list_(pa.int64()))})
+        g = cm_merge(
+            [
+                np.asarray(x, dtype=np.int64).view(np.uint64).reshape(CM_D, CM_W)
+                for x in b.column("grid").to_pylist()
+            ]
+        )
+        return pa.table({"grid": pa.array([g.reshape(-1).view(np.int64).tolist()], pa.list_(pa.int64()))})
+
+    from ..functions.fold import tree_fold
+
+    parts = tree_fold(
+        _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        merge,
+    )
     grid = cm_merge(
         [np.asarray(p["grid"], dtype=np.int64).view(np.uint64).reshape(CM_D, CM_W) for p in parts]
     )
@@ -6006,7 +6063,20 @@ def data_quantile_transform(sf_dir: str) -> ray.data.Dataset:
         )
 
     ev = _read(sf_dir, "events", ["event_id", "value"]).materialize()
-    parts = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    def _pts_merge(b: pa.Table) -> pa.Table:
+        """tree_fold merge: quantile_merge is the sketch's mergeable op."""
+        if b.num_rows == 0:
+            return pa.table({"pts": pa.array([], pa.list_(pa.float64()))})
+        sk = quantile_merge(
+            [np.asarray(x, dtype=np.float64).reshape(-1, 2) for x in b.column("pts").to_pylist()]
+        )
+        return pa.table({"pts": pa.array([sk.reshape(-1).tolist()], pa.list_(pa.float64()))})
+
+    from ..functions.fold import tree_fold
+
+    parts = tree_fold(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True), _pts_merge
+    )
     sketch = quantile_merge(
         [np.asarray(p["pts"], dtype=np.float64).reshape(-1, 2) for p in parts]
     )
@@ -6123,7 +6193,30 @@ def plan_join(
                 }
             )
 
-        parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        def merge(b: pa.Table) -> pa.Table:
+            """tree_fold merge: exact int sums + kmv_merge."""
+            if b.num_rows == 0:
+                return pa.table(
+                    {
+                        "rows": pa.array([], pa.int64()),
+                        "bytes": pa.array([], pa.int64()),
+                        "sk": pa.array([], pa.list_(pa.uint64())),
+                    }
+                )
+            sk = kmv_merge([np.asarray(x, dtype=np.uint64) for x in b.column("sk").to_pylist()])
+            return pa.table(
+                {
+                    "rows": pa.array([int(pc.sum(b.column("rows")).as_py() or 0)], pa.int64()),
+                    "bytes": pa.array([int(pc.sum(b.column("bytes")).as_py() or 0)], pa.int64()),
+                    "sk": pa.array([sk.tolist()], pa.list_(pa.uint64())),
+                }
+            )
+
+        from ..functions.fold import tree_fold
+
+        parts = tree_fold(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True), merge
+        )
         rows = sum(p["rows"] for p in parts)
         nbytes = sum(p["bytes"] for p in parts)
         sketch = kmv_merge([np.asarray(p["sk"], dtype=np.uint64) for p in parts])
@@ -6529,9 +6622,14 @@ def b63_skew_report(sf_dir: str) -> pa.Table:
         idx = pc.sort_indices(b, sort_keys=[("c", "descending"), ("k", "ascending")])[:1]
         return b.take(idx)
 
+    # repartition(16) bounds the driver-side merge at 16 candidate rows
     parts = [
         t
-        for t in ray.get(counts.map_batches(top1, batch_format="pyarrow").to_arrow_refs())
+        for t in ray.get(
+            counts.repartition(16)
+            .map_batches(top1, batch_size=None, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
         if t.num_columns > 0 and t.num_rows > 0
     ]
     allp = pa.concat_tables(parts, promote_options="default")
@@ -6582,7 +6680,20 @@ def data_winsorize(sf_dir: str, lo_q: float = 0.01, hi_q: float = 0.99) -> ray.d
         )
 
     ev = _read(sf_dir, "events", ["event_id", "value"]).materialize()
-    parts = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    def _pts_merge(b: pa.Table) -> pa.Table:
+        """tree_fold merge: quantile_merge is the sketch's mergeable op."""
+        if b.num_rows == 0:
+            return pa.table({"pts": pa.array([], pa.list_(pa.float64()))})
+        sk = quantile_merge(
+            [np.asarray(x, dtype=np.float64).reshape(-1, 2) for x in b.column("pts").to_pylist()]
+        )
+        return pa.table({"pts": pa.array([sk.reshape(-1).tolist()], pa.list_(pa.float64()))})
+
+    from ..functions.fold import tree_fold
+
+    parts = tree_fold(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True), _pts_merge
+    )
     sketch = quantile_merge(
         [np.asarray(p["pts"], dtype=np.float64).reshape(-1, 2) for p in parts]
     )
@@ -6812,10 +6923,15 @@ def ts_event_bigrams(sf_dir: str, k: int = 25) -> pa.Table:
         idx = pc.sort_indices(b, sort_keys=[("n", "descending"), ("pair", "ascending")])[:k]
         return b.take(idx)
 
+    # repartition(16) bounds the driver-side merge at 16·k rows (the
+    # tree_fold rule); per-block top-k is exact — global winners are in
+    # every covering block's top-k.
     parts = [
         t
         for t in ray.get(
-            summed.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()
+            summed.repartition(16)
+            .map_batches(block_topk, batch_size=None, batch_format="pyarrow")
+            .to_arrow_refs()
         )
         if t.num_columns > 0
     ]
