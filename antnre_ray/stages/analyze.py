@@ -967,7 +967,9 @@ def topk_ngrams(
     parts = [
         t
         for t in _ray.get(
-            summed.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()
+            summed.repartition(16)
+            .map_batches(block_topk, batch_size=None, batch_format="pyarrow")
+            .to_arrow_refs()
         )
         if t.num_columns > 0
     ]

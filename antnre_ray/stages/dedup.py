@@ -876,9 +876,22 @@ def semantic_dedup(
         keep = np.argpartition(h, IVF_SAMPLE)[:IVF_SAMPLE]
         return t.take(pa.array(np.sort(keep)))
 
-    sample = embeddings.map_batches(
-        draw, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
+    def bottomk_merge(b: pa.Table) -> pa.Table:
+        """bounding merge level: the global bottom-k is inside every
+        covering partition's bottom-k (exact)."""
+        if b.num_rows <= IVF_SAMPLE:
+            return b
+        h = b.column("_h").to_numpy(zero_copy_only=False)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))[:IVF_SAMPLE]
+        return b.take(pa.array(np.sort(order)))
+
+    sample = (
+        embeddings.map_batches(draw, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(16)
+        .map_batches(bottomk_merge, batch_size=None, batch_format="pyarrow")
+        .take_all()
+    )
     sample.sort(key=lambda r: (r["_h"], r["vec_id"]))
     sample = sample[:IVF_SAMPLE]
     out_schema = pa.schema(

@@ -112,7 +112,21 @@ def bm25_topk(ds: ray.data.Dataset, query: str, k: int = 10) -> pa.Table:
             }
         )
 
-    pool = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    def pool_topk(b: pa.Table) -> pa.Table:
+        """bounding merge level: global top-k ⊆ each partition's top-k."""
+        if b.num_rows <= k:
+            return b
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        s = b.column("score").to_numpy(zero_copy_only=False)
+        keep = np.lexsort((did, -s))[:k]
+        return b.take(pa.array(np.sort(keep)))
+
+    pool = (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(16)
+        .map_batches(pool_topk, batch_size=None, batch_format="pyarrow")
+        .take_all()
+    )
     did = np.array([p["doc_id"] for p in pool], dtype=np.int64)
     sc = np.array([p["score"] for p in pool], dtype=np.float64)
     top = np.lexsort((did, -sc))[:k]

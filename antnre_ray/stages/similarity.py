@@ -202,9 +202,34 @@ def _empty_topk(k: int) -> pa.Table:
     )
 
 
-def _scored_partials(ds: ray.data.Dataset, score) -> pa.Table:
+def _scored_partials(ds: ray.data.Dataset, score, k: int = 64) -> pa.Table:
+    """Collect per-batch (query_id, neighbor_id, cos) partials with one
+    bounding merge level: each of 16 partitions keeps only its per-query
+    top-k candidates (global winners are inside every covering
+    partition's top-k — exact), so the driver holds ≤ 16·k·|queries|
+    rows however many blocks the index scan produced."""
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        q = b.column("query_id").to_numpy(zero_copy_only=False)
+        nid = b.column("neighbor_id").to_numpy(zero_copy_only=False)
+        cos = b.column("cos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -cos, q))
+        qs = q[order]
+        starts = np.nonzero(np.r_[True, qs[1:] != qs[:-1]])[0]
+        pos = np.arange(len(qs)) - np.repeat(starts, np.diff(np.r_[starts, len(qs)]))
+        keep = order[pos < k]
+        return b.take(pa.array(np.sort(keep)))
+
     return pa.concat_tables(
-        [ray.get(r) for r in ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()]
+        [
+            ray.get(r)
+            for r in ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(16)
+            .map_batches(partial_topk, batch_size=None, batch_format="pyarrow")
+            .to_arrow_refs()
+        ]
     )
 
 
@@ -448,7 +473,7 @@ def query_ann_index(
         return _empty_topk(k)
     ds = ray.data.read_parquet(files, filesystem=filesystem, columns=["vec_id", "vec", "bkt"])
     state_ref = ray.put((query_ids, Qn, bucket_to_qis))
-    partials = _scored_partials(ds, _bucketed_scorer(state_ref, "bkt", dim, k))
+    partials = _scored_partials(ds, _bucketed_scorer(state_ref, "bkt", dim, k), k=max(k, 64))
     return _merge_topk(partials, k)
 
 
@@ -484,9 +509,24 @@ def _bottomk_sample(
         keep = np.argpartition(h, k)[:k]
         return t.take(pa.array(np.sort(keep)))
 
-    rows = embeddings.map_batches(
-        draw, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
+    def bottomk_merge(b: pa.Table) -> pa.Table:
+        """tree-level merge: the global bottom-k is inside every
+        covering partition's bottom-k (exact)."""
+        if b.num_rows <= k:
+            return b
+        import numpy as _np
+
+        h = b.column("_h").to_numpy(zero_copy_only=False)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        order = _np.lexsort((ids, h))[:k]
+        return b.take(pa.array(_np.sort(order)))
+
+    rows = (
+        embeddings.map_batches(draw, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(16)
+        .map_batches(bottomk_merge, batch_size=None, batch_format="pyarrow")
+        .take_all()
+    )
     rows.sort(key=lambda r: (r["_h"], r["vec_id"]))
     return rows[:k]
 
@@ -599,7 +639,7 @@ def query_ivf_index(
         return _empty_topk(k)
     ds = ray.data.read_parquet(files, filesystem=filesystem, columns=["vec_id", "vec", "cid"])
     state_ref = ray.put((query_ids, Qn, cid_to_qis))
-    partials = _scored_partials(ds, _bucketed_scorer(state_ref, "cid", dim, k))
+    partials = _scored_partials(ds, _bucketed_scorer(state_ref, "cid", dim, k), k=max(k, 64))
     return _merge_topk(partials, k)
 
 
@@ -814,7 +854,7 @@ def query_ivfpq_index(
         _qids, base, luts, _routing = state
         return base[qi, int(bucket)] + luts[qi][jj[None, :], codes[cand]].sum(axis=1)
 
-    partials = _scored_partials(ds, _routed_scorer(state_ref, "cid", k, prep, score_fn))
+    partials = _scored_partials(ds, _routed_scorer(state_ref, "cid", k, prep, score_fn), k=max(k, 64))
     return _merge_topk(partials, k)
 
 
@@ -882,7 +922,7 @@ def refine_topk(
             }
         )
 
-    partials = _scored_partials(embeddings, score)
+    partials = _scored_partials(embeddings, score, k=max(k, 64))
     return _merge_topk(partials, k)
 
 
