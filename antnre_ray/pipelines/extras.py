@@ -998,7 +998,13 @@ def data_corpus_divergence(sf_dir: str) -> pa.Table:
     return corpus_divergence(docs)
 
 
-@register("data_union_evolved", None)  # schema-evolution ingest → rows-only; typed tests
+@register(
+    "data_union_evolved",
+    # the oracle checks the unioned OUTPUT (every type exactly doubled);
+    # the drift mechanics (null-fill, float widening) stay typed-tested
+    """SELECT event_type, CAST(count(*) * 2 AS BIGINT) AS n
+       FROM events GROUP BY event_type""",
+)
 def data_union_evolved(sf_dir: str) -> ray.data.Dataset:
     """Schema-drift union (sources/io.union_aligned): the events table
     unioned with a synthesized LEGACY snapshot of itself — value
@@ -1125,7 +1131,14 @@ def data_quality_report(sf_dir: str) -> pa.Table:
     return ex.expectations_report(ev, rules)
 
 
-@register("graph_cooccurrence", None)  # projection → rows-only; brute-force tested
+@register(
+    "graph_cooccurrence",
+    """WITH d AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS u,
+                         event_type AS v FROM events)
+       SELECT a.v AS item_a, b.v AS item_b, count(*) AS weight
+       FROM d a JOIN d b ON a.u = b.u AND a.v < b.v
+       GROUP BY 1, 2""",
+)
 def graph_cooccurrence(sf_dir: str) -> ray.data.Dataset:
     """Event-type co-occurrence graph: the bipartite (user → event_type)
     edge list projected onto event types
@@ -1152,7 +1165,25 @@ def graph_cooccurrence(sf_dir: str) -> ray.data.Dataset:
     return bipartite_project(edges).sort(["item_a", "item_b"])
 
 
-@register("graph_assoc_rules", None)  # rule stats → rows-only; brute-force tested
+@register(
+    "graph_assoc_rules",
+    """WITH d AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS u,
+                         event_type AS v FROM events),
+       ic AS (SELECT v, count(*) AS n FROM d GROUP BY v),
+       nb AS (SELECT count(DISTINCT u) AS n FROM d),
+       pairs AS (SELECT a.v AS ia, b.v AS ib, count(*) AS w
+                 FROM d a JOIN d b ON a.u = b.u AND a.v < b.v GROUP BY 1, 2),
+       bidir AS (
+         SELECT ia AS antecedent, ib AS consequent, w, ca.n AS d1, cb.n AS d2
+         FROM pairs JOIN ic ca ON ca.v = ia JOIN ic cb ON cb.v = ib
+         UNION ALL
+         SELECT ib, ia, w, cb.n, ca.n
+         FROM pairs JOIN ic ca ON ca.v = ia JOIN ic cb ON cb.v = ib)
+       SELECT antecedent, consequent, CAST(w AS BIGINT) AS support,
+              ROUND(CAST(w AS DOUBLE) / d1, 8) AS confidence,
+              ROUND(CAST(w AS DOUBLE) * nb.n / (CAST(d1 AS DOUBLE) * d2), 8) AS lift
+       FROM bidir CROSS JOIN nb WHERE w >= 1""",
+)
 def graph_assoc_rules(sf_dir: str) -> ray.data.Dataset:
     """Pairwise association rules over (user → event_type) baskets
     (stages/graph_algos.association_rules): support / confidence /

@@ -58,10 +58,15 @@ _PREFIX = [
     "data_group_normalize",
     # 2 — the P/R gate, visible in the driver artifact
     "kg_eval_prf",
-    # 3 — new round-4 oracle-backed queries
+    # 3 — new round-4 oracle-backed queries (+ the second promotion
+    #     tranche: graph_cooccurrence/graph_assoc_rules — whose oracle
+    #     CAUGHT an item-count dedup bug — and data_union_evolved)
     "b65_grouped_topn",
     "ts_anomaly_zscore",
     "text_topk_ngrams",
+    "graph_cooccurrence",
+    "graph_assoc_rules",
+    "data_union_evolved",
     # 4 — re-confirms for this round's ADVICE fixes
     "b48_grouped_regression",
     "q09_product_profit",
@@ -89,9 +94,6 @@ _PREFIX = [
     "b11b_left_outer_join",
     "b11c_full_outer_join",
     "text_url_domains",
-    "b39_cross_join",
-    "b40_global_row_number",
-    "b42_string_agg",
     "data_train_val_split",
     "b11d_salted_skew_join",
     "b21c_group_sample_bottomk",

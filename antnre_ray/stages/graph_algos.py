@@ -1902,7 +1902,19 @@ def association_rules(
         )
         return t.group_by(["u", "v"]).aggregate([]).rename_columns(["u", "v"])
 
-    distinct = edges.map_batches(dedup, batch_format="pyarrow", zero_copy_batch=True)
+    # Per-batch dedup is only a combiner — the SAME (u, v) edge can
+    # appear in several batches, so a GLOBAL dedup level must precede
+    # the counts (caught by the round-4 DuckDB oracle: per-item basket
+    # counts were inflated ~9× at sf0.001, confidence/lift wrong; the
+    # single-block brute-force test had masked it). The repartition
+    # guards the Ray 2.49 zero-column-empty-block aggregate output
+    # before the follow-on groupbys.
+    distinct = (
+        edges.map_batches(dedup, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_dup"))
+        .repartition(8)
+    )
     item_counts = (
         distinct.groupby("v").aggregate(Count(alias_name="n"))
     )
@@ -1927,8 +1939,14 @@ def association_rules(
         d1 = np.r_[ca, cb]
         d2 = np.r_[cb, ca]
         kk = np.r_[keep, keep]
-        conf = np.round(ww / d1, 8)
-        lift = np.round(ww * float(n_baskets) / (d1 * d2), 8)
+        # half-away (DuckDB ROUND semantics): np.round is half-even and
+        # p/q ratios with power-of-two denominators CAN land exactly on
+        # an 8th-decimal half (1/512 = 0.001953125)
+        def _r8(x: np.ndarray) -> np.ndarray:
+            return np.copysign(np.trunc(np.abs(x) * 1e8 + 0.5), x) / 1e8
+
+        conf = _r8(ww / d1)
+        lift = _r8(ww * float(n_baskets) / (d1 * d2))
         t = pa.table(
             {
                 "antecedent": pa.array(out_a, pa.string()),

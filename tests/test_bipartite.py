@@ -102,3 +102,24 @@ def test_association_rules_min_support(ray_session):
     rows = association_rules(ray.data.from_items(edges), min_support=2).take_all()
     pairs = {(r["antecedent"], r["consequent"]) for r in rows}
     assert ("bread", "milk") in pairs and ("beer", "milk") not in pairs
+
+
+def test_association_rules_multiblock_duplicate_edges(ray_session):
+    """Round-4 regression: the same (u, v) edge arriving in DIFFERENT
+    blocks must not inflate the per-item basket counts (per-batch dedup
+    is only a combiner; a global dedup level owns correctness). Caught
+    by the DuckDB oracle at sf0.001 — the single-block reference test
+    had masked it."""
+    import ray
+
+    from antnre_ray.stages.graph_algos import association_rules
+
+    edges = [{"src": f"u{i%4}", "dst": d} for i in range(4) for d in ("milk", "bread")]
+    # replicate every edge 5x and FORCE many blocks
+    ds = ray.data.from_items(edges * 5).repartition(10)
+    rows = {
+        (r["antecedent"], r["consequent"]): r for r in association_rules(ds).take_all()
+    }
+    r = rows[("milk", "bread")]
+    # all 4 baskets hold both items: support 4, confidence 1.0, lift 1.0
+    assert r["support"] == 4 and r["confidence"] == 1.0 and r["lift"] == 1.0

@@ -68,7 +68,7 @@ def test_registry_entry_doubles_counts(ray_session, sf001):
     from antnre_ray.pipelines.registry import load_all
 
     fn, sql = load_all()["data_union_evolved"]
-    assert sql is None
+    assert sql is not None
     got = {r["event_type"]: r["n"] for r in fn(sf001).take_all()}
     base = pd.read_parquet(f"{sf001}/events.parquet", columns=["event_type"])
     ref = base.value_counts("event_type").to_dict()
