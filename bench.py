@@ -216,7 +216,13 @@ def run_scaling(sf_dir: str) -> dict:
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
     repeat = os.environ.get("GRAFT_SCALING_REPEAT", "16")
     results = {}
+    leg_contention = {}
     for cpus in (lo, hi):
+        # Per-leg stamp: a window that closes MID-RUN hits only the
+        # later leg; one end-of-run probe cannot show which readings to
+        # trust (observed 2026-08-18: probe 1.05 at launch, 1.47 at
+        # the end — the 16-CPU leg absorbed the neighbors).
+        leg_contention[f"probe_before_{cpus}cpu"] = cpu_contention_probe()
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(cpus),
@@ -259,6 +265,7 @@ def run_scaling(sf_dir: str) -> dict:
         "gate": 0.8,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "cpu_contention": contention,
+        "leg_contention": leg_contention,
         # Self-qualifying stamp (VERDICT r3 #7): at contention_ratio
         # > 1.2 outside neighbors hold a material share of the physical
         # cores, which asymmetrically depresses the 16-CPU leg — the
@@ -266,7 +273,14 @@ def run_scaling(sf_dir: str) -> dict:
         # adjudication BASELINE.md performed by hand in round 3.
         "status": (
             "advisory_host_contention"
-            if (contention.get("contention_ratio") or 0) > 1.2
+            if max(
+                [(contention.get("contention_ratio") or 0)]
+                + [
+                    (p.get("contention_ratio") or 0)
+                    for p in leg_contention.values()
+                ]
+            )
+            > 1.2
             else "headline"
         ),
         "triples_identical": results[lo]["triples"] == results[hi]["triples"],
