@@ -1195,3 +1195,41 @@ def test_index_build_and_query_through_file_uri(tmp_path):
     m2 = _load_manifest(uri)["build"]
     assert m2 != m
     assert not os.path.exists(os.path.join(str(tmp_path / "ivf-uri"), m))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_uncommitted_index_build_is_invisible(tmp_path):
+    """Crash-safety of the manifest commit: shard files WITHOUT a
+    committed manifest must be invisible to queries, and a later
+    successful build must supersede them atomically."""
+    import numpy as np
+    import os
+
+    import ray.data
+
+    from antnre_ray.stages.similarity import (
+        _index_is_built,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    rng = np.random.default_rng(9)
+    X = rng.standard_normal((300, 64)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(300), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    idx = str(tmp_path / "ivf-crash")
+    # simulate a crashed build: orphan shard files, no manifest
+    os.makedirs(os.path.join(idx, "build-deadbeef", "centroid=c0000"), exist_ok=True)
+    with open(os.path.join(idx, "build-deadbeef", "centroid=c0000", "junk.parquet"), "wb") as f:
+        f.write(b"not a real parquet")
+    assert not _index_is_built(idx)
+    # a real build commits and queries work; the orphan junk is never read
+    build_ivf_index(ds, idx)
+    assert _index_is_built(idx)
+    out = query_ivf_index(idx, X[[0, 5]], [0, 5], k=3)
+    assert out.num_rows > 0
