@@ -67,6 +67,8 @@ _PREFIX = [
     "graph_cooccurrence",
     "graph_assoc_rules",
     "data_union_evolved",
+    "b66_conditional_agg",
+    "ts_lag_features",
     # 4 — re-confirms for this round's ADVICE fixes
     "b48_grouped_regression",
     "q09_product_profit",
@@ -90,10 +92,8 @@ _PREFIX = [
     "text_pii_redact",
     "data_mix_weighted",
     "b13d_bloom_semi_join",
-    "b38_unpivot",
     "b11b_left_outer_join",
     "b11c_full_outer_join",
-    "text_url_domains",
     "data_train_val_split",
     "b11d_salted_skew_join",
     "b21c_group_sample_bottomk",

@@ -7197,3 +7197,147 @@ def ts_anomaly_zscore(sf_dir: str) -> ray.data.Dataset:
         .map_groups(z_shard, batch_format="pyarrow")
         .sort("event_id")
     )
+
+
+# --------------------------------- B66: FILTER-clause conditional aggregates
+
+@register(
+    "b66_conditional_agg",
+    """SELECT l_returnflag,
+              count(*) AS n_rows,
+              count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+              CAST(COALESCE(sum(CAST(l_quantity AS BIGINT))
+                   FILTER (WHERE l_tax = 0.0), 0) AS BIGINT) AS qty_taxfree,
+              count(*) FILTER (WHERE l_linestatus = 'O') AS n_open
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def b66_conditional_agg(sf_dir: str) -> ray.data.Dataset:
+    """Conditional (FILTER-clause) aggregates — several differently-
+    masked aggregates of one scan in ONE pass: per-batch boolean masks
+    feed an Arrow group_by combiner, one grouped Sum merges, exact
+    integers end to end (quantities are integer-valued by generation).
+    The multi-metric fused-scan shape every reporting pipeline needs —
+    at 100 TB the alternative (one scan per metric) multiplies read
+    cost by the metric count."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        tax = b.column("l_tax").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        status = b.column("l_linestatus")
+        open_mask = pc.equal(status, pa.scalar("O")).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "n_rows": pa.array(np.ones(b.num_rows, np.int64)),
+                "n_discounted": pa.array((disc > 0.05).astype(np.int64)),
+                "qty_taxfree": pa.array(
+                    np.where(tax == 0.0, qty, 0.0).astype(np.int64)
+                ),
+                "n_open": pa.array(open_mask.astype(np.int64)),
+            }
+        )
+        g = t.group_by(["l_returnflag"]).aggregate(
+            [("n_rows", "sum"), ("n_discounted", "sum"), ("qty_taxfree", "sum"), ("n_open", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "n_rows", "n_discounted", "qty_taxfree", "n_open"]
+        )
+
+    return (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_discount", "l_tax", "l_quantity", "l_linestatus"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_discounted", alias_name="n_discounted"),
+            Sum("qty_taxfree", alias_name="qty_taxfree"),
+            Sum("n_open", alias_name="n_open"),
+        )
+    )
+
+
+# --------------------------------- ts: lag-feature generation
+
+@register(
+    "ts_lag_features",
+    """SELECT event_id, user_id,
+              value,
+              lag(value) OVER w AS lag1,
+              lag(value, 2) OVER w AS lag2,
+              value - lag(value) OVER w AS delta1
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def ts_lag_features(sf_dir: str) -> ray.data.Dataset:
+    """Per-key lag features — the autoregressive feature generator of
+    any tabular-ML / time-series pipeline: each event carries its own
+    value, the previous two values in its user's stream, and the first
+    difference (NULL where the lag runs off the stream's start). One
+    sharded co-shuffle + per-shard vectorized shifts with run-boundary
+    masking; values are copied and the delta subtracts the identical
+    doubles the SQL window sees, so the result is hash-exact without
+    rounding. Sorted by event_id."""
+    from ..stages.dedup import SHARDS
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("user_id"), pa.int64())
+        return pa.table(
+            {
+                "shard": _key_shard(key, SHARDS),
+                "user_id": key,
+                "ts": b.column("ts"),
+                "event_id": pc.cast(b.column("event_id"), pa.int64()),
+                "value": b.column("value"),
+            }
+        )
+
+    def lag_shard(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64()),
+                "lag1": pa.array([], pa.float64()),
+                "lag2": pa.array([], pa.float64()),
+                "delta1": pa.array([], pa.float64()),
+            }
+        )
+        n = group.num_rows
+        if n == 0:
+            return empty
+        uid = group.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = group.column("ts").combine_chunks().to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        val = group.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, eid_s, v = uid[order], eid[order], val[order]
+        starts = np.nonzero(np.r_[True, uid_s[1:] != uid_s[:-1]])[0]
+        pos = np.arange(n) - np.repeat(starts, np.diff(np.r_[starts, n]))
+        lag1 = np.r_[np.nan, v[:-1]]
+        lag2 = np.r_[np.nan, np.nan, v[:-2]] if n >= 2 else np.full(n, np.nan)
+        m1 = pos >= 1
+        m2 = pos >= 2
+        delta = v - lag1
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "user_id": pa.array(uid_s, pa.int64()),
+                "value": pa.array(v, pa.float64()),
+                "lag1": pa.array(np.where(m1, lag1, np.nan), pa.float64(), mask=~m1),
+                "lag2": pa.array(np.where(m2, lag2, np.nan), pa.float64(), mask=~m2),
+                "delta1": pa.array(np.where(m1, delta, np.nan), pa.float64(), mask=~m1),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(lag_shard, batch_format="pyarrow")
+        .sort("event_id")
+    )
