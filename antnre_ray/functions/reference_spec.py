@@ -31,8 +31,12 @@ from .model import bilstm_forward, biaffine_score, char_cnn, crf_viterbi, decode
 
 # ---------------------------------------------------------------- inventory
 ENT_TYPES = ["Peop", "Org", "Loc", "Other"]  # CoNLL04 inventory
+ENT_IDX = {t: i for i, t in enumerate(ENT_TYPES)}
 TAGS = ["O"] + [f"{p}-{t}" for t in ENT_TYPES for p in ("B", "I")]  # K=9, O=0
 TAG_TO_ID = {t: i for i, t in enumerate(TAGS)}
+B_TAG_ID = np.array(
+    [TAG_TO_ID[f"B-{t}"] for t in ENT_TYPES], dtype=np.int64
+)  # B-tag emission id per ENT_TYPES index
 RELATIONS = ["NONE", "Work_For", "Live_In", "OrgBased_In", "Located_In", "Kill"]
 REL_TO_ID = {r: i for i, r in enumerate(RELATIONS)}
 
@@ -428,50 +432,83 @@ def extract_sentences(
             axis=1,
         )
 
+        # Span decode stays per-sentence Python (BIO walk); everything
+        # numeric below is vectorized per BUCKET — the per-span
+        # np.concatenate and per-pair np.full/adds were the stage's
+        # second-largest cost after the LSTM. Elementwise op order and
+        # dtypes mirror the old per-span code exactly (float32 division
+        # by a float32 width ≡ division by a Python int under NumPy's
+        # weak scalar promotion), so outputs stay byte-identical.
+        sp_bi: list[int] = []
+        sp_s: list[int] = []
+        sp_e: list[int] = []
+        sp_t: list[int] = []
+        sent_spans: list[tuple[int, int, list]] = []  # (i, first_span_row, spans)
+        trig_rows = np.zeros((nb, len(RELATIONS)), dtype=np.float32)
         for bi, i in enumerate(idxs):
             n = int(tok_counts[i])
             if n == 0:
                 continue
             spans = decode_bio(list(tags[bi, :n]), TAGS)[:max_mentions]
-            ments = []
-            span_vecs = []
-            for (s, e, etype) in spans:
-                vec = np.concatenate(
-                    [(Hc[bi, e] - Hc[bi, s]) / (e - s), model.type_emb[ENT_TYPES.index(etype)]]
-                )
-                span_vecs.append(vec)
-                tid = TAG_TO_ID[f"B-{etype}"]
-                score = float((Ec[bi, e, tid] - Ec[bi, s, tid]) / (e - s))
-                ments.append((s, e, etype, score))
-            sent_mentions[i] = ments
-            # Trigger features: relation-indicative words in the sentence.
-            trig_vec = np.zeros(len(RELATIONS), dtype=np.float32)
-            tr = trig_flat_global[sent_off[i] : sent_off[i + 1]]
-            trig_vec[tr[tr >= 0]] = TRIGGER_BIAS
-            for a in range(len(ments)):
-                for bdx in range(len(ments)):
-                    if a == bdx:
-                        continue
-                    ta = ENT_TYPES.index(ments[a][2])
-                    tb = ENT_TYPES.index(ments[bdx][2])
-                    all_subj_vecs.append(span_vecs[a])
-                    all_obj_vecs.append(span_vecs[bdx])
-                    # Positional direction feature on non-NONE labels.
-                    dir_vec = np.full(
-                        len(RELATIONS),
-                        DIR_BIAS if ments[a][0] < ments[bdx][0] else -DIR_BIAS,
-                        dtype=np.float32,
-                    )
-                    dir_vec[REL_TO_ID["NONE"]] = 0.0
-                    pair_bias_rows.append(model.tp_bias[ta, tb] + trig_vec + dir_vec)
-                    pair_meta.append((i, a, bdx))
+            if spans:
+                sent_spans.append((i, bi, len(sp_bi), spans))
+                for (s, e, etype) in spans:
+                    sp_bi.append(bi)
+                    sp_s.append(s)
+                    sp_e.append(e)
+                    sp_t.append(ENT_IDX[etype])
+                # Trigger features: relation-indicative words present.
+                tr = trig_flat_global[sent_off[i] : sent_off[i + 1]]
+                trig_rows[bi, tr[tr >= 0]] = TRIGGER_BIAS
+        if not sp_bi:
+            continue
+        b_arr = np.asarray(sp_bi, dtype=np.int64)
+        s_arr = np.asarray(sp_s, dtype=np.int64)
+        e_arr = np.asarray(sp_e, dtype=np.int64)
+        t_arr = np.asarray(sp_t, dtype=np.int64)
+        widths = (e_arr - s_arr).astype(np.float32)
+        D = (Hc[b_arr, e_arr] - Hc[b_arr, s_arr]) / widths[:, None]
+        V = np.concatenate([D, model.type_emb[t_arr]], axis=1)  # [nspans, span_dim]
+        tid_arr = B_TAG_ID[t_arr]
+        sp_scores = (Ec[b_arr, e_arr, tid_arr] - Ec[b_arr, s_arr, tid_arr]) / widths
+        # mentions back to their sentences; ordered pair index lists
+        pa_rows: list[int] = []
+        pb_rows: list[int] = []
+        for i, bi, row0, spans in sent_spans:
+            m = len(spans)
+            sent_mentions[i] = [
+                (s, e, etype, float(sp_scores[row0 + j]))
+                for j, (s, e, etype) in enumerate(spans)
+            ]
+            if m < 2:
+                continue
+            for a in range(m):
+                for bdx in range(m):
+                    if a != bdx:
+                        pa_rows.append(row0 + a)
+                        pb_rows.append(row0 + bdx)
+                        pair_meta.append((i, a, bdx))
+        if not pa_rows:
+            continue
+        pa_arr = np.asarray(pa_rows, dtype=np.int64)
+        pb_arr = np.asarray(pb_rows, dtype=np.int64)
+        all_subj_vecs.append(V[pa_arr])
+        all_obj_vecs.append(V[pb_arr])
+        base = model.tp_bias[t_arr[pa_arr], t_arr[pb_arr]]  # [np, R]
+        trig_b = trig_rows[b_arr[pa_arr]]
+        dir_col = np.where(
+            s_arr[pa_arr] < s_arr[pb_arr], DIR_BIAS, -DIR_BIAS
+        ).astype(np.float32)
+        dir_mat = np.broadcast_to(dir_col[:, None], base.shape).copy()
+        dir_mat[:, REL_TO_ID["NONE"]] = 0.0
+        pair_bias_rows.append((base + trig_b) + dir_mat)
 
     # One batched biaffine scoring over ALL pairs in the batch.
     if all_subj_vecs:
-        S = np.stack(all_subj_vecs).astype(np.float32)
-        O = np.stack(all_obj_vecs).astype(np.float32)
+        S = np.concatenate(all_subj_vecs).astype(np.float32)
+        O = np.concatenate(all_obj_vecs).astype(np.float32)
         scores = biaffine_score(S, O, model.U, model.W_rel, model.b_rel)
-        scores += np.stack(pair_bias_rows)
+        scores += np.concatenate(pair_bias_rows)
         best = scores.argmax(axis=1)  # lowest-index ties
         best_scores = scores[np.arange(len(best)), best]
     else:
