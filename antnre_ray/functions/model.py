@@ -210,12 +210,19 @@ def crf_viterbi(
     # where() — bit-identical either way (active rows get dp_new
     # verbatim, frozen rows keep dp verbatim).
     is_sorted = bool(np.all(lengths[1:] >= lengths[:-1])) if B > 1 else True
+    transT = np.ascontiguousarray(trans.T)  # [to, from]
     for t in range(1, T):
-        scores = dp[:, :, None] + trans[None, :, :]  # [B, from, to]
-        best_prev = scores.argmax(axis=1)  # [B, K] lowest-index ties
-        # max() IS the argmax element (no NaNs here) — same value,
-        # without take_along_axis's per-step Python overhead
-        dp_new = scores.max(axis=1) + em_t[t]
+        # [B, to, from]: the from-reduction runs over the CONTIGUOUS
+        # last axis (argmax there measured ~2× the strided middle-axis
+        # form); ties still break to the lowest FROM index. The best
+        # value is gathered from best_prev instead of a second max
+        # reduction (same element, no NaNs).
+        scores = dp[:, None, :] + transT[None, :, :]
+        best_prev = scores.argmax(axis=2)  # [B, K] lowest-index ties
+        dp_new = (
+            np.take_along_axis(scores, best_prev[:, :, None], axis=2)[:, :, 0]
+            + em_t[t]
+        )
         if is_sorted:
             a0 = int(np.searchsorted(lengths, t, side="right"))
             if a0 == 0:
