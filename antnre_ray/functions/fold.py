@@ -47,5 +47,14 @@ def tree_fold(
     )
     rows = merged.take_all()
     cap = k * rows_per_merge
-    assert len(rows) <= cap, f"tree_fold: {len(rows)} merged rows > bound {cap}"
+    if len(rows) > cap:
+        # not assert: under python -O this bound IS the module's whole
+        # point — a broken merge silently reverting the driver to
+        # O(num_blocks) collection must fail loudly everywhere
+        raise RuntimeError(
+            f"tree_fold: {len(rows)} merged rows exceed the declared bound "
+            f"{cap} (k={k} × rows_per_merge={rows_per_merge}) — the merge "
+            "fn is not combining rows, or rows_per_merge understates its "
+            "true per-merge output"
+        )
     return rows

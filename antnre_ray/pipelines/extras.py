@@ -1133,6 +1133,11 @@ def data_quality_report(sf_dir: str) -> pa.Table:
 
 @register(
     "graph_cooccurrence",
+    # ORACLE PRECONDITION: the engine drops baskets with > 256 distinct
+    # items (bipartite_project's max_degree boilerplate rule, loudly
+    # logged); this SQL counts all pairs. The driver corpora stay far
+    # below the cap (|event types| ≈ 5) — a corpus that crosses it makes
+    # the sweep fail on a DOCUMENTED semantic divergence, not a bug.
     """WITH d AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS u,
                          event_type AS v FROM events)
        SELECT a.v AS item_a, b.v AS item_b, count(*) AS weight
@@ -1167,6 +1172,7 @@ def graph_cooccurrence(sf_dir: str) -> ray.data.Dataset:
 
 @register(
     "graph_assoc_rules",
+    # same max_degree=256 oracle precondition as graph_cooccurrence
     """WITH d AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS u,
                          event_type AS v FROM events),
        ic AS (SELECT v, count(*) AS n FROM d GROUP BY v),

@@ -85,9 +85,7 @@ def _pin_ts_col(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
-    p = 10.0 ** nd
-    return np.copysign(np.trunc(np.abs(np.asarray(x, dtype=np.float64)) * p + 0.5), x) / p
+from ..functions.rounding import round_half_away as _round_half_away  # noqa: E402
 
 
 def _round_cols(ds: ray.data.Dataset, digits: dict[str, int]) -> ray.data.Dataset:
@@ -6729,9 +6727,12 @@ def _affine_scan(
     across segments — each step performs the recurrence's own double
     ops (A·z then + B), so the output is bit-identical to row-at-a-time
     evaluation (pandas, a SQL recursive CTE). Longer segments fall back
-    to the O(log n)-pass doubling scan in 80-bit intermediates
-    (≈ exactly rounded, but associates ops differently, so last ulps
-    may differ from sequential)."""
+    to the O(log n)-pass doubling scan in plain float64 — NOT
+    np.longdouble, which is 80-bit on x86 Linux but float64 on
+    Windows/aarch64 and would make >max_step_len outputs
+    platform-dependent (review finding); the doubling association
+    already differs from sequential in the last ulps, which the
+    rounding at the call sites absorbs."""
     n = len(A)
     if seg_starts is not None and n:
         lens = np.diff(np.r_[seg_starts, n])
@@ -6743,14 +6744,14 @@ def _affine_scan(
                 act = seg_starts[lens > k] + k
                 z[act] = A[act] * z[act - 1] + B[act]
             return z
-    A = A.astype(np.longdouble)
-    B = B.astype(np.longdouble)
+    A = A.astype(np.float64)
+    B = B.astype(np.float64)
     d = 1
     while d < n:
         B[d:] = B[d:] + A[d:] * B[:-d]
         A[d:] = A[d:] * A[:-d]
         d *= 2
-    return B.astype(np.float64)
+    return B
 
 
 @register(
@@ -7042,7 +7043,9 @@ def b65_grouped_topn(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     copied verbatim (no arithmetic), so the result is hash-exact
     against the SQL window. At 100 TB this is the standard
     \"N rows per key\" reducer: shuffle volume is the input, reducer
-    state one run at a time."""
+    state one run at a time. NB: the registered oracle pins the default
+    k=3; a caller passing another k gets a result the oracle does not
+    model."""
     from ..stages.dedup import SHARDS
 
     def add_shard(b: pa.Table) -> pa.Table:
@@ -7056,7 +7059,7 @@ def b65_grouped_topn(sf_dir: str, k: int = 3) -> ray.data.Dataset:
             }
         )
 
-    def topn_shard(group: pa.Table) -> pa.Table:
+    def topn_shard(group: pa.Table, k: int = k) -> pa.Table:
         empty = pa.table(
             {
                 "o_custkey": pa.array([], pa.int64()),
@@ -7075,7 +7078,7 @@ def b65_grouped_topn(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         cust_s, okey_s, price_s = cust[order], okey[order], price[order]
         starts = np.nonzero(np.r_[True, cust_s[1:] != cust_s[:-1]])[0]
         pos = np.arange(n) - np.repeat(starts, np.diff(np.r_[starts, n]))
-        keep = pos < 3
+        keep = pos < k
         return pa.table(
             {
                 "o_custkey": pa.array(cust_s[keep], pa.int64()),

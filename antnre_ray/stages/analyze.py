@@ -828,13 +828,23 @@ def corpus_divergence(docs: "ray.data.Dataset", group_col: str = "source") -> pa
 
     def merge_groups(b: pa.Table) -> pa.Table:
         """tree_fold merge: re-combine (g, idx, cnt) sparse rows per
-        group within one batch — integer sums, order-free."""
+        group within one batch — integer sums, order-free. The ≤64-group
+        limit is enforced HERE as well as on the driver: a partition
+        seeing more distinct groups than that would otherwise overflow
+        tree_fold's declared rows_per_merge bound and surface as a
+        cryptic bound error instead of this actionable one (review
+        finding)."""
         acc: dict[str, np.ndarray] = {}
         for r_g, r_idx, r_cnt in zip(
             b.column("g").to_pylist(), b.column("idx").to_pylist(), b.column("cnt").to_pylist()
         ):
             v = acc.setdefault(r_g, np.zeros(DSIR_BUCKETS, dtype=np.int64))
             np.add.at(v, np.asarray(r_idx, dtype=np.int64), np.asarray(r_cnt, dtype=np.int64))
+        if len(acc) > 64:
+            raise ValueError(
+                f"corpus_divergence: {len(acc)} groups in {group_col!r} — this "
+                "is a source-level diagnostic (≤64 groups)"
+            )
         gs, idxs, cnts = [], [], []
         for g in sorted(acc):
             nz = np.flatnonzero(acc[g])

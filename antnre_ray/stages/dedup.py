@@ -855,45 +855,13 @@ def semantic_dedup(
     Returns one row per input vector:
     (vec_id, cluster, centroid_sim, keep).
     """
-    from ..functions.hashing import mix64
-    from .similarity import IVF_ITERS, IVF_SAMPLE, _kmeans, _normalize
+    from .similarity import IVF_ITERS, _bottomk_sample, _kmeans, _normalize
 
-    # Partitioning-INDEPENDENT k-means sample in ONE pass, no count():
-    # the min(N, IVF_SAMPLE) rows with the smallest splitmix64(vec_id)
-    # are a uniform sample (the KMV order-statistic trick), identical
-    # however the corpus is blocked (Dataset.random_sample draws
-    # per-block and would break partition invariance). Each batch
-    # contributes a ≤ IVF_SAMPLE-row partial (the combiner), the driver
-    # keeps the global bottom-k by (hash, vec_id).
-    def draw(b: pa.Table, seed=seed) -> pa.Table:
-        if b.num_rows == 0:
-            return b.append_column("_h", pa.array([], pa.int64()))
-        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        h = mix64(ids, seed=seed).view(np.int64) ^ np.int64(-(2**63))  # order-preserving
-        t = b.append_column("_h", pa.array(h, pa.int64()))
-        if b.num_rows <= IVF_SAMPLE:
-            return t
-        keep = np.argpartition(h, IVF_SAMPLE)[:IVF_SAMPLE]
-        return t.take(pa.array(np.sort(keep)))
-
-    def bottomk_merge(b: pa.Table) -> pa.Table:
-        """bounding merge level: the global bottom-k is inside every
-        covering partition's bottom-k (exact)."""
-        if b.num_rows <= IVF_SAMPLE:
-            return b
-        h = b.column("_h").to_numpy(zero_copy_only=False)
-        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, h))[:IVF_SAMPLE]
-        return b.take(pa.array(np.sort(order)))
-
-    sample = (
-        embeddings.map_batches(draw, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(16)
-        .map_batches(bottomk_merge, batch_size=None, batch_format="pyarrow")
-        .take_all()
-    )
-    sample.sort(key=lambda r: (r["_h"], r["vec_id"]))
-    sample = sample[:IVF_SAMPLE]
+    # Partitioning-INDEPENDENT k-means sample: the shared splitmix64
+    # bottom-k order-statistic draw (similarity._bottomk_sample — ONE
+    # definition for the invariance-critical logic; this function used
+    # to carry its own copy, review finding).
+    sample = _bottomk_sample(embeddings, seed)
     out_schema = pa.schema(
         [
             ("vec_id", pa.int64()),

@@ -1942,11 +1942,10 @@ def association_rules(
         # half-away (DuckDB ROUND semantics): np.round is half-even and
         # p/q ratios with power-of-two denominators CAN land exactly on
         # an 8th-decimal half (1/512 = 0.001953125)
-        def _r8(x: np.ndarray) -> np.ndarray:
-            return np.copysign(np.trunc(np.abs(x) * 1e8 + 0.5), x) / 1e8
+        from ..functions.rounding import round_half_away
 
-        conf = _r8(ww / d1)
-        lift = _r8(ww * float(n_baskets) / (d1 * d2))
+        conf = round_half_away(ww / d1, 8)
+        lift = round_half_away(ww * float(n_baskets) / (d1 * d2), 8)
         t = pa.table(
             {
                 "antecedent": pa.array(out_a, pa.string()),

@@ -205,9 +205,15 @@ def _empty_topk(k: int) -> pa.Table:
 def _scored_partials(ds: ray.data.Dataset, score, k: int = 64) -> pa.Table:
     """Collect per-batch (query_id, neighbor_id, cos) partials with one
     bounding merge level: each of 16 partitions keeps only its per-query
-    top-k candidates (global winners are inside every covering
+    top-k DISTINCT candidates (global winners are inside every covering
     partition's top-k — exact), so the driver holds ≤ 16·k·|queries|
-    rows however many blocks the index scan produced."""
+    rows however many blocks the index scan produced.
+
+    The dedup before truncation matters: the hyperplane index stores a
+    vector once per LSH table, so one (query, neighbor) pair can reach
+    a partition up to N_TABLES times with identical cos — counting the
+    copies toward the cap could evict a true top-k neighbor (review
+    finding; latent at the tested k=5, real at k > 8)."""
 
     def partial_topk(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -216,7 +222,11 @@ def _scored_partials(ds: ray.data.Dataset, score, k: int = 64) -> pa.Table:
         nid = b.column("neighbor_id").to_numpy(zero_copy_only=False)
         cos = b.column("cos").to_numpy(zero_copy_only=False)
         order = np.lexsort((nid, -cos, q))
-        qs = q[order]
+        qs, ns = q[order], nid[order]
+        # drop duplicate (query, neighbor) rows (equal cos by
+        # construction — same stored vector, same query)
+        first = np.r_[True, (qs[1:] != qs[:-1]) | (ns[1:] != ns[:-1])]
+        order, qs = order[first], qs[first]
         starts = np.nonzero(np.r_[True, qs[1:] != qs[:-1]])[0]
         pos = np.arange(len(qs)) - np.repeat(starts, np.diff(np.r_[starts, len(qs)]))
         keep = order[pos < k]

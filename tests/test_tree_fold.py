@@ -95,7 +95,8 @@ def test_rows_per_merge_bound_enforced(ray_session):
     def bad_merge(b: pa.Table) -> pa.Table:
         return b  # no merging at all — rows pass through
 
-    with pytest.raises(AssertionError):
+    # RuntimeError, not assert: the bound must survive python -O
+    with pytest.raises(RuntimeError, match="exceed the declared bound"):
         tree_fold(ds, bad_merge, k=4, rows_per_merge=1)
 
 
