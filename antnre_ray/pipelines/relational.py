@@ -5116,9 +5116,10 @@ def q09_product_profit(sf_dir: str) -> ray.data.Dataset:
     # the composite bincount index and the nat_names decode both assume
     # dense nation keys 0..n-1 — fail loudly on sparse keys (ADVICE r3;
     # q16/q20 convention)
-    assert int(nat_keys.max()) + 1 == n_nations and int(nat_keys.min()) == 0, (
-        "q09 requires contiguous 0..n-1 nation keys; remap before packing"
-    )
+    if int(nat_keys.max()) + 1 != n_nations or int(nat_keys.min()) != 0:
+        raise ValueError(
+            "q09 requires contiguous 0..n-1 nation keys; remap before packing"
+        )
     ref = ray.put((part_ok, cost, supp_nat))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
@@ -6769,7 +6770,7 @@ def _affine_scan(
                 power(2.0, -o.dt / 3600.0) * r.z
                   + (1.0 - power(2.0, -o.dt / 3600.0)) * o.value
          FROM o JOIN r ON o.user_id = r.user_id AND o.i = r.i + 1)
-       SELECT event_id, user_id, ROUND(z, 8) AS ewma FROM r""",
+       SELECT event_id, user_id, ROUND(z, 6) AS ewma FROM r""",
 )
 def ts_ewma_halflife(sf_dir: str, halflife_s: float = 3600.0) -> ray.data.Dataset:
     """Time-decayed EWMA for IRREGULARLY sampled events — the
@@ -6779,8 +6780,11 @@ def ts_ewma_halflife(sf_dir: str, halflife_s: float = 3600.0) -> ray.data.Datase
     previous value keeps weight, a stale one decays away). Same
     sharded shuffle + O(log n) affine doubling scan as ts_ewma — the
     decay only changes the per-row A coefficients, not the plan. Each
-    user's first event has A = 0 (z = v). Rounded to 8 decimals,
-    sorted by event_id; equality vs a sequential loop reference in
+    user's first event has A = 0 (z = v). Rounded to 6 decimals like
+    ts_ewma (ADVICE r4: users with >max_step_len events fall to the
+    doubling scan, whose association differs from the recursive-CTE
+    oracle in last ulps — 6 decimals absorbs that boundary), sorted by
+    event_id; equality vs a sequential loop reference in
     tests/test_ewma.py."""
     from ..stages.dedup import SHARDS
 
@@ -6829,7 +6833,7 @@ def ts_ewma_halflife(sf_dir: str, halflife_s: float = 3600.0) -> ray.data.Datase
             {
                 "event_id": pa.array(eid_s, pa.int64()),
                 "user_id": pa.array(uid_s, pa.int64()),
-                "ewma": pa.array(_round_half_away(z, 8), pa.float64()),
+                "ewma": pa.array(_round_half_away(z, 6), pa.float64()),
             }
         )
 
@@ -7132,8 +7136,8 @@ def ts_anomaly_zscore(sf_dir: str) -> ray.data.Dataset:
     final float expression — evaluated in the same operation order as
     the SQL oracle — is bit-exact: mean = s/c, var = max(q/c − mean²,
     0), z = (v − mean)/σ, flag at |z| > 3. One sharded co-shuffle +
-    per-shard cumsum differences with run-start clamping (the b52
-    frame kernel, carrying a second cumsum for Σv²). Sorted by
+    5 sliding adds per shard (exact int64 window sums bounded at
+    6·max v², overflow-guarded — no shard-global cumsum). Sorted by
     event_id."""
     from ..stages.dedup import SHARDS
 
@@ -7173,11 +7177,24 @@ def ts_anomaly_zscore(sf_dir: str) -> ray.data.Dataset:
         starts = np.nonzero(np.r_[True, uid_s[1:] != uid_s[:-1]])[0]
         pos = np.arange(n) - np.repeat(starts, np.diff(np.r_[starts, n]))
         width = np.minimum(pos, 5) + 1
-        cs = np.cumsum(v)
-        cq = np.cumsum(v * v)
-        lo = np.arange(n) - width
-        s = cs - np.where(lo >= 0, cs[np.maximum(lo, 0)], 0)
-        q = cq - np.where(lo >= 0, cq[np.maximum(lo, 0)], 0)
+        # Window sums via 5 sliding adds, NOT a shard-global cumsum: a
+        # running Σv² of cents² across a whole shard group wraps int64
+        # silently at scale (ADVICE r4) even though each 6-row window is
+        # tiny.  Direct sums bound every intermediate at 6·max(v²); the
+        # guard makes the one remaining overflow mode loud.
+        cmax = int(np.abs(v).max()) if n else 0
+        if cmax > 1_238_000_000:  # floor(sqrt(2**63 / 6))
+            raise OverflowError(
+                f"ts_anomaly_zscore: |cents| up to {cmax} would overflow the "
+                "exact int64 6-row window sums (bound ~1.238e9)"
+            )
+        vv = v * v
+        s = v.copy()
+        q = vv.copy()
+        for k in range(1, 6):
+            idx = np.nonzero(pos >= k)[0]
+            s[idx] += v[idx - k]
+            q[idx] += vv[idx - k]
         c = width.astype(np.float64)
         mu = s.astype(np.float64) / c
         var = np.maximum(q.astype(np.float64) / c - mu * mu, 0.0)

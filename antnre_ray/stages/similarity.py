@@ -410,6 +410,13 @@ def _commit_index_build(index_path: str, build_id: str, arrays: dict) -> None:
     prev = _load_manifest(index_path)
     with filesystem.open_output_stream(f"{root}/_manifest.json") as f:
         f.write(json.dumps({"build": build_id, "files": rel}).encode())
+    # Superseded builds are deleted EAGERLY, which assumes no reader holds
+    # the old manifest across a concurrent rebuild (a query that resolved
+    # the previous _manifest.json just before this overwrite could fail on
+    # missing shard files mid-read).  Rebuild-while-serving deployments
+    # should garbage-collect old build dirs after a grace period instead;
+    # in this engine index builds and queries are sequential per pipeline,
+    # so eager delete is safe and keeps storage bounded at one build.
     if prev is not None and prev.get("build") and prev["build"] != build_id:
         try:
             filesystem.delete_dir(f"{root}/{prev['build']}")
