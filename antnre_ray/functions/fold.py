@@ -21,8 +21,22 @@ from __future__ import annotations
 from typing import Callable
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 TREE_FOLD_K = 16
+
+
+def sum_columns_merge(b: pa.Table) -> pa.Table:
+    """Generic tree_fold merge for flat one-row-per-block numeric
+    partials: column-wise sum, each column keeping its declared type.
+    Exact for integer partials; for float partials the tree association
+    may differ from a flat driver fold in last ulps (callers round)."""
+    return pa.table(
+        {
+            c: pa.array([pc.sum(b.column(c)).as_py() or 0], b.schema.field(c).type)
+            for c in b.column_names
+        }
+    )
 
 
 def tree_fold(

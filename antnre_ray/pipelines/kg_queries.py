@@ -323,7 +323,12 @@ def kg_span_integrity(sf_dir: str):
             }
         )
 
-    parts = ds.map_batches(check, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    from ..functions.fold import sum_columns_merge, tree_fold
+
+    parts = tree_fold(
+        ds.map_batches(check, batch_format="pyarrow", zero_copy_batch=True),
+        sum_columns_merge,
+    )
     return pa.table(
         {
             "n_rows": pa.array([sum(p["n_rows"] for p in parts)], pa.int64()),
@@ -404,7 +409,12 @@ def kg_eval_prf(sf_dir: str):
             }
         )
 
-    parts = counts.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    from ..functions.fold import sum_columns_merge, tree_fold
+
+    parts = tree_fold(
+        counts.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        sum_columns_merge,
+    )
     tp = sum(p["tp"] for p in parts)
     fp = sum(p["fp"] for p in parts)
     fn = sum(p["fn"] for p in parts)

@@ -85,7 +85,28 @@ def _pin_ts_col(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+from ..functions.fold import sum_columns_merge as _sum_merge  # noqa: E402
+from ..functions.fold import tree_fold as _tree_fold  # noqa: E402
 from ..functions.rounding import round_half_away as _round_half_away  # noqa: E402
+
+
+def _distill_keys(parts: "ray.data.Dataset", col: str = "k") -> np.ndarray:
+    """Bound the driver-side collection of a distributed key distill
+    (per-block unique partials feeding a broadcast anti-join): a
+    repartition(16) + per-partition re-unique level caps the rows the
+    driver receives at 16 × |distinct| regardless of block count — the
+    driver must hold the distilled set itself, it IS the broadcast
+    payload. Returns the sorted distinct int64 key array."""
+
+    def uniq(b: pa.Table) -> pa.Table:
+        return pa.table({col: pc.unique(b.column(col).combine_chunks())})
+
+    rows = (
+        parts.repartition(16)
+        .map_batches(uniq, batch_size=None, batch_format="pyarrow")
+        .take_all()  # bounded: ≤ 16 × |distinct| rows (see docstring)
+    )
+    return np.unique(np.array([r[col] for r in rows], dtype=np.int64))
 
 
 def _round_cols(ds: ray.data.Dataset, digits: dict[str, int]) -> ray.data.Dataset:
@@ -364,14 +385,12 @@ def b13_anti_join(sf_dir: str) -> pa.Table:
     def key_pre(b: pa.Table) -> pa.Table:
         return pa.table({"k": pc.unique(b.column("o_custkey").combine_chunks())})
 
-    key_parts = (
-        _read(sf_dir, "orders", ["o_custkey"])
-        .map_batches(key_pre, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
+    keys = _distill_keys(
+        _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+            key_pre, batch_format="pyarrow", zero_copy_batch=True
+        )
     )
-    key_ref = ray.put(
-        pa.array(np.unique(np.array([r["k"] for r in key_parts], dtype=np.int64)), pa.int64())
-    )
+    key_ref = ray.put(pa.array(keys, pa.int64()))
 
     def fn(b: pa.Table, ref=key_ref) -> pa.Table:
         keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
@@ -1393,7 +1412,9 @@ def q06_revenue_forecast(sf_dir: str) -> pa.Table:
             }
         )
 
-    parts = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    parts = _tree_fold(
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True), _sum_merge
+    )
     rev = float(_round_half_away(np.array([sum(p["revenue"] for p in parts)]), 4)[0])
     return pa.table(
         {"revenue": pa.array([rev], pa.float64()), "n_rows": pa.array([sum(p["n_rows"] for p in parts)], pa.int64())}
@@ -1706,10 +1727,11 @@ def q14_promo_revenue(sf_dir: str) -> pa.Table:
             }
         )
 
-    parts = (
-        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
+    parts = _tree_fold(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        _sum_merge,
     )
     promo_rev = float(_round_half_away(np.array([100.0 * sum(p["promo"] for p in parts)]), 2)[0])
     total_rev = float(_round_half_away(np.array([sum(p["total"] for p in parts)]), 4)[0])
@@ -1946,10 +1968,11 @@ def b04b_null_semantics(sf_dir: str) -> pa.Table:
             }
         )
 
-    parts = (
-        _read(sf_dir, "lineitem", ["l_discount"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
+    parts = _tree_fold(
+        _read(sf_dir, "lineitem", ["l_discount"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        _sum_merge,
     )
     n_rows = sum(p["n_rows"] for p in parts)
     n_nonzero = sum(p["n_nonzero"] for p in parts)
@@ -2138,8 +2161,8 @@ def q19_bracket_revenue(sf_dir: str) -> pa.Table:
     parts = (
         _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
     )
+    parts = _tree_fold(parts, _sum_merge)
     rev = float(_round_half_away(np.array([sum(p["revenue"] for p in parts)]), 4)[0])
     return pa.table(
         {
@@ -2658,10 +2681,18 @@ def b13d_bloom_semi_join(sf_dir: str) -> ray.data.Dataset:
         bits = bloom_build(keys.astype(np.uint64))
         return pa.table({"bits": pa.array([bits.view(np.int64).tolist()], pa.list_(pa.int64()))})
 
-    parts = (
-        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-        .map_batches(bloom_pre, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
+    def bloom_or_merge(b: pa.Table) -> pa.Table:
+        """tree_fold merge: bitwise OR IS the bloom's mergeable op."""
+        m = np.zeros_like(bloom_build(np.array([], dtype=np.uint64)))
+        for row in b.column("bits").to_pylist():
+            m |= np.asarray(row, dtype=np.int64).view(np.uint64)
+        return pa.table({"bits": pa.array([m.view(np.int64).tolist()], pa.list_(pa.int64()))})
+
+    parts = _tree_fold(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+            bloom_pre, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        bloom_or_merge,
     )
     merged = np.zeros_like(bloom_build(np.array([], dtype=np.uint64)))
     for p in parts:
@@ -4343,8 +4374,8 @@ def q17_small_quantity(sf_dir: str) -> pa.Table:
     parts = (
         _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
     )
+    parts = _tree_fold(parts, _sum_merge)
     total = float(_round_half_away(np.array([sum(p["total_price"] for p in parts)]), 2)[0])
     return pa.table(
         {
@@ -4464,10 +4495,11 @@ def q22_idle_rich_customers(sf_dir: str) -> pa.Table:
             }
         )
 
-    parts = (
-        _read(sf_dir, "customer", ["c_acctbal"])
-        .map_batches(stats_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
+    parts = _tree_fold(
+        _read(sf_dir, "customer", ["c_acctbal"]).map_batches(
+            stats_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        _sum_merge,
     )
     cnt = sum(p["cnt"] for p in parts)
     total_cents = sum(p["cents"] for p in parts)
@@ -4479,14 +4511,12 @@ def q22_idle_rich_customers(sf_dir: str) -> pa.Table:
         b = b.filter(pc.equal(b.column("o_orderpriority"), "1-URGENT"))
         return pa.table({"k": pc.unique(b.column("o_custkey").combine_chunks())})
 
-    key_parts = (
-        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-        .map_batches(urgent_pre, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
+    urgent_keys = _distill_keys(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+            urgent_pre, batch_format="pyarrow", zero_copy_batch=True
+        )
     )
-    key_ref = ray.put(
-        pa.array(np.unique(np.array([r["k"] for r in key_parts], dtype=np.int64)), pa.int64())
-    )
+    key_ref = ray.put(pa.array(urgent_keys, pa.int64()))
 
     def fn(b: pa.Table, ref=key_ref, cnt=cnt, total=total_cents) -> pa.Table:
         keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
@@ -4668,7 +4698,24 @@ def b11e_skew_join_auto(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    parts = probe.map_batches(heat, batch_format="pyarrow").take_all()
+    def heat_merge(b: pa.Table) -> pa.Table:
+        """tree_fold merge: mg_merge is Misra-Gries' own mergeable op
+        (plan-only input — the join output is invariant to it)."""
+        it, ct = mg_merge(
+            [
+                (np.asarray(i, dtype=np.int64), np.asarray(c, dtype=np.int64))
+                for i, c in zip(b.column("items").to_pylist(), b.column("counts").to_pylist())
+            ]
+        )
+        return pa.table(
+            {
+                "items": pa.array([it.tolist()], pa.list_(pa.int64())),
+                "counts": pa.array([ct.tolist()], pa.list_(pa.int64())),
+                "n": pa.array([int(pc.sum(b.column("n")).as_py() or 0)], pa.int64()),
+            }
+        )
+
+    parts = _tree_fold(probe.map_batches(heat, batch_format="pyarrow"), heat_merge)
     total = sum(p["n"] for p in parts)
     if parts:
         items, counts = mg_merge(
@@ -4895,9 +4942,12 @@ def b53_fk_audit(sf_dir: str) -> pa.Table:
             miss = pc.invert(pc.is_in(pc.cast(b.column(ckey), ks.type), value_set=ks))
             return pa.table({"n": pa.array([pc.sum(miss).as_py() or 0], pa.int64())})
 
-        rows = _read(sf_dir, child, [ckey]).map_batches(
-            part, batch_format="pyarrow", zero_copy_batch=True
-        ).take_all()
+        rows = _tree_fold(
+            _read(sf_dir, child, [ckey]).map_batches(
+                part, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            _sum_merge,
+        )
         return sum(r["n"] for r in rows)
 
     def _orphans_antijoin() -> int:
@@ -4925,7 +4975,9 @@ def b53_fk_audit(sf_dir: str) -> pa.Table:
             hit = pc.is_in(b.column("l_orderkey"), value_set=ks)
             return pa.table({"n": pa.array([pc.sum(hit).as_py() or 0], pa.int64())})
 
-        rows = li.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        rows = _tree_fold(
+            li.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True), _sum_merge
+        )
         return sum(r["n"] for r in rows)
 
     rels = [
@@ -5523,10 +5575,22 @@ def b54_kmv_set_ops(sf_dir: str) -> pa.Table:  # tested vs exact in tests/
             out[name] = pa.array([sk.view(np.int64).tolist()], pa.list_(pa.int64()))
         return pa.table(out)
 
-    parts = (
-        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
-        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
+    def kmv_pair_merge(b: pa.Table) -> pa.Table:
+        """tree_fold merge: union of k-minimum sets IS kmv_merge (both
+        sketches merged in lockstep)."""
+        out = {}
+        for c in ("a", "b"):
+            sk = kmv_merge(
+                [np.asarray(x, dtype=np.int64).view(np.uint64) for x in b.column(c).to_pylist()]
+            )
+            out[c] = pa.array([sk.view(np.int64).tolist()], pa.list_(pa.int64()))
+        return pa.table(out)
+
+    parts = _tree_fold(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]).map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        kmv_pair_merge,
     )
     sa = kmv_merge([np.asarray(p["a"], dtype=np.int64).view(np.uint64) for p in parts])
     sb = kmv_merge([np.asarray(p["b"], dtype=np.int64).view(np.uint64) for p in parts])
@@ -5851,8 +5915,21 @@ def b56_corr_matrix(sf_dir: str) -> pa.Table:
     rows = (
         _read(sf_dir, "lineitem", cols)
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
     )
+
+    def fsum_merge(b: pa.Table) -> pa.Table:
+        """tree_fold merge: exactly-rounded fsum per column (n stays
+        int64) — same accumulator the driver's final fold uses."""
+        out = {}
+        for c in b.column_names:
+            v = b.column(c).to_pylist()
+            if c == "n":
+                out[c] = pa.array([int(sum(v))], pa.int64())
+            else:
+                out[c] = pa.array([math.fsum(v)], pa.float64())
+        return pa.table(out)
+
+    rows = _tree_fold(rows, fsum_merge)
     n = sum(r["n"] for r in rows)
     s = [math.fsum(r[f"s{i}"] for r in rows) for i in range(len(cols))]
     p = {(i, j): math.fsum(r[f"p{i}_{j}"] for r in rows) for i, j in pairs}
@@ -5909,8 +5986,19 @@ def data_group_normalize(sf_dir: str) -> ray.data.Dataset:
         g = t.group_by(["g"]).aggregate([("n", "sum"), ("s", "sum"), ("q", "sum")])
         return g.rename_columns(["g", "n", "s", "q"])
 
+    def merge_grouped(b: pa.Table) -> pa.Table:
+        """tree_fold merge: re-group the per-block (g, n, s, q) partial
+        rows; output rows = |event types| (small, bounded by the
+        rows_per_merge declaration below)."""
+        g = b.group_by(["g"]).aggregate([("n", "sum"), ("s", "sum"), ("q", "sum")])
+        return g.rename_columns(["g", "n", "s", "q"])
+
     ev = _read(sf_dir, "events", ["event_id", "event_type", "value"]).materialize()
-    parts = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    parts = _tree_fold(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        merge_grouped,
+        rows_per_merge=64,
+    )
     acc: dict[str, list] = {}
     for r in parts:
         a = acc.setdefault(r["g"], [0, [], []])
@@ -6142,8 +6230,17 @@ def b57_histogram(sf_dir: str, bins: int = 20) -> pa.Table:
         n, _ = np.histogram(v, bins=edges)
         return pa.table({"n": pa.array([n.tolist()], pa.list_(pa.int64()))})
 
+    def vec_merge(b: pa.Table) -> pa.Table:
+        """tree_fold merge: elementwise int64 sum of the bin vectors."""
+        m = np.zeros(bins, dtype=np.int64)
+        for row in b.column("n").to_pylist():
+            m += np.asarray(row, dtype=np.int64)
+        return pa.table({"n": pa.array([m.tolist()], pa.list_(pa.int64()))})
+
     counts = np.zeros(bins, dtype=np.int64)
-    for p in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all():
+    for p in _tree_fold(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True), vec_merge
+    ):
         counts += np.asarray(p["n"], dtype=np.int64)
     return pa.table(
         {
@@ -6637,10 +6734,15 @@ def b63_skew_report(sf_dir: str) -> pa.Table:
     hot_n = best.column("c")[0].as_py()
     total = sum(
         p["c"]
-        for p in counts.map_batches(
-            lambda b: pa.table({"c": pa.array([int(pc.sum(b.column("c")).as_py() or 0)], pa.int64())}),
-            batch_format="pyarrow",
-        ).take_all()
+        for p in _tree_fold(
+            counts.map_batches(
+                lambda b: pa.table(
+                    {"c": pa.array([int(pc.sum(b.column("c")).as_py() or 0)], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            ),
+            _sum_merge,
+        )
     )
     mean = total / max(distinct, 1)
     skew_ratio = hot_n / max(mean, 1e-12)

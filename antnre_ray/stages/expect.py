@@ -19,6 +19,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..functions.fold import tree_fold
+
 
 def not_null(column: str) -> dict:
     return {"kind": "not_null", "column": column}
@@ -74,7 +76,18 @@ def expectations_report(ds: "ray.data.Dataset", rules: list[dict]) -> pa.Table:
             out[f"v{i}"] = pa.array([v], pa.int64())
         return pa.table(out)
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    def merge_partials(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                c: pa.array([int(pc.sum(b.column(c)).as_py() or 0)], pa.int64())
+                for c in b.column_names
+            }
+        )
+
+    parts = tree_fold(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        merge_partials,
+    )
     n_rows = sum(p["_rows"] for p in parts)
     violations = {i: sum(p[f"v{i}"] for p in parts) for i in range(len(streaming))}
 
@@ -103,9 +116,16 @@ def expectations_report(ds: "ray.data.Dataset", rules: list[dict]) -> pa.Table:
             ).as_py()
             return pa.table({"d": pa.array([int(d or 0)], pa.int64())})
 
+        def merge_d(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"d": pa.array([int(pc.sum(b.column("d")).as_py() or 0)], pa.int64())}
+            )
+
         dup_counts[col] = sum(
             p["d"]
-            for p in counts.map_batches(dup_partial, batch_format="pyarrow").take_all()
+            for p in tree_fold(
+                counts.map_batches(dup_partial, batch_format="pyarrow"), merge_d
+            )
         )
 
     rows = []

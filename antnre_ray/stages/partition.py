@@ -22,6 +22,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.fold import tree_fold
 from ..functions.sketch import quantile_merge, quantile_partial, quantile_query
 
 
@@ -31,7 +32,10 @@ def quantile_range_boundaries(
     """Return ``n_parts − 1`` boundary values for `col` such that the
     ranges (−inf, b0], (b0, b1], …, (b_{n−2}, +inf) hold ≈ equal row
     counts. One map_batches pass emits a ≤256-point weighted-CDF sketch
-    per block; the merge and the quantile reads run on the driver."""
+    per block; a tree_fold level merges those to ≤16 sketches before
+    the driver's final merge + quantile reads (the extra compression
+    level adds ≈1/m rank error — callers are balance-only, and the
+    driver never holds O(num_blocks) sketches)."""
 
     def partial(b: pa.Table) -> pa.Table:
         v = b.column(col)
@@ -43,7 +47,16 @@ def quantile_range_boundaries(
         pts = quantile_partial(np.asarray(x, dtype=np.float64))
         return pa.table({"pts": pa.array([pts.reshape(-1).tolist()], pa.list_(pa.float64()))})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    def merge_sketches(b: pa.Table) -> pa.Table:
+        m = quantile_merge(
+            [np.asarray(x, dtype=np.float64).reshape(-1, 2) for x in b.column("pts").to_pylist()]
+        )
+        return pa.table({"pts": pa.array([m.reshape(-1).tolist()], pa.list_(pa.float64()))})
+
+    parts = tree_fold(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        merge_sketches,
+    )
     sketch = quantile_merge(
         [np.asarray(p["pts"], dtype=np.float64).reshape(-1, 2) for p in parts]
     )

@@ -970,24 +970,10 @@ def kmeans_assign(
     Scale: no shuffle at all — a sample pass + an embarrassingly
     parallel assign pass; ``n_clusters`` bounds driver memory (k×dim
     floats), never corpus size."""
-    from ..functions.hashing import mix64
-
-    def draw(b: pa.Table, seed=seed) -> pa.Table:
-        if b.num_rows == 0:
-            return b.append_column("_h", pa.array([], pa.int64()))
-        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        h = mix64(ids, seed=seed).view(np.int64) ^ np.int64(-(2**63))  # order-preserving
-        t = b.append_column("_h", pa.array(h, pa.int64()))
-        if b.num_rows <= IVF_SAMPLE:
-            return t
-        keep = np.argpartition(h, IVF_SAMPLE)[:IVF_SAMPLE]
-        return t.take(pa.array(np.sort(keep)))
-
-    sample = embeddings.map_batches(
-        draw, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    sample.sort(key=lambda r: (r["_h"], r["vec_id"]))
-    sample = sample[:IVF_SAMPLE]
+    # identical draw to the IVF/semantic-dedup builds: exact global
+    # bottom-IVF_SAMPLE by (splitmix64(vec_id), vec_id), with the
+    # repartition(16) merge level bounding the driver-side pool
+    sample = _bottomk_sample(embeddings, seed)
     out_schema = pa.schema(
         [("vec_id", pa.int64()), ("cluster", pa.int64()), ("centroid_sim", pa.float64())]
     )
