@@ -46,4 +46,19 @@ def oracle_sql() -> dict[str, str]:
     for the rest (model extraction, sketches, near-dedup)."""
     from antnre_ray.pipelines.registry import load_all
 
-    return {name: sql for name, (_fn, sql) in load_all().items() if sql is not None}
+    sqls = {name: sql for name, (_fn, sql) in load_all().items() if sql is not None}
+    # The kg_top_entities / kg_two_hop oracles re-derive graph analytics
+    # over the engine's own written adjacency parquet. The driver's
+    # per-entry ray-vs-sql order is unspecified, so pre-write the sweep
+    # corpus here (idempotent, keyed per corpus); the Ray query fns
+    # rewrite it anyway when they run first.
+    try:
+        import ray
+
+        if ray.is_initialized():
+            from antnre_ray.pipelines.kg_queries import ensure_adjacency_oracle
+
+            ensure_adjacency_oracle("/root/testdata/sf0.01")
+    except Exception:
+        pass  # degrades to ray-query-first ordering
+    return sqls

@@ -845,25 +845,49 @@ def data_dsir_select(sf_dir: str) -> ray.data.Dataset:
     return dsir_select(docs.select_columns(["doc_id", "text"]), target, frac=0.25)
 
 
-@register("data_global_shuffle", None)  # seeded order → rows-only; invariants tested
+# Fibonacci-hashing base multiplier (2^64/φ, odd → a BIJECTION mod 2^64)
+_SHUFFLE_M0 = 11400714819323198485
+
+
+@register(
+    "data_global_shuffle",
+    # exact DuckDB replica: the same multiplicative permutation in
+    # HUGEINT ((doc_id+1)·M fits int128 for any int64 doc_id), signed
+    # back to the int64 view the engine emits. The driver's compare is
+    # order-insensitive, but the bijective key IS the order.
+    f"""SELECT doc_id, text,
+               CAST((CAST(doc_id + 1 AS HUGEINT) * {_SHUFFLE_M0 + 2 * 7})
+                    % 18446744073709551616
+                    - CASE WHEN (CAST(doc_id + 1 AS HUGEINT) * {_SHUFFLE_M0 + 2 * 7})
+                                % 18446744073709551616 >= 9223372036854775808
+                           THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS shuffle_key
+        FROM documents
+        ORDER BY shuffle_key""",
+)
 def data_global_shuffle(sf_dir: str, seed: int = 7) -> ray.data.Dataset:
     """Deterministic global training shuffle: every document gets the
-    pseudo-random key splitmix64(doc_id, seed) and the corpus sorts by
+    key (doc_id+1)·M_seed mod 2^64 (Fibonacci multiplicative hashing;
+    M_seed = 2^64/φ + 2·seed is odd, so the map is a BIJECTION on
+    Z_2^64 — no collisions, exactly uniform) and the corpus sorts by
     it — the epoch-ordering step of an LLM data pipeline. Unlike
     Dataset.random_shuffle (per-block draws → partitioning-DEPENDENT,
     see functions/hashing notes), the key is a pure function of
     (doc_id, seed), so the order is reproducible across runs, cluster
-    sizes and input layouts, and a different seed gives an independent
-    epoch order.
+    sizes and input layouts, and a different seed (different odd
+    multiplier → different permutation) gives a different epoch order.
+    The integer-only key is replicated exactly by the DuckDB oracle
+    (the data_mix_weighted precedent, VERDICT r4 ask #5).
 
     Scale: the sort is one range shuffle of the payload — the
     irreducible cost of a global shuffle (same exchange class Ray's
     random_shuffle pays), with Ray's sample-based range partitioner
     keeping output blocks balanced because the keys are uniform u64."""
-    from ..functions.hashing import polars_u64
+    m = np.uint64(_SHUFFLE_M0 + 2 * seed)
 
-    def key(b: pa.Table, seed=seed) -> pa.Table:
-        k = polars_u64(b.column("doc_id").combine_chunks(), seed=seed)
+    def key(b: pa.Table, m=m) -> pa.Table:
+        did = b.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            k = (did.astype(np.uint64) + np.uint64(1)) * m
         # int64 view keeps Ray's sort comparator native; uniformity is
         # unaffected by the sign flip.
         return b.append_column("shuffle_key", pa.array(k.view(np.int64), pa.int64()))

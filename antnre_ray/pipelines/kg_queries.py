@@ -100,12 +100,59 @@ def kg_entities(sf_dir: str) -> ray.data.Dataset:
     return _graph(sf_dir)["entities"]
 
 
+# DuckDB oracles for the graph-analytics queries re-derive them over the
+# engine's OWN written adjacency (VERDICT r4 ask #5): extraction is not
+# SQL-expressible, but everything DOWNSTREAM of the adjacency (degree
+# aggregation, the two-hop self-join) is — so the Ray query writes its
+# adjacency input to a fixed parquet path first, and the oracle SQL
+# reads that path. tests/test_oracle_conformance.py and the dress
+# scripts run ray-then-sql per entry; the driver's per-entry order is
+# unspecified, so __ray_entry__.oracle_sql() additionally pre-writes
+# the sweep corpus (sf0.01) via ensure_adjacency_oracle() — the path
+# exists with the right corpus whichever side the driver runs first.
+ADJ_ORACLE_PATH = "/tmp/antnre_oracle/kg_adjacency"
+_ADJ_WRITTEN: set = set()
+
+
+def _write_adjacency_oracle(sf_dir: str) -> None:
+    """Write this corpus's materialized adjacency to ADJ_ORACLE_PATH
+    (once per corpus per process; the directory is cleared first so
+    stale shards from another corpus can't mix in)."""
+    import shutil
+
+    from .extras import source_tag
+
+    key = source_tag(sf_dir)
+    if key in _ADJ_WRITTEN:
+        return
+    shutil.rmtree(ADJ_ORACLE_PATH, ignore_errors=True)
+    _graph(sf_dir)["adjacency"].write_parquet(ADJ_ORACLE_PATH)
+    _ADJ_WRITTEN.clear()  # one corpus owns the fixed path at a time
+    _ADJ_WRITTEN.add(key)
+
+
+def ensure_adjacency_oracle(sf_dir: str) -> None:
+    """Public hook for __ray_entry__.oracle_sql(): make the adjacency
+    oracle parquet exist for `sf_dir` before any oracle SQL can run."""
+    _write_adjacency_oracle(sf_dir)
+
+
 @register("kg_adjacency", None)
 def kg_adjacency(sf_dir: str) -> ray.data.Dataset:
+    _write_adjacency_oracle(sf_dir)
     return _graph(sf_dir)["adjacency"]
 
 
-@register("kg_top_entities", None)
+@register(
+    "kg_top_entities",
+    f"""SELECT src,
+               CAST(count(*) AS BIGINT) AS out_degree,
+               CAST(sum(weight) AS BIGINT) AS total_weight
+        FROM read_parquet('{ADJ_ORACLE_PATH}/*.parquet')
+        GROUP BY src
+        ORDER BY total_weight DESC, src
+        LIMIT 20""",
+)
 def kg_top_entities(sf_dir: str) -> ray.data.Dataset:
     """Graph analytics over the materialized adjacency: out-degree and
     total edge weight per source node, top 20 — the groupby runs over
@@ -113,6 +160,7 @@ def kg_top_entities(sf_dir: str) -> ray.data.Dataset:
     import pyarrow as pa
     from ray.data.aggregate import Count, Sum
 
+    _write_adjacency_oracle(sf_dir)
     adj = _graph(sf_dir)["adjacency"]
 
     def project(b: pa.Table) -> pa.Table:
@@ -126,7 +174,16 @@ def kg_top_entities(sf_dir: str) -> ray.data.Dataset:
     return deg.sort(["total_weight", "src"], descending=[True, False]).limit(20)
 
 
-@register("kg_two_hop", None)
+@register(
+    "kg_two_hop",
+    f"""SELECT a.src AS src, b.dst AS dst,
+               CAST(sum(a.weight * b.weight) AS BIGINT) AS path_weight
+        FROM read_parquet('{ADJ_ORACLE_PATH}/*.parquet') a
+        JOIN read_parquet('{ADJ_ORACLE_PATH}/*.parquet') b ON a.dst = b.src
+        GROUP BY a.src, b.dst
+        ORDER BY path_weight DESC, src, dst
+        LIMIT 20""",
+)
 def kg_two_hop(sf_dir: str) -> ray.data.Dataset:
     """Two-hop reachability over the materialized graph: adjacency
     self-joined on dst=src (hash shuffle join), path weight = product of
@@ -135,6 +192,7 @@ def kg_two_hop(sf_dir: str) -> ray.data.Dataset:
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
+    _write_adjacency_oracle(sf_dir)
     adj = _graph(sf_dir)["adjacency"]
 
     def project(b: pa.Table) -> pa.Table:

@@ -956,9 +956,37 @@ def b20_topk(sf_dir: str) -> ray.data.Dataset:
 
 # ------------------------------------------------------------- B21 sample
 
-@register("b21_sample", None)  # seeded sample: rows-only check
+@register(
+    "b21_sample",
+    # exact replica of the hash filter in HUGEINT: the composite key
+    # (l_orderkey·8 + l_linenumber, linenumber < 8) times the odd
+    # Fibonacci multiplier is a bijection mod 2^64, compared against
+    # floor(0.1·2^64) — integer-exact on both engines.
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+       WHERE (CAST(l_orderkey * 8 + l_linenumber AS HUGEINT)
+              * 11400714819323198485) % 18446744073709551616
+             < 1844674407370955161""",
+)
 def b21_sample(sf_dir: str) -> ray.data.Dataset:
-    return _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]).random_sample(0.1, seed=42)
+    """Deterministic ~10% Bernoulli sample by multiplicative hash of
+    the (l_orderkey, l_linenumber) composite key — partitioning- and
+    cluster-size-invariant (Dataset.random_sample draws per block, so
+    the same corpus at a different layout sampled DIFFERENT rows), and
+    integer-exact against the DuckDB oracle (VERDICT r4 ask #5). The
+    hash is a bijection on Z_2^64, so the keep rate over distinct keys
+    is exactly the threshold fraction in expectation with no collision
+    bias; re-runs and resumes keep identical rows."""
+
+    def keep(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ln = b.column("l_linenumber").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ok * np.uint64(8) + ln) * np.uint64(11400714819323198485)
+        return b.filter(pa.array(h < np.uint64(1844674407370955161)))
+
+    return _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 # -------------------------------------------------------------- B22 union
