@@ -46,6 +46,7 @@ _PREFIX = [
     "b21_sample",
     "kg_top_entities",
     "kg_two_hop",
+    "b67_string_agg_capped",
     # 2 — re-confirms: oracled queries whose code paths the round-5
     #     commits touched (ADVICE overflow/rounding fixes; the
     #     tree_fold bounding sweep over reduce paths)
@@ -96,7 +97,6 @@ _PREFIX = [
     "b24_exact_dedup",
     "b26_window_agg",
     "b27_sessionize",
-    "b28_knn",
 ]
 
 assert len(_PREFIX) == SWEEP_CAP, len(_PREFIX)

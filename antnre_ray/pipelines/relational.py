@@ -3142,9 +3142,9 @@ def b42_string_agg(sf_dir: str) -> ray.data.Dataset:
     side never shuffles), suppliers shuffle once on the group key, one
     sort + join per group. Grouped concat is inherently bounded by the
     largest group's total string size — acceptable here because groups
-    are dimension-cardinality; for data-scale groups the answer itself
-    is the problem (emit a list column or cap with a LIMIT-per-group
-    instead)."""
+    are dimension-cardinality; for data-scale groups use
+    :func:`b67_string_agg_capped`, which enforces a per-group member
+    cap as a pre-shuffle combiner."""
     nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
     nmap_ref = ray.put(
         (
@@ -3187,6 +3187,89 @@ def b42_string_agg(sf_dir: str) -> ray.data.Dataset:
         )
         .groupby("n_name")
         .map_groups(concat, batch_format="pyarrow")
+    )
+
+
+# ------------------- B42b: capped string_agg (the b42 escape hatch)
+
+@register(
+    "b67_string_agg_capped",
+    """SELECT n_name,
+              array_to_string(list_slice(list_sort(list(s_name)), 1, 5), ',') AS members_capped,
+              CAST(count(*) AS BIGINT) AS total_members
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       GROUP BY n_name""",
+)
+def b67_string_agg_capped(sf_dir: str, cap: int = 5) -> ray.data.Dataset:
+    """b42's documented escape hatch for data-scale groups: ordered
+    grouped concat CAPPED at the first `cap` members (ascending), plus
+    the exact total member count. Unlike b42 — whose reducer state is
+    bounded by the largest group's total string mass — the cap is
+    enforced as a per-batch COMBINER before the shuffle: each
+    (block, group) ships at most `cap` names and one count, so reducer
+    state is O(groups·cap) regardless of group size. The merge of
+    per-block capped prefixes is exact: the global smallest-`cap` set
+    is a subset of the union of per-block smallest-`cap` sets."""
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nmap_ref = ray.put(
+        (
+            nation.column("n_nationkey").combine_chunks(),
+            nation.column("n_name").combine_chunks(),
+        )
+    )
+
+    class CappedPartial:
+        """nation-key lookup + per-batch (group → first-cap names, count)."""
+
+        def __init__(self, ref, cap: int):
+            self.keys, self.names = ray.get(ref)
+            self.cap = cap
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pos = pc.index_in(b.column("s_nationkey"), value_set=self.keys)
+            nn = pc.take(self.names, pos).to_numpy(zero_copy_only=False)
+            sn = b.column("s_name").to_numpy(zero_copy_only=False)
+            order = np.lexsort((sn, nn))
+            nn, sn = nn[order], sn[order]
+            keys, starts, counts = np.unique(nn, return_index=True, return_counts=True)
+            members = [
+                sn[s : s + min(self.cap, c)].tolist() for s, c in zip(starts, counts)
+            ]
+            return pa.table(
+                {
+                    "n_name": pa.array(keys, pa.string()),
+                    "members": pa.array(members, pa.list_(pa.string())),
+                    "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+                }
+            )
+
+    def merge(g: pa.Table, cap: int = cap) -> pa.Table:
+        import heapq
+
+        first = heapq.nsmallest(
+            cap, (m for ms in g.column("members").to_pylist() for m in ms)
+        )
+        return pa.table(
+            {
+                "n_name": pa.array([g.column("n_name")[0].as_py()], pa.string()),
+                "members_capped": pa.array([",".join(first)], pa.string()),
+                "total_members": pa.array(
+                    [int(pc.sum(g.column("cnt")).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_name"])
+        .map_batches(
+            CappedPartial,
+            fn_constructor_args=(nmap_ref, cap),
+            concurrency=(1, 4),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("n_name")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 

@@ -346,3 +346,101 @@ def derive_interleaved(
         batch_size=256,
         fn_kwargs={"seed": seed, "repeat": repeat},
     )
+
+
+# ------------------------------------------------- varied stress corpus
+# BASELINE.md stress-diversity protocol (VERDICT r4 "Next round" #1):
+# the driver's documents.parquet draws its text from a 31-word
+# vocabulary, so the ×64-replicated stress corpus flatters the
+# extractor's per-actor token cache (every source token is warm after
+# the first batch). This generator emits the SAME driver shape
+# (doc_id:int64, text, lang, source, n_chars) at any row count with
+# realistic word-type diversity: `vocab_size` pseudo-word types drawn
+# zipfian (s = 1.07, the empirical English exponent), each word a
+# deterministic syllable expansion of its frequency rank. Every row is
+# a pure function of (doc_id, seed) via splitmix64 draws, so the corpus
+# is identical across batch splits, partition layouts and cluster sizes.
+
+_SYLLABLES = [c + v for c in "btkmsrldnpgfhzvwcjqx" for v in "aeiou"][:64]
+_ZIPF_S = 1.07
+_varied_state: dict = {}  # (vocab_size,) -> (word ndarray, cdf ndarray)
+
+
+def _varied_vocab(vocab_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """(words, zipf CDF) for a vocabulary size — built once per process.
+
+    Words are unique syllable expansions of their rank (base-64 digits →
+    CV syllables, so rank 0 is 2 chars and rank 99 999 is 6), SKIPPING
+    any string in the model's closed vocabulary (e.g. rank li·ma would
+    collide with the LOC surface "lima" and plant phantom entities in
+    what must be plain background text)."""
+    if vocab_size in _varied_state:
+        return _varied_state[vocab_size]
+    from ..functions.reference_spec import _build_vocab
+
+    reserved = set(_build_vocab())
+    words: list[str] = []
+    rank = 0
+    while len(words) < vocab_size:
+        r, parts = rank, []
+        while True:
+            parts.append(_SYLLABLES[r % 64])
+            r //= 64
+            if r == 0:
+                break
+        w = "".join(reversed(parts))
+        if w not in reserved:
+            words.append(w)
+        rank += 1
+    cdf = np.cumsum(1.0 / np.arange(1, vocab_size + 1) ** _ZIPF_S)
+    cdf /= cdf[-1]
+    out = (np.asarray(words, dtype=object), cdf)
+    _varied_state[vocab_size] = out
+    return out
+
+
+def varied_documents_batch(
+    batch: pa.Table, seed: int = 43, vocab_size: int = 100_000
+) -> pa.Table:
+    """One batch of driver-shaped document rows from int64 ids.
+
+    Vectorized: one splitmix64 draw per (doc, word ordinal) → zipf rank
+    via searchsorted on the precomputed CDF → numpy fancy-index into the
+    word inventory; only the final per-doc " ".join is Python."""
+    from ..functions.hashing import mix64
+
+    words, cdf = _varied_vocab(vocab_size)
+    ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+    h = mix64(ids, seed=seed)
+    n_words = (np.uint64(20) + h % np.uint64(61)).astype(np.int64)  # 20–80, mean ≈ 50
+    starts = np.cumsum(n_words) - n_words
+    doc_idx = np.repeat(np.arange(len(ids)), n_words)
+    k = np.arange(int(n_words.sum()), dtype=np.uint64) - np.repeat(starts, n_words).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        u = mix64(h[doc_idx] + k * np.uint64(0x9E3779B97F4A7C15), seed=seed + 1)
+    ranks = np.searchsorted(cdf, u.astype(np.float64) / 2.0**64, side="right")
+    toks = words[np.minimum(ranks, vocab_size - 1)]
+    texts = [" ".join(toks[s : s + n]) for s, n in zip(starts, n_words)]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+            "source": pa.array(["varied"] * len(ids), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def synthesize_varied_documents(
+    n_docs: int, seed: int = 43, vocab_size: int = 100_000, blocks: int | None = None
+) -> ray.data.Dataset:
+    """Distributed varied-corpus synthesis: range → map_batches."""
+    base = ray.data.range(n_docs, override_num_blocks=blocks) if blocks else ray.data.range(n_docs)
+    return base.map_batches(
+        varied_documents_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=2048,
+        fn_kwargs={"seed": seed, "vocab_size": vocab_size},
+    )

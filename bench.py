@@ -287,8 +287,94 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+def run_query_once(sf_dir: str, num_cpus: int, name: str, iters: int) -> dict:
+    """Child for run_query_scaling: one fresh Ray session, `iters`
+    cold executions of one registry query (memo caches cleared)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    import ray.data
+
+    from antnre_ray.pipelines.extras import clear_memo_caches
+    from antnre_ray.pipelines.registry import load_all
+
+    fn, _sql = load_all()[name]
+    fn(sf_dir)  # one warmup: pay worker spin-up outside the timed loop
+    walls = []
+    rows = None
+    for _ in range(iters):
+        clear_memo_caches()
+        t0 = time.time()
+        out = fn(sf_dir)
+        rows = out.count() if isinstance(out, ray.data.Dataset) else len(out)
+        walls.append(time.time() - t0)
+    ray.shutdown()
+    return {"query": name, "wall_s": round(sum(walls), 3), "rows": rows, "iters": iters}
+
+
+def run_query_scaling(sf_dir: str, name: str) -> dict:
+    """4-vs-16 fresh-process pair for ONE registry query — shuffle-heavy
+    scaling evidence beside the flagship pair (BASELINE.md protocol).
+    Efficiency = (wall_lo / wall_hi) / (hi / lo) on the same input."""
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
+    iters = int(os.environ.get("GRAFT_QSCALE_ITERS", "5"))
+    results = {}
+    leg_contention = {}
+    for cpus in (lo, hi):
+        leg_contention[f"probe_before_{cpus}cpu"] = cpu_contention_probe()
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--query-run", name, str(iters)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(f"query-scaling child (num_cpus={cpus}) failed rc={out.returncode}")
+        results[cpus] = json.loads(lines[-1])
+    eff = round((results[lo]["wall_s"] / results[hi]["wall_s"]) / (hi / lo), 3)
+    contention = cpu_contention_probe()
+    return {
+        "metric": f"query_scaling_{name}_{lo}_to_{hi}_cpus",
+        "value": eff,
+        "unit": "ratio",
+        "queries": {
+            f"wall_s_{lo}cpu": results[lo]["wall_s"],
+            f"wall_s_{hi}cpu": results[hi]["wall_s"],
+        },
+        "sf": sf_dir,
+        "num_cpus": hi,
+        "iters": iters,
+        "gate": 0.8,
+        "rows_identical": results[lo]["rows"] == results[hi]["rows"],
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "cpu_contention": contention,
+        "leg_contention": leg_contention,
+        "status": (
+            "advisory_host_contention"
+            if max(
+                [(contention.get("contention_ratio") or 0)]
+                + [(p.get("contention_ratio") or 0) for p in leg_contention.values()]
+            )
+            > 1.2
+            else "headline"
+        ),
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-query" in sys.argv:
+        i = sys.argv.index("--scaling-query")
+        qname = sys.argv[i + 1] if len(sys.argv) > i + 1 else "q01_pricing_summary"
+        print(json.dumps(run_query_scaling(SF_DIR, qname)))
+    elif "--query-run" in sys.argv:
+        i = sys.argv.index("--query-run")
+        print(json.dumps(run_query_once(SF_DIR, NUM_CPUS, sys.argv[i + 1], int(sys.argv[i + 2]))))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))
     elif "--single-run" in sys.argv:
         print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))
