@@ -52,13 +52,18 @@ def oracle_sql() -> dict[str, str]:
     # per-entry ray-vs-sql order is unspecified, so pre-write the sweep
     # corpus here (idempotent, keyed per corpus); the Ray query fns
     # rewrite it anyway when they run first.
-    try:
-        import ray
+    import ray
 
-        if ray.is_initialized():
+    if ray.is_initialized():
+        try:
             from antnre_ray.pipelines.kg_queries import ensure_adjacency_oracle
 
             ensure_adjacency_oracle("/root/testdata/sf0.01")
-    except Exception:
-        pass  # degrades to ray-query-first ordering
+        except Exception as exc:
+            # Degrades to ray-query-first ordering — but LOUDLY: a real
+            # extraction/write failure here would otherwise surface later
+            # as an unexplained DuckDB file-not-found (review finding).
+            import sys as _sys
+
+            print(f"ensure_adjacency_oracle failed: {exc!r}", file=_sys.stderr)
     return sqls

@@ -852,13 +852,15 @@ _SHUFFLE_M0 = 11400714819323198485
 @register(
     "data_global_shuffle",
     # exact DuckDB replica: the same multiplicative permutation in
-    # HUGEINT ((doc_id+1)·M fits int128 for any int64 doc_id), signed
-    # back to the int64 view the engine emits. The driver's compare is
+    # HUGEINT, signed back to the int64 view the engine emits. The +1
+    # happens AFTER the HUGEINT cast — `doc_id + 1` in int64 would
+    # overflow at doc_id = 2^63-1 where the numpy kernel wraps fine
+    # (round-5 review finding). The driver's compare is
     # order-insensitive, but the bijective key IS the order.
     f"""SELECT doc_id, text,
-               CAST((CAST(doc_id + 1 AS HUGEINT) * {_SHUFFLE_M0 + 2 * 7})
+               CAST(((CAST(doc_id AS HUGEINT) + 1) * {_SHUFFLE_M0 + 2 * 7})
                     % 18446744073709551616
-                    - CASE WHEN (CAST(doc_id + 1 AS HUGEINT) * {_SHUFFLE_M0 + 2 * 7})
+                    - CASE WHEN ((CAST(doc_id AS HUGEINT) + 1) * {_SHUFFLE_M0 + 2 * 7})
                                 % 18446744073709551616 >= 9223372036854775808
                            THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS shuffle_key
         FROM documents

@@ -103,43 +103,68 @@ def kg_entities(sf_dir: str) -> ray.data.Dataset:
 # DuckDB oracles for the graph-analytics queries re-derive them over the
 # engine's OWN written adjacency (VERDICT r4 ask #5): extraction is not
 # SQL-expressible, but everything DOWNSTREAM of the adjacency (degree
-# aggregation, the two-hop self-join) is — so the Ray query writes its
-# adjacency input to a fixed parquet path first, and the oracle SQL
-# reads that path. tests/test_oracle_conformance.py and the dress
-# scripts run ray-then-sql per entry; the driver's per-entry order is
+# aggregation, the two-hop self-join) is. The oracle SQL is static, so
+# it reads a fixed path — implemented as an atomic SYMLINK into
+# per-corpus snapshot dirs:
+#   /tmp/antnre_oracle/adj_by_corpus/<hash(source_tag)>/  immutable once
+#       written (built in a tmp dir, os.replace'd into place, never
+#       deleted during a session), so a DuckDB query holding open file
+#       handles is never invalidated;
+#   ADJ_ORACLE_PATH  a symlink os.replace'd (atomic) to the snapshot of
+#       the corpus most recently queried — readers always glob ONE
+#       complete corpus.
+# The Ray query sides read the SAME written parquet back (not a second
+# execution of the materialize reduce), so both engines run over
+# byte-identical input. The driver's per-entry ray-vs-sql order is
 # unspecified, so __ray_entry__.oracle_sql() additionally pre-writes
-# the sweep corpus (sf0.01) via ensure_adjacency_oracle() — the path
-# exists with the right corpus whichever side the driver runs first.
+# the sweep corpus (sf0.01) via ensure_adjacency_oracle(). Remaining
+# assumption (documented): two PROCESSES interleaving oracle runs over
+# DIFFERENT corpora can flip the link between one process's ray and sql
+# legs — single-harness-at-a-time, same as the rest of the bench/sweep
+# machinery.
 ADJ_ORACLE_PATH = "/tmp/antnre_oracle/kg_adjacency"
-_ADJ_WRITTEN: set = set()
+_ADJ_SNAP_ROOT = "/tmp/antnre_oracle/adj_by_corpus"
 
 
-def _write_adjacency_oracle(sf_dir: str) -> None:
-    """Write this corpus's materialized adjacency to ADJ_ORACLE_PATH
-    (once per corpus per process; the directory is cleared first so
-    stale shards from another corpus can't mix in)."""
+def _adjacency_snapshot(sf_dir: str) -> str:
+    """Write (if absent) this corpus's adjacency snapshot, flip the
+    oracle symlink to it, and return the snapshot dir."""
+    import hashlib
+    import os
     import shutil
+    import uuid
 
     from .extras import source_tag
 
-    key = source_tag(sf_dir)
-    if key in _ADJ_WRITTEN:
-        return
-    shutil.rmtree(ADJ_ORACLE_PATH, ignore_errors=True)
-    _graph(sf_dir)["adjacency"].write_parquet(ADJ_ORACLE_PATH)
-    _ADJ_WRITTEN.clear()  # one corpus owns the fixed path at a time
-    _ADJ_WRITTEN.add(key)
+    tag = hashlib.sha256(repr(source_tag(sf_dir)).encode()).hexdigest()[:16]
+    snap = os.path.join(_ADJ_SNAP_ROOT, tag)
+    if not os.path.isdir(snap):
+        os.makedirs(_ADJ_SNAP_ROOT, exist_ok=True)
+        tmp = f"{snap}.tmp.{uuid.uuid4().hex[:8]}"
+        _graph(sf_dir)["adjacency"].write_parquet(tmp)
+        try:
+            os.replace(tmp, snap)  # atomic publish; loser of a race cleans up
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    # migrate: rounds before the symlink scheme left a real directory here
+    if os.path.isdir(ADJ_ORACLE_PATH) and not os.path.islink(ADJ_ORACLE_PATH):
+        shutil.rmtree(ADJ_ORACLE_PATH, ignore_errors=True)
+    os.makedirs(os.path.dirname(ADJ_ORACLE_PATH), exist_ok=True)
+    link_tmp = f"{ADJ_ORACLE_PATH}.lnk.{uuid.uuid4().hex[:8]}"
+    os.symlink(snap, link_tmp)
+    os.replace(link_tmp, ADJ_ORACLE_PATH)  # atomic flip
+    return snap
 
 
 def ensure_adjacency_oracle(sf_dir: str) -> None:
     """Public hook for __ray_entry__.oracle_sql(): make the adjacency
     oracle parquet exist for `sf_dir` before any oracle SQL can run."""
-    _write_adjacency_oracle(sf_dir)
+    _adjacency_snapshot(sf_dir)
 
 
 @register("kg_adjacency", None)
 def kg_adjacency(sf_dir: str) -> ray.data.Dataset:
-    _write_adjacency_oracle(sf_dir)
+    _adjacency_snapshot(sf_dir)
     return _graph(sf_dir)["adjacency"]
 
 
@@ -157,19 +182,15 @@ def kg_top_entities(sf_dir: str) -> ray.data.Dataset:
     """Graph analytics over the materialized adjacency: out-degree and
     total edge weight per source node, top 20 — the groupby runs over
     the (already edge-aggregated) adjacency, not the raw triples."""
-    import pyarrow as pa
     from ray.data.aggregate import Count, Sum
 
-    _write_adjacency_oracle(sf_dir)
-    adj = _graph(sf_dir)["adjacency"]
+    # read the WRITTEN snapshot back (pruned columns): both engines run
+    # over byte-identical input, and the materialize reduce runs once
+    snap = _adjacency_snapshot(sf_dir)
+    adj = ray.data.read_parquet(snap, columns=["src", "weight"])
 
-    def project(b: pa.Table) -> pa.Table:
-        return pa.table({"src": b.column("src"), "weight": b.column("weight")})
-
-    deg = (
-        adj.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("src")
-        .aggregate(Count(alias_name="out_degree"), Sum("weight", alias_name="total_weight"))
+    deg = adj.groupby("src").aggregate(
+        Count(alias_name="out_degree"), Sum("weight", alias_name="total_weight")
     )
     return deg.sort(["total_weight", "src"], descending=[True, False]).limit(20)
 
@@ -192,17 +213,11 @@ def kg_two_hop(sf_dir: str) -> ray.data.Dataset:
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    _write_adjacency_oracle(sf_dir)
-    adj = _graph(sf_dir)["adjacency"]
-
-    def project(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"src": b.column("src"), "dst": b.column("dst"), "weight": b.column("weight")}
-        )
-
     from ..config import shuffle_width
 
-    edges = adj.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    # read the WRITTEN snapshot back — same bytes the oracle SQL globs
+    snap = _adjacency_snapshot(sf_dir)
+    edges = ray.data.read_parquet(snap, columns=["src", "dst", "weight"])
     nparts = shuffle_width()
     two = edges.join(
         edges,

@@ -66,7 +66,7 @@ _PREFIX = [
     "q17_small_quantity",
     "q19_bracket_revenue",
     "q22_idle_rich_customers",
-    # 3 — rotation fill: the 30 oracled queries verified longest ago
+    # 3 — rotation fill: the 29 oracled queries verified longest ago
     #     (r01/r02 vintage, none re-swept since)
     "b06b_regex_extract",
     "b10b_explode_tokens",

@@ -300,7 +300,11 @@ def run_query_once(sf_dir: str, num_cpus: int, name: str, iters: int) -> dict:
     from antnre_ray.pipelines.registry import load_all
 
     fn, _sql = load_all()[name]
-    fn(sf_dir)  # one warmup: pay worker spin-up outside the timed loop
+    # warmup must CONSUME (registry fns return lazy Datasets — the bare
+    # call executes nothing): pay worker spin-up outside the timed loop
+    warm = fn(sf_dir)
+    if isinstance(warm, ray.data.Dataset):
+        warm.count()
     walls = []
     rows = None
     for _ in range(iters):
@@ -310,13 +314,23 @@ def run_query_once(sf_dir: str, num_cpus: int, name: str, iters: int) -> dict:
         rows = out.count() if isinstance(out, ray.data.Dataset) else len(out)
         walls.append(time.time() - t0)
     ray.shutdown()
-    return {"query": name, "wall_s": round(sum(walls), 3), "rows": rows, "iters": iters}
+    walls.sort()
+    median = walls[len(walls) // 2]  # repo protocol: medians, not sums
+    return {
+        "query": name,
+        "wall_s": round(median, 3),
+        "walls": [round(w, 3) for w in walls],
+        "rows": rows,
+        "iters": iters,
+    }
 
 
 def run_query_scaling(sf_dir: str, name: str) -> dict:
     """4-vs-16 fresh-process pair for ONE registry query — shuffle-heavy
     scaling evidence beside the flagship pair (BASELINE.md protocol).
-    Efficiency = (wall_lo / wall_hi) / (hi / lo) on the same input."""
+    Efficiency = (median_wall_lo / median_wall_hi) / (hi / lo) on the
+    same input; per-leg medians over `iters` consumed executions after
+    a consumed warmup (workers spun up outside the timed loop)."""
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
     iters = int(os.environ.get("GRAFT_QSCALE_ITERS", "5"))
     results = {}

@@ -58,7 +58,7 @@ def main() -> int:
 
     cfg = PipelineConfig(partitions=args.partitions, salt=args.salt)
     t0 = time.time()
-    run_flagship_resumable(
+    res = run_flagship_resumable(
         lambda: derive_interleaved(args.input, repeat=args.repeat),
         args.output,
         cfg,
@@ -66,6 +66,10 @@ def main() -> int:
     )
     report = run_report(args.output)
     report["wall_s"] = round(time.time() - t0, 2)
+    # resume evidence (jobs/stress_resume.py): which partitions this
+    # invocation actually extracted vs served from the lineage manifest
+    report["processed_partitions"] = sorted(res["processed_partitions"])
+    report["skipped_partitions"] = sorted(res["skipped_partitions"])
     print(json.dumps(report))
     ray.shutdown()
     return 0

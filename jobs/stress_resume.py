@@ -11,7 +11,9 @@ corpus-scale flagship run dies mid-extract:
 2. KILLED run: same command in a subprocess; poll the lineage manifest
    and SIGKILL the driver the moment >= --kill-after extract partitions
    are committed (a real mid-job node loss: no atexit, no cleanup).
-3. RESUME: rerun over the killed run's output dir in-process and check
+3. RESUME: rerun over the killed run's output dir (same subprocess
+   shape as the clean leg, so both walls carry identical interpreter +
+   ray.init fixed costs) and check
    - every partition committed before the kill was SKIPPED (manifest
      fingerprint match — no re-extraction),
    - triples / entities / edges counts equal the clean run,
@@ -137,30 +139,20 @@ def main() -> int:
     subprocess.run(["ray", "stop", "--force"], capture_output=True)
 
     # ---- leg 3: resume ----------------------------------------------
-    import ray
-
-    if not ray.is_initialized():
-        ray.init(include_dashboard=False)
-    from antnre_ray.config import PipelineConfig
-    from antnre_ray.sources.corpus import derive_interleaved, derived_doc_ids
-    from antnre_ray.state.lineage import run_flagship_resumable
-    from antnre_ray.state.metrics import run_report
-
-    os.environ["GRAFT_WAVE_PARTS"] = "1"
+    # Same subprocess shape as the clean leg, so BOTH walls include the
+    # identical interpreter/ray.init fixed costs and the saving ratio
+    # compares like with like (round-5 review finding).
     t1 = time.time()
-    res = run_flagship_resumable(
-        lambda: derive_interleaved(args.input, repeat=args.repeat),
-        kill_dir,
-        PipelineConfig(partitions=args.partitions),
-        ids_factory=lambda: derived_doc_ids(
-            args.input, repeat=args.repeat, partitions=args.partitions
-        ),
+    res_run = subprocess.run(
+        _flagship_cmd(args, kill_dir), env=env, capture_output=True, text=True
     )
     resume_wall = time.time() - t1
-    resume_report = run_report(kill_dir)
-    ray.shutdown()
+    if res_run.returncode != 0:
+        print(res_run.stdout[-2000:], res_run.stderr[-2000:], file=sys.stderr)
+        raise SystemExit("resume run failed")
+    resume_report = json.loads(res_run.stdout.strip().splitlines()[-1])
 
-    skipped = set(res["skipped_partitions"])
+    skipped = set(resume_report["skipped_partitions"])
     not_skipped = sorted(committed_at_kill - skipped)
     adj_equal = _adjacency_table(clean_dir).equals(_adjacency_table(kill_dir))
     out = {
@@ -168,7 +160,7 @@ def main() -> int:
         "partitions": args.partitions,
         "committed_at_kill": sorted(committed_at_kill),
         "resume_skipped": sorted(skipped),
-        "resume_reextracted": sorted(res["processed_partitions"]),
+        "resume_reextracted": sorted(resume_report["processed_partitions"]),
         "committed_but_reextracted": not_skipped,
         "triples_clean": clean_report.get("triples"),
         "triples_resumed": resume_report.get("triples"),
@@ -183,6 +175,7 @@ def main() -> int:
             and clean_report.get("triples") == resume_report.get("triples")
             and clean_report.get("entities") == resume_report.get("entities")
             and adj_equal
+            and resume_wall < clean_wall  # the saving IS the claim
         ),
     }
     print(json.dumps(out))
