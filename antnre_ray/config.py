@@ -26,7 +26,16 @@ def shuffle_width(divisor: int = 4, lo: int = 4, hi: int = 64) -> int:
     while the map side feeds them, so width == cpus starves producers
     (measured in pipelines/relational._join_partitions: 3.06 s at
     cpus/4 vs 3.45 s at cpus/2 vs 29 s at cpus, 600k-row join at 32
-    CPUs). One shared helper so every stage retunes together."""
+    CPUs). One shared helper so every stage retunes together.
+
+    GRAFT_SHUFFLE_WIDTH overrides (experiments / cluster retuning):
+    the cpu-divisor heuristic is a single-node sweet spot for
+    bench-scale tables; at other data:cpu ratios the right width
+    differs (measured on a 9.6M-row join at 16 CPUs: width 4 -> 13.1 s,
+    width 8 is faster — see BASELINE.md round-5 width A/B)."""
+    env = os.environ.get("GRAFT_SHUFFLE_WIDTH")
+    if env:
+        return int(env)
     try:
         import ray
 
@@ -34,6 +43,30 @@ def shuffle_width(divisor: int = 4, lo: int = 4, hi: int = 64) -> int:
     except Exception:
         cpus = 8
     return max(lo, min(hi, cpus // divisor))
+
+
+def tune_data_context() -> None:
+    """Session-level Ray Data tuning, applied lazily by every read
+    helper (idempotent, re-checked per live session).
+
+    read_op_min_num_blocks: Ray's default floor of 200 output blocks
+    per read shreds small/medium tables into ~2 MB blocks whose
+    per-task overhead dominates the pipeline (measured on a 9.6M-row /
+    400 MB pre-aggregation at 4 CPUs: 208 blocks -> 5.4 s wall for
+    2.3 core-s of real work, 11 % utilization; floor 2×cpus -> 0.8 s
+    warm). A CPU-scaled floor keeps full parallelism headroom at every
+    cluster size — at 100-TB table sizes the SIZE-based block count
+    (bytes / target_max_block_size) exceeds any floor, so this only
+    affects the small/medium reads the default was hurting."""
+    import ray
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or _default_cpus()
+    except Exception:
+        cpus = _default_cpus()
+    ctx.read_op_min_num_blocks = max(2 * cpus, 8)
 
 
 @dataclass

@@ -845,8 +845,17 @@ def data_dsir_select(sf_dir: str) -> ray.data.Dataset:
     return dsir_select(docs.select_columns(["doc_id", "text"]), target, frac=0.25)
 
 
-# Fibonacci-hashing base multiplier (2^64/φ, odd → a BIJECTION mod 2^64)
-_SHUFFLE_M0 = 11400714819323198485
+def _shuffle_multiplier(seed: int) -> int:
+    """Odd 64-bit multiplier for the global-shuffle permutation,
+    DECORRELATED per seed: splitmix64(seed) | 1. Deriving it as
+    base + 2·seed instead (the first round-5 keying) was a real bug —
+    adjacent seeds changed each key by only 2·(doc_id+1), orders of
+    magnitude below the ~2^64/N key spacing, so different epochs got
+    the SAME document order (caught by
+    tests/test_wave12.py::test_global_shuffle_seed_changes_order)."""
+    from ..functions.hashing import mix64
+
+    return int(mix64(np.array([0], dtype=np.uint64), seed=seed)[0] | np.uint64(1))
 
 
 @register(
@@ -858,9 +867,9 @@ _SHUFFLE_M0 = 11400714819323198485
     # (round-5 review finding). The driver's compare is
     # order-insensitive, but the bijective key IS the order.
     f"""SELECT doc_id, text,
-               CAST(((CAST(doc_id AS HUGEINT) + 1) * {_SHUFFLE_M0 + 2 * 7})
+               CAST(((CAST(doc_id AS HUGEINT) + 1) * {_shuffle_multiplier(7)})
                     % 18446744073709551616
-                    - CASE WHEN ((CAST(doc_id AS HUGEINT) + 1) * {_SHUFFLE_M0 + 2 * 7})
+                    - CASE WHEN ((CAST(doc_id AS HUGEINT) + 1) * {_shuffle_multiplier(7)})
                                 % 18446744073709551616 >= 9223372036854775808
                            THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS shuffle_key
         FROM documents
@@ -868,14 +877,14 @@ _SHUFFLE_M0 = 11400714819323198485
 )
 def data_global_shuffle(sf_dir: str, seed: int = 7) -> ray.data.Dataset:
     """Deterministic global training shuffle: every document gets the
-    key (doc_id+1)·M_seed mod 2^64 (Fibonacci multiplicative hashing;
-    M_seed = 2^64/φ + 2·seed is odd, so the map is a BIJECTION on
+    key (doc_id+1)·M_seed mod 2^64 (multiplicative hashing; M_seed =
+    splitmix64(seed)|1 is odd, so the map is a BIJECTION on
     Z_2^64 — no collisions, exactly uniform) and the corpus sorts by
     it — the epoch-ordering step of an LLM data pipeline. Unlike
     Dataset.random_shuffle (per-block draws → partitioning-DEPENDENT,
     see functions/hashing notes), the key is a pure function of
     (doc_id, seed), so the order is reproducible across runs, cluster
-    sizes and input layouts, and a different seed (different odd
+    sizes and input layouts, and a different seed (a decorrelated odd
     multiplier → different permutation) gives a different epoch order.
     The integer-only key is replicated exactly by the DuckDB oracle
     (the data_mix_weighted precedent, VERDICT r4 ask #5).
@@ -884,7 +893,7 @@ def data_global_shuffle(sf_dir: str, seed: int = 7) -> ray.data.Dataset:
     irreducible cost of a global shuffle (same exchange class Ray's
     random_shuffle pays), with Ray's sample-based range partitioner
     keeping output blocks balanced because the keys are uniform u64."""
-    m = np.uint64(_SHUFFLE_M0 + 2 * seed)
+    m = np.uint64(_shuffle_multiplier(seed))
 
     def key(b: pa.Table, m=m) -> pa.Table:
         did = b.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)

@@ -10,7 +10,19 @@ QUERIES: dict[str, tuple] = {}
 
 def register(name: str, sql: str | None):
     def deco(fn):
-        QUERIES[name] = (fn, sql)
+        import functools
+
+        @functools.wraps(fn)
+        def tuned(*a, **k):
+            # session-level Ray Data tuning (CPU-scaled read block
+            # floor) applied at query-call time, when the live
+            # session's CPU count is known — see config.tune_data_context
+            from ..config import tune_data_context
+
+            tune_data_context()
+            return fn(*a, **k)
+
+        QUERIES[name] = (tuned, sql)
         return fn
 
     return deco

@@ -27,6 +27,9 @@ def read_table(path: str, *, columns: list[str] | None = None, **kwargs) -> ray.
     Always pass ``columns`` when a stage needs a projection — pruning at
     the read is the cheapest optimization at 100 TB.
     """
+    from ..config import tune_data_context
+
+    tune_data_context()
     if HAVE_LANCE and (path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions"))):
         return ray.data.read_lance(path, columns=columns, **kwargs)
     lower = path.lower()

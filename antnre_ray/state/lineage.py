@@ -189,6 +189,9 @@ def run_flagship_resumable(
     derive/read is cheap next to extraction; see module docstring).
     """
     cfg = cfg or PipelineConfig()
+    from ..config import tune_data_context
+
+    tune_data_context()
     os.makedirs(out_dir, exist_ok=True)
     # Sweep tmp dirs a crashed previous run may have left (never referenced
     # by the manifest, so removal is always safe).
