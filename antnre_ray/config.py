@@ -35,7 +35,16 @@ def shuffle_width(divisor: int = 4, lo: int = 4, hi: int = 64) -> int:
     width 8 is faster — see BASELINE.md round-5 width A/B)."""
     env = os.environ.get("GRAFT_SHUFFLE_WIDTH")
     if env:
-        return int(env)
+        # validate once, loudly: a zero/negative/garbage override would
+        # otherwise surface as num_partitions errors deep inside ~15
+        # query plans (round-5 review finding)
+        try:
+            width = int(env)
+        except ValueError:
+            raise ValueError(
+                f"GRAFT_SHUFFLE_WIDTH={env!r} is not an integer"
+            ) from None
+        return max(1, width)
     try:
         import ray
 

@@ -419,6 +419,12 @@ def clear_memo_caches() -> None:
 
     kg_queries._EXT_CACHE.clear()
     kg_queries._LINKED_CACHE.clear()
+    # the adjacency oracle snapshot persists ON DISK across samples —
+    # without this, "cold" timings of kg_adjacency/kg_top_entities/
+    # kg_two_hop skip extraction entirely (round-5 review finding)
+    import shutil
+
+    shutil.rmtree(kg_queries._ADJ_SNAP_ROOT, ignore_errors=True)
 
 
 @register("text_decontaminate", None)

@@ -125,6 +125,34 @@ def kg_entities(sf_dir: str) -> ray.data.Dataset:
 ADJ_ORACLE_PATH = "/tmp/antnre_oracle/kg_adjacency"
 _ADJ_SNAP_ROOT = "/tmp/antnre_oracle/adj_by_corpus"
 
+_CODE_FP: str | None = None
+
+
+def _code_fingerprint() -> str:
+    """Fingerprint of the engine source: (relpath, size, mtime_ns) of
+    every .py under the antnre_ray package, hashed. Part of the snapshot
+    tag so a CODE change (extraction, canonicalize, materialize, ...)
+    invalidates persisted adjacency snapshots instead of silently
+    serving results computed by retired code (review finding r5).
+    Over-eager (any package edit invalidates) by design — the cost is
+    one pipeline re-run per code change. Memoized per process."""
+    global _CODE_FP
+    if _CODE_FP is None:
+        import hashlib
+        import os
+
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ents = []
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    ents.append((os.path.relpath(p, pkg), st.st_size, st.st_mtime_ns))
+        ents.sort()
+        _CODE_FP = hashlib.sha256(repr(ents).encode()).hexdigest()[:16]
+    return _CODE_FP
+
 
 def _adjacency_snapshot(sf_dir: str) -> str:
     """Write (if absent) this corpus's adjacency snapshot, flip the
@@ -136,7 +164,8 @@ def _adjacency_snapshot(sf_dir: str) -> str:
 
     from .extras import source_tag
 
-    tag = hashlib.sha256(repr(source_tag(sf_dir)).encode()).hexdigest()[:16]
+    key = (source_tag(sf_dir), _code_fingerprint())
+    tag = hashlib.sha256(repr(key).encode()).hexdigest()[:16]
     snap = os.path.join(_ADJ_SNAP_ROOT, tag)
     if not os.path.isdir(snap):
         os.makedirs(_ADJ_SNAP_ROOT, exist_ok=True)
@@ -164,8 +193,12 @@ def ensure_adjacency_oracle(sf_dir: str) -> None:
 
 @register("kg_adjacency", None)
 def kg_adjacency(sf_dir: str) -> ray.data.Dataset:
-    _adjacency_snapshot(sf_dir)
-    return _graph(sf_dir)["adjacency"]
+    # read the snapshot back instead of re-running the materialize
+    # reduce: Ray re-executes lazy branches per consumer, so returning
+    # _graph()["adjacency"] after the snapshot write would execute the
+    # canonicalize+materialize pipeline twice (review finding r5)
+    snap = _adjacency_snapshot(sf_dir)
+    return ray.data.read_parquet(snap)
 
 
 @register(

@@ -962,10 +962,20 @@ def b20_topk(sf_dir: str) -> ray.data.Dataset:
     # (l_orderkey·8 + l_linenumber, linenumber < 8) times the odd
     # Fibonacci multiplier is a bijection mod 2^64, compared against
     # floor(0.1·2^64) — integer-exact on both engines.
+    # the *8 happens AFTER the 128-bit cast (same rule as
+    # data_global_shuffle): in BIGINT it would overflow for
+    # l_orderkey >= 2^60 where the uint64 kernel wraps mod 2^64.
+    # UHUGEINT (not HUGEINT): keymod*M reaches ~2.1e38 > HUGEINT max;
+    # and EVERY operand is cast because DuckDB 1.0 promotes
+    # UHUGEINT-mixed-with-signed arithmetic to DOUBLE (measured) —
+    # verified exact vs the uint64 kernel up to l_orderkey = 2^63-1
     """SELECT l_orderkey, l_linenumber FROM lineitem
-       WHERE (CAST(l_orderkey * 8 + l_linenumber AS HUGEINT)
-              * 11400714819323198485) % 18446744073709551616
-             < 1844674407370955161""",
+       WHERE ((CAST(l_orderkey AS UHUGEINT) * CAST(8 AS UHUGEINT)
+               + CAST(l_linenumber AS UHUGEINT))
+              % CAST(18446744073709551616 AS UHUGEINT)
+              * CAST(11400714819323198485 AS UHUGEINT))
+             % CAST(18446744073709551616 AS UHUGEINT)
+             < CAST(1844674407370955161 AS UHUGEINT)""",
 )
 def b21_sample(sf_dir: str) -> ray.data.Dataset:
     """Deterministic ~10% Bernoulli sample by multiplicative hash of

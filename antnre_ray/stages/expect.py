@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.fold import tree_fold
+from ..functions.fold import sum_columns_merge, tree_fold
 
 
 def not_null(column: str) -> dict:
@@ -76,17 +76,9 @@ def expectations_report(ds: "ray.data.Dataset", rules: list[dict]) -> pa.Table:
             out[f"v{i}"] = pa.array([v], pa.int64())
         return pa.table(out)
 
-    def merge_partials(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                c: pa.array([int(pc.sum(b.column(c)).as_py() or 0)], pa.int64())
-                for c in b.column_names
-            }
-        )
-
     parts = tree_fold(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
-        merge_partials,
+        sum_columns_merge,
     )
     n_rows = sum(p["_rows"] for p in parts)
     violations = {i: sum(p[f"v{i}"] for p in parts) for i in range(len(streaming))}
@@ -116,15 +108,11 @@ def expectations_report(ds: "ray.data.Dataset", rules: list[dict]) -> pa.Table:
             ).as_py()
             return pa.table({"d": pa.array([int(d or 0)], pa.int64())})
 
-        def merge_d(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {"d": pa.array([int(pc.sum(b.column("d")).as_py() or 0)], pa.int64())}
-            )
-
         dup_counts[col] = sum(
             p["d"]
             for p in tree_fold(
-                counts.map_batches(dup_partial, batch_format="pyarrow"), merge_d
+                counts.map_batches(dup_partial, batch_format="pyarrow"),
+                sum_columns_merge,
             )
         )
 

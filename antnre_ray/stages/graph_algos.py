@@ -43,7 +43,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Min
 
-from ..functions.fold import tree_fold
+from ..functions.fold import sum_columns_merge, tree_fold
 from ..functions.hashing import stable_u64_array
 
 # Below this node count, iteration state lives in driver/broadcast
@@ -466,15 +466,11 @@ def pagerank(
             m = pc.is_in(b.column("node"), value_set=seed_arr)
             return pa.table({"s": pa.array([int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0)], pa.int64())})
 
-        def seed_merge(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {"s": pa.array([int(pc.sum(b.column("s")).as_py() or 0)], pa.int64())}
-            )
-
         n_seeds = sum(
             p["s"]
             for p in tree_fold(
-                nodes.map_batches(seed_partial, batch_format="pyarrow"), seed_merge
+                nodes.map_batches(seed_partial, batch_format="pyarrow"),
+                sum_columns_merge,
             )
         )
         if n_seeds == 0:

@@ -28,17 +28,6 @@ import pyarrow.parquet as pq
 KEY_STRIDE = 1 << 32
 
 
-def _replicate(table: pa.Table, key_col: str, repeat: int) -> pa.Table:
-    reps = []
-    for r in range(repeat):
-        t = table
-        if r:  # replica 0 keeps original keys (byte-identical base)
-            shifted = pc.add(t.column(key_col), pa.scalar(r * KEY_STRIDE, pa.int64()))
-            t = t.set_column(t.schema.get_field_index(key_col), key_col, shifted)
-        reps.append(t)
-    return pa.concat_tables(reps)
-
-
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default="/root/testdata/sf0.1")

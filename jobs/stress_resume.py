@@ -123,16 +123,38 @@ def main() -> int:
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
     committed_at_kill: set[int] = set()
+    killed_by_us = False
+    # bound the poll loop: a hung child must fail the job, not spin forever
+    kill_budget = max(600.0, 10 * clean_wall)
+    kill_deadline = time.time() + kill_budget
     while proc.poll() is None:
+        if time.time() > kill_deadline:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait()
+            raise SystemExit(
+                f"killed-leg child hung past {kill_budget:.0f}s without "
+                f"reaching {args.kill_after} commits (got {len(committed_at_kill)})"
+            )
         committed_at_kill = _done_extract_parts(kill_dir)
         if len(committed_at_kill) >= args.kill_after:
             proc.send_signal(signal.SIGKILL)
+            killed_by_us = True
             break
         time.sleep(0.25)
     proc.wait()
     if proc.returncode == 0:
         raise SystemExit(
             f"run finished before {args.kill_after} commits — kill-after too large"
+        )
+    # the evidence is only valid if the fault was OUR mid-extract SIGKILL:
+    # a child that crashed on its own (OOM, bad --input, leftover ray
+    # state) before kill_after commits would otherwise masquerade as a
+    # successful injection and leg 3 would just be a clean run
+    if not killed_by_us or len(committed_at_kill) < args.kill_after:
+        raise SystemExit(
+            f"killed-leg child exited on its own (rc={proc.returncode}) after "
+            f"{len(committed_at_kill)} commits — no fault was injected; "
+            "evidence invalid"
         )
     # hard driver death leaves orphaned raylets; a real cluster restarts
     # the job on healthy nodes — locally that is a fresh `ray start`
