@@ -154,19 +154,29 @@ def _code_fingerprint() -> str:
     return _CODE_FP
 
 
-def _adjacency_snapshot(sf_dir: str) -> str:
-    """Write (if absent) this corpus's adjacency snapshot, flip the
-    oracle symlink to it, and return the snapshot dir."""
+def _snapshot_dir(sf_dir: str) -> str:
+    """Pure tag→path computation: the snapshot key is (corpus identity,
+    package-code fingerprint), so either a regenerated corpus OR a code
+    change gets a fresh snapshot instead of silently serving stale
+    results."""
     import hashlib
     import os
-    import shutil
-    import uuid
 
     from .extras import source_tag
 
     key = (source_tag(sf_dir), _code_fingerprint())
     tag = hashlib.sha256(repr(key).encode()).hexdigest()[:16]
-    snap = os.path.join(_ADJ_SNAP_ROOT, tag)
+    return os.path.join(_ADJ_SNAP_ROOT, tag)
+
+
+def _adjacency_snapshot(sf_dir: str) -> str:
+    """Write (if absent) this corpus's adjacency snapshot, flip the
+    oracle symlink to it, and return the snapshot dir."""
+    import os
+    import shutil
+    import uuid
+
+    snap = _snapshot_dir(sf_dir)
     if not os.path.isdir(snap):
         os.makedirs(_ADJ_SNAP_ROOT, exist_ok=True)
         tmp = f"{snap}.tmp.{uuid.uuid4().hex[:8]}"

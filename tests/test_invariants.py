@@ -419,3 +419,36 @@ def test_tune_data_context_scales_read_block_floor(ray_session):
     fn, _sql = load_all()["b05_filter"]
     fn("/root/testdata/sf0.001")
     assert ctx.read_op_min_num_blocks == max(2 * cpus, 8)
+
+
+def test_adjacency_snapshot_invalidates_on_code_change(tmp_path, monkeypatch):
+    """The adjacency oracle snapshot is keyed by BOTH corpus identity and
+    a package-code fingerprint: a code edit must produce a different
+    snapshot dir (round-5 review finding — a corpus-only key silently
+    served results computed by retired code), and the fingerprint itself
+    must react to a package-file mtime change."""
+    import os
+
+    from antnre_ray.pipelines import kg_queries
+
+    sf = "/root/testdata/sf0.001"
+    # path computation is pure — no pipeline runs here
+    monkeypatch.setattr(kg_queries, "_CODE_FP", "aaaa000000000000")
+    p1 = kg_queries._snapshot_dir(sf)
+    monkeypatch.setattr(kg_queries, "_CODE_FP", "bbbb111111111111")
+    p2 = kg_queries._snapshot_dir(sf)
+    assert p1 != p2
+    assert os.path.dirname(p1) == kg_queries._ADJ_SNAP_ROOT
+
+    # the real fingerprint: stable within a process, sensitive to mtime
+    monkeypatch.setattr(kg_queries, "_CODE_FP", None)
+    fp1 = kg_queries._code_fingerprint()
+    assert kg_queries._code_fingerprint() == fp1  # memoized
+    target = kg_queries.__file__
+    st = os.stat(target)
+    try:
+        os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+        monkeypatch.setattr(kg_queries, "_CODE_FP", None)
+        assert kg_queries._code_fingerprint() != fp1
+    finally:
+        os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns))
