@@ -1149,7 +1149,35 @@ def media_frame_dedup(sf_dir: str) -> ray.data.Dataset:
     return frame_dedup_pairs(frames).sort(["doc_a", "doc_b"])
 
 
-@register("data_quality_report", None)  # contract report → rows-only; planted-violation tested
+@register(
+    "data_quality_report",
+    # exact SQL replica of the five-rule report: one row per rule with
+    # the engine's (rule, column, passed, observed, expected) schema.
+    # in_range counts NULLs as violations (fill_null(bad, True) in the
+    # streaming kernel) — COALESCE replicates that; unique counts
+    # DUPLICATED KEYS (not duplicated rows).
+    """SELECT 'not_null' AS rule, 'event_id' AS "column",
+              count(*) FILTER (WHERE event_id IS NULL) = 0 AS passed,
+              CAST(count(*) FILTER (WHERE event_id IS NULL) AS DOUBLE) AS observed,
+              '0 nulls' AS expected FROM events
+       UNION ALL
+       SELECT 'not_null', 'event_type',
+              count(*) FILTER (WHERE event_type IS NULL) = 0,
+              CAST(count(*) FILTER (WHERE event_type IS NULL) AS DOUBLE),
+              '0 nulls' FROM events
+       UNION ALL
+       SELECT 'unique', 'event_id', count(*) = 0, CAST(count(*) AS DOUBLE),
+              '0 duplicated keys'
+       FROM (SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1)
+       UNION ALL
+       SELECT 'in_range', 'user_id',
+              count(*) FILTER (WHERE COALESCE(user_id < 0 OR user_id > 1000000000000, TRUE)) = 0,
+              CAST(count(*) FILTER (WHERE COALESCE(user_id < 0 OR user_id > 1000000000000, TRUE)) AS DOUBLE),
+              '[0, 1000000000000]' FROM events
+       UNION ALL
+       SELECT 'row_count_between', '', count(*) BETWEEN 1 AND 1000000000000,
+              CAST(count(*) AS DOUBLE), '[1, 1000000000000]' FROM events""",
+)
 def data_quality_report(sf_dir: str) -> pa.Table:
     """Declarative data-quality expectations over the events table
     (stages/expect.expectations_report): one shared streaming pass for

@@ -660,20 +660,34 @@ def kg_harmonic(sf_dir: str) -> ray.data.Dataset:
     ).limit(20)
 
 
-@register("kg_triangles", None)
+@register(
+    "kg_triangles",
+    # exact SQL replica over the engine's OWN written adjacency (the
+    # kg_top_entities/kg_two_hop precedent): canonicalize to undirected
+    # a<b edges (self-loops dropped, reverse/dup collapsed — the
+    # triangle_count contract), then the ordered 3-way join counts each
+    # triangle exactly once as a<b<c.
+    f"""WITH e AS (SELECT DISTINCT least(src, dst) AS a,
+                          greatest(src, dst) AS b
+                   FROM read_parquet('{ADJ_ORACLE_PATH}/*.parquet')
+                   WHERE src <> dst)
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
+)
 def kg_triangles(sf_dir: str):
     """Exact triangle count of the materialized KG — the clustering/
     cohesion statistic beside components and PageRank; degree-ordered
     wedge join (stages/graph_algos.triangle_count), verified against
-    brute force on planted graphs in tests."""
+    brute force on planted graphs in tests AND against the DuckDB
+    ordered-join oracle over the written adjacency snapshot."""
     import pyarrow as pa
 
     from ..stages.graph_algos import triangle_count
 
-    adj = _graph(sf_dir)["adjacency"]
-
-    def project(b: pa.Table) -> pa.Table:
-        return pa.table({"src": b.column("src"), "dst": b.column("dst")})
-
-    edges = adj.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    # read the written snapshot back so both engines count over
+    # byte-identical edges (and the materialize reduce runs once)
+    snap = _adjacency_snapshot(sf_dir)
+    edges = ray.data.read_parquet(snap, columns=["src", "dst"])
     return pa.table({"n_triangles": pa.array([triangle_count(edges)], pa.int64())})

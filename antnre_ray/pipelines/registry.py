@@ -59,6 +59,11 @@ _PREFIX = [
     "kg_top_entities",
     "kg_two_hop",
     "b67_string_agg_capped",
+    # 1b — promoted late in round 5: exact triangle count via the
+    #     ordered 3-way self-join over the written adjacency, and the
+    #     expectations report as five UNION ALL'd SQL aggregates
+    "kg_triangles",
+    "data_quality_report",
     # 2 — re-confirms: oracled queries whose code paths the round-5
     #     commits touched (ADVICE overflow/rounding fixes; the
     #     tree_fold bounding sweep over reduce paths)
@@ -78,8 +83,10 @@ _PREFIX = [
     "q17_small_quantity",
     "q19_bracket_revenue",
     "q22_idle_rich_customers",
-    # 3 — rotation fill: the 29 oracled queries verified longest ago
-    #     (r01/r02 vintage, none re-swept since)
+    # 3 — rotation fill: the oracled queries verified longest ago
+    #     (r01/r02 vintage, none re-swept since; b26/b27 rotated OUT for
+    #     the two tier-1b promotions — they were re-confirmed r03, so
+    #     they are the youngest of this tier)
     "b06b_regex_extract",
     "b10b_explode_tokens",
     "b15b_quantiles",
@@ -107,8 +114,6 @@ _PREFIX = [
     "b22_union",
     "b23_intersect",
     "b24_exact_dedup",
-    "b26_window_agg",
-    "b27_sessionize",
 ]
 
 assert len(_PREFIX) == SWEEP_CAP, len(_PREFIX)

@@ -72,7 +72,10 @@ def test_registry_entry_all_green(ray_session, sf001):
     from antnre_ray.pipelines.registry import load_all
 
     fn, sql = load_all()["data_quality_report"]
-    assert sql is None
+    # promoted to oracle-backed in round 5: five UNION ALL'd SQL aggregates
+    # replicate the report exactly (test_oracle_conformance covers the
+    # side-by-side match; here we pin the engine-side semantics)
+    assert sql is not None and sql.count("UNION ALL") == 4
     report = fn(sf001)
     rows = report.to_pylist()
     assert len(rows) == 5
