@@ -289,25 +289,52 @@ def kg_two_hop(sf_dir: str) -> ray.data.Dataset:
     return out.sort(["path_weight", "src", "dst"], descending=[True, False, False]).limit(20)
 
 
-@register("kg_components", None)
+@register(
+    "kg_components",
+    # exact SQL replica over the engine's OWN written adjacency:
+    # undirected reachability closure (finite, monotone — terminates
+    # without a bound), component representative = min node id reachable.
+    f"""WITH RECURSIVE
+        raw AS (SELECT src, dst FROM read_parquet('{ADJ_ORACLE_PATH}/*.parquet')),
+        e AS (SELECT src AS u, dst AS v FROM raw
+              UNION ALL SELECT dst, src FROM raw),
+        nodes AS (SELECT DISTINCT u AS node FROM e),
+        reach(node, id) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.v, r.id FROM reach r JOIN e ON e.u = r.node)
+        SELECT node, min(id) AS component FROM reach GROUP BY node""",
+)
 def kg_components(sf_dir: str) -> ray.data.Dataset:
     """Connected components of the materialized KG (undirected): the
     iterative-algorithm operator class — per round one hash join + one
     grouped MIN, convergence from the global label sum. Returns
-    (node, component) sorted by component then node."""
+    (node, component) where component is the lexicographically smallest
+    node id in the component (a readable representative; the internal
+    min-hash label maps to it via one grouped Min + one hash join —
+    both node-scale, no giant-group materialization), sorted by
+    component then node. Cross-verified against a DuckDB recursive-CTE
+    reachability closure over the written adjacency snapshot."""
+    from ray.data.aggregate import Min
+
+    from ..config import shuffle_width
     from ..stages.graph_algos import connected_components
 
-    adj = _graph(sf_dir)["adjacency"]
-
-    def project(b):
-        import pyarrow as pa
-
-        return pa.table({"src": b.column("src"), "dst": b.column("dst")})
-
-    labels = connected_components(
-        adj.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    # read the WRITTEN snapshot back — same bytes the oracle SQL globs
+    snap = _adjacency_snapshot(sf_dir)
+    edges = ray.data.read_parquet(snap, columns=["src", "dst"])
+    labels = connected_components(edges)
+    nparts = shuffle_width()
+    # hash-label → representative (min node string per label). The
+    # repartition between the aggregate and the join restores schema on
+    # Ray 2.49's zero-column empty-partition blocks (graph_algos note).
+    reps = (
+        labels.groupby("label")
+        .aggregate(Min("node", alias_name="component"))
+        .repartition(nparts)
     )
-    return labels.sort(["label", "node"])
+    out = labels.join(reps, join_type="inner", num_partitions=nparts, on=("label",))
+    return out.select_columns(["node", "component"]).sort(["component", "node"])
 
 
 @register("kg_pagerank", None)
@@ -541,12 +568,36 @@ def kg_eval_prf(sf_dir: str):
     return pa.table({k: pa.array([float(v)], pa.float64()) for k, v in m.items()})
 
 
-@register("kg_bfs_depth", None)
+@register(
+    "kg_bfs_depth",
+    # exact SQL replica over the engine's OWN written adjacency:
+    # multi-source BFS as a recursive walk from the two deterministic
+    # seeds. The hop bound (depth+1 < |nodes|) makes the cyclic walk
+    # terminate and is exact — no shortest hop path uses >= |nodes|
+    # edges. min(depth) per node = BFS depth; unreached nodes -1.
+    f"""WITH RECURSIVE
+        raw AS (SELECT src, dst FROM read_parquet('{ADJ_ORACLE_PATH}/*.parquet')),
+        e AS (SELECT src AS u, dst AS v FROM raw
+              UNION ALL SELECT dst, src FROM raw),
+        nodes AS (SELECT DISTINCT u AS node FROM e),
+        seeds AS (SELECT min(src) AS s FROM raw
+                  UNION SELECT min(dst) FROM raw),
+        walk(node, depth) AS (
+            SELECT s, CAST(0 AS BIGINT) FROM seeds
+            UNION
+            SELECT e.v, w.depth + 1 FROM walk w JOIN e ON e.u = w.node
+            WHERE w.depth + 1 < (SELECT count(*) FROM nodes))
+        SELECT n.node, COALESCE(m.d, CAST(-1 AS BIGINT)) AS depth
+        FROM nodes n
+        LEFT JOIN (SELECT node, min(depth) AS d FROM walk GROUP BY node) m
+               USING (node)""",
+)
 def kg_bfs_depth(sf_dir: str) -> ray.data.Dataset:
     """Multi-source BFS hop depth over the materialized KG
     (stages/graph_algos.bfs_depth): distance from the nearest of two
     deterministic seeds (the lexicographically smallest src and dst of
-    the adjacency), -1 when unreachable. Rows-only driver check;
+    the adjacency), -1 when unreachable. Cross-verified against a
+    DuckDB recursive-CTE walk over the written adjacency snapshot;
     reference-BFS equality and regime equivalence live in
     tests/test_bfs.py."""
     import pyarrow as pa
@@ -555,16 +606,12 @@ def kg_bfs_depth(sf_dir: str) -> ray.data.Dataset:
 
     from ..stages.graph_algos import bfs_depth
 
-    adj = _graph(sf_dir)["adjacency"]
-
-    def project(b: pa.Table) -> pa.Table:
-        return pa.table({"src": b.column("src"), "dst": b.column("dst")})
-
-    # consumed twice (seed pick + BFS) — materialize the 2-column
-    # projection once so the lazy branch isn't re-executed per consumer
-    edges = adj.map_batches(
-        project, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    # read the WRITTEN snapshot back — same bytes the oracle SQL globs.
+    # Consumed twice (seed pick + BFS); each consumer re-scans the tiny
+    # snapshot parquet, which beats pinning the full adjacency in the
+    # object store at scale.
+    snap = _adjacency_snapshot(sf_dir)
+    edges = ray.data.read_parquet(snap, columns=["src", "dst"])
     lo = edges.aggregate(Min("src", alias_name="s"), Min("dst", alias_name="d"))
     seeds = sorted({lo["s"], lo["d"]})
     return bfs_depth(edges, seeds).sort(["depth", "node"])
@@ -609,13 +656,40 @@ def kg_ppr(sf_dir: str) -> ray.data.Dataset:
     ).limit(20)
 
 
-@register("kg_shortest_path", None)
+@register(
+    "kg_shortest_path",
+    # exact SQL replica over the engine's OWN written adjacency:
+    # weighted shortest path (nonnegative integer weights) as a
+    # recursive walk carrying (dist, hops). The hop bound
+    # (hops+1 < |nodes|) terminates the cyclic walk and is exact —
+    # with nonnegative weights some shortest path is simple, i.e. uses
+    # <= |nodes|-1 edges. min(dist) per node; unreached nodes -1.
+    f"""WITH RECURSIVE
+        raw AS (SELECT src, dst, weight
+                FROM read_parquet('{ADJ_ORACLE_PATH}/*.parquet')),
+        e AS (SELECT src AS u, dst AS v, weight AS w FROM raw
+              UNION ALL SELECT dst, src, weight FROM raw),
+        nodes AS (SELECT DISTINCT u AS node FROM e),
+        seeds AS (SELECT min(src) AS s FROM raw
+                  UNION SELECT min(dst) FROM raw),
+        walk(node, dist, hops) AS (
+            SELECT s, CAST(0 AS BIGINT), 0 FROM seeds
+            UNION
+            SELECT e.v, wk.dist + e.w, wk.hops + 1
+            FROM walk wk JOIN e ON e.u = wk.node
+            WHERE wk.hops + 1 < (SELECT count(*) FROM nodes))
+        SELECT n.node, COALESCE(m.d, CAST(-1 AS BIGINT)) AS dist
+        FROM nodes n
+        LEFT JOIN (SELECT node, min(dist) AS d FROM walk GROUP BY node) m
+               USING (node)""",
+)
 def kg_shortest_path(sf_dir: str) -> ray.data.Dataset:
     """Weighted shortest-path distance over the materialized KG
     (stages/graph_algos.shortest_path, distributed Bellman-Ford):
     minimum total edge weight from the nearest of two deterministic
     seeds, the adjacency's mention-count ``weight`` as the edge cost,
-    -1 when unreachable. Rows-only driver check; Dijkstra equality and
+    -1 when unreachable. Cross-verified against a DuckDB recursive-CTE
+    walk over the written adjacency snapshot; Dijkstra equality and
     regime equivalence live in tests/test_sssp.py."""
     import pyarrow as pa
 
@@ -623,19 +697,12 @@ def kg_shortest_path(sf_dir: str) -> ray.data.Dataset:
 
     from ..stages.graph_algos import shortest_path
 
-    adj = _graph(sf_dir)["adjacency"]
-
-    def project(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"src": b.column("src"), "dst": b.column("dst"), "w": b.column("weight")}
-        )
-
-    edges = adj.map_batches(
-        project, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    # read the WRITTEN snapshot back — same bytes the oracle SQL globs
+    snap = _adjacency_snapshot(sf_dir)
+    edges = ray.data.read_parquet(snap, columns=["src", "dst", "weight"])
     lo = edges.aggregate(Min("src", alias_name="s"), Min("dst", alias_name="d"))
     seeds = sorted({lo["s"], lo["d"]})
-    return shortest_path(edges, seeds, weight_col="w").sort(["dist", "node"])
+    return shortest_path(edges, seeds, weight_col="weight").sort(["dist", "node"])
 
 
 @register("kg_harmonic", None)

@@ -64,6 +64,13 @@ _PREFIX = [
     #     expectations report as five UNION ALL'd SQL aggregates
     "kg_triangles",
     "data_quality_report",
+    # 1c — promoted later still: the iterative graph family
+    #     cross-verified via DuckDB recursive-CTE walks over the
+    #     written adjacency (reachability closure for components;
+    #     hop-bounded walks for BFS depth / weighted shortest path)
+    "kg_components",
+    "kg_bfs_depth",
+    "kg_shortest_path",
     # 2 — re-confirms: oracled queries whose code paths the round-5
     #     commits touched (ADVICE overflow/rounding fixes; the
     #     tree_fold bounding sweep over reduce paths)
@@ -86,7 +93,9 @@ _PREFIX = [
     # 3 — rotation fill: the oracled queries verified longest ago
     #     (r01/r02 vintage, none re-swept since; b26/b27 rotated OUT for
     #     the two tier-1b promotions — they were re-confirmed r03, so
-    #     they are the youngest of this tier)
+    #     they were the youngest of this tier — and b22/b23/b24 (r02
+    #     vintage, the next-youngest) rotated OUT for the three tier-1c
+    #     graph promotions)
     "b06b_regex_extract",
     "b10b_explode_tokens",
     "b15b_quantiles",
@@ -111,9 +120,6 @@ _PREFIX = [
     "b17_distinct",
     "b19_sort",
     "b20_topk",
-    "b22_union",
-    "b23_intersect",
-    "b24_exact_dedup",
 ]
 
 assert len(_PREFIX) == SWEEP_CAP, len(_PREFIX)

@@ -204,7 +204,7 @@ def test_kg_components_partition_entities_consistently(sf001):
     labels = pa.concat_tables(
         ray.get(kg_components(sf001).to_arrow_refs()), promote_options="default"
     )
-    lab = {r["node"]: r["label"] for r in labels.to_pylist()}
+    lab = {r["node"]: r["component"] for r in labels.to_pylist()}
     adj = pa.concat_tables(
         ray.get(_graph(sf001)["adjacency"].to_arrow_refs()), promote_options="default"
     )

@@ -104,7 +104,10 @@ def test_registry_entry_runs(ray_session, sf001):
     from antnre_ray.pipelines.registry import load_all
 
     fn, sql = load_all()["kg_shortest_path"]
-    assert sql is None
+    # oracle-backed since round 5 (DuckDB recursive-CTE walk over the
+    # written adjacency); the side-by-side match runs in
+    # test_oracle_conformance — here we pin the engine-side semantics
+    assert sql is not None and "WITH RECURSIVE" in sql
     rows = fn(sf001).take_all()
     assert rows and set(rows[0]) == {"node", "dist"}
     dists = [r["dist"] for r in rows]
