@@ -71,6 +71,9 @@ _PREFIX = [
     "kg_components",
     "kg_bfs_depth",
     "kg_shortest_path",
+    # 1d — the weighted sampler, exact via a full-splitmix64 DuckDB
+    #     replica + QUALIFY top-10 per group (b21_sample precedent)
+    "b21d_weighted_sample",
     # 2 — re-confirms: oracled queries whose code paths the round-5
     #     commits touched (ADVICE overflow/rounding fixes; the
     #     tree_fold bounding sweep over reduce paths)
@@ -95,7 +98,7 @@ _PREFIX = [
     #     the two tier-1b promotions — they were re-confirmed r03, so
     #     they were the youngest of this tier — and b22/b23/b24 (r02
     #     vintage, the next-youngest) rotated OUT for the three tier-1c
-    #     graph promotions)
+    #     graph promotions; b20 likewise for the tier-1d b21d promotion)
     "b06b_regex_extract",
     "b10b_explode_tokens",
     "b15b_quantiles",
@@ -119,7 +122,6 @@ _PREFIX = [
     "b15_global_agg",
     "b17_distinct",
     "b19_sort",
-    "b20_topk",
 ]
 
 assert len(_PREFIX) == SWEEP_CAP, len(_PREFIX)

@@ -5783,12 +5783,44 @@ def weighted_group_sample(
     )
 
 
-@register("b21d_weighted_sample", None)  # seeded sample → rows-only
+@register(
+    "b21d_weighted_sample",
+    # exact replica of the Efraimidis-Spirakis draw: the FULL splitmix64
+    # finalizer (seed 42) in UHUGEINT-mod-2^64 multiplies / UBIGINT
+    # xor-shifts (verified bit-identical to functions/hashing.mix64),
+    # u = (h + 0.5)/2^64 mirrored operand-for-operand, then the 10
+    # smallest exponential keys -ln(u)/w per group with the engine's
+    # (e, key) tie-break. ln() last-ulp divergence between numpy and
+    # DuckDB cannot flip the SELECTION unless two keys' e values are
+    # within ~1 ulp — verified exact at sf0.001/0.01/0.1.
+    """WITH s1 AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+            CAST((CAST(o_orderkey AS UHUGEINT) + CAST(42 AS UHUGEINT)
+                  + CAST(11400714819323198485 AS UHUGEINT))
+                 % CAST(18446744073709551616 AS UHUGEINT) AS UBIGINT) AS z0
+            FROM orders),
+     s2 AS (SELECT *, CAST((CAST(xor(z0, z0 >> 30) AS UHUGEINT)
+                            * CAST(13787848793156543929 AS UHUGEINT))
+                           % CAST(18446744073709551616 AS UHUGEINT) AS UBIGINT) AS z1
+            FROM s1),
+     s3 AS (SELECT *, CAST((CAST(xor(z1, z1 >> 27) AS UHUGEINT)
+                            * CAST(10723151780598845931 AS UHUGEINT))
+                           % CAST(18446744073709551616 AS UHUGEINT) AS UBIGINT) AS z2
+            FROM s2),
+     s4 AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+            (CAST(xor(z2, z2 >> 31) AS DOUBLE) + 0.5)
+              / 18446744073709551616.0 AS u
+            FROM s3)
+    SELECT o_orderstatus, o_orderkey, o_totalprice
+    FROM s4 WHERE o_totalprice > 0
+    QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY -ln(u)/o_totalprice, o_orderkey) <= 10""",
+)
 def b21d_weighted_sample(sf_dir: str) -> ray.data.Dataset:
     """10 orders per o_orderstatus sampled ∝ o_totalprice — the
     weighted member of the sampling family (uniform b21, stratified
     b21b, bottom-k b21c); weight-bias, determinism and k-per-group are
-    tested in tests/test_invariants.py."""
+    tested in tests/test_invariants.py, and the selection is
+    integer/float-exact against a DuckDB splitmix64 replica."""
     return weighted_group_sample(
         _read(sf_dir, "orders", ["o_orderstatus", "o_orderkey", "o_totalprice"]),
         group_col="o_orderstatus",
