@@ -1188,7 +1188,7 @@ def data_quality_report(sf_dir: str) -> pa.Table:
     from ..stages import expect as ex
 
     ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "value"]
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
     )
     rules = [
         ex.not_null("event_id"),

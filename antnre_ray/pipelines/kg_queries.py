@@ -201,6 +201,37 @@ def ensure_adjacency_oracle(sf_dir: str) -> None:
     _adjacency_snapshot(sf_dir)
 
 
+def _snapshot_seeds(sf_dir: str) -> tuple[str, list[str]]:
+    """(snapshot_dir, seeds): the two deterministic seed entities — the
+    lexicographically smallest src and smallest dst of the written
+    adjacency. ONE definition shared by kg_bfs_depth / kg_shortest_path
+    / kg_ppr so the engine seed rule and the oracle SQLs' `seeds` CTEs
+    (min(src) UNION min(dst)) can never drift apart per query."""
+    from ray.data.aggregate import Min
+
+    snap = _adjacency_snapshot(sf_dir)
+    lo = ray.data.read_parquet(snap, columns=["src", "dst"]).aggregate(
+        Min("src", alias_name="s"), Min("dst", alias_name="d")
+    )
+    return snap, sorted({lo["s"], lo["d"]})
+
+
+# ORACLE PRECONDITION (kg_components / kg_bfs_depth / kg_shortest_path):
+# the recursive-CTE oracles below are UNBOUNDED exact computations,
+# while the engine legs run their iterative loops with max_iters=64 and
+# warn (rather than raise) on non-convergence — min-propagation needs
+# ~diameter rounds (components/BFS) or ~longest-shortest-path hop count
+# (Bellman-Ford). A KG whose diameter exceeds 64 would converge in the
+# oracle but not the engine and the sweep would go red. The extraction
+# graphs here are vocabulary-bounded (tens of nodes at every sf; sf0.1
+# measured 28 nodes), so 64 has >2x headroom over |nodes|, the hard
+# upper bound on either round count. The same scale cap bounds the
+# oracle itself: the hop-bounded walks materialize O(|nodes|^2) deduped
+# state (every symmetrized edge lets depth ping-pong upward), fine at
+# sweep scale, quadratic beyond — these oracles are sweep-scale
+# verification artifacts, not 100-TB plans (the engine legs are).
+
+
 @register("kg_adjacency", None)
 def kg_adjacency(sf_dir: str) -> ray.data.Dataset:
     # read the snapshot back instead of re-running the materialize
@@ -323,11 +354,14 @@ def kg_components(sf_dir: str) -> ray.data.Dataset:
     # read the WRITTEN snapshot back — same bytes the oracle SQL globs
     snap = _adjacency_snapshot(sf_dir)
     edges = ray.data.read_parquet(snap, columns=["src", "dst"])
-    labels = connected_components(edges)
+    labels = connected_components(edges, max_iters=64)
     nparts = shuffle_width()
     # hash-label → representative (min node string per label). The
-    # repartition between the aggregate and the join restores schema on
-    # Ray 2.49's zero-column empty-partition blocks (graph_algos note).
+    # repartitions between the aggregates and the join restore schema on
+    # Ray 2.49's zero-column empty-partition blocks (graph_algos note) —
+    # BOTH join inputs: in the >1M-node shuffle regime `labels` is
+    # itself a hash-aggregate output (review finding r5).
+    labels = labels.repartition(nparts)
     reps = (
         labels.groupby("label")
         .aggregate(Min("node", alias_name="component"))
@@ -600,21 +634,15 @@ def kg_bfs_depth(sf_dir: str) -> ray.data.Dataset:
     DuckDB recursive-CTE walk over the written adjacency snapshot;
     reference-BFS equality and regime equivalence live in
     tests/test_bfs.py."""
-    import pyarrow as pa
-
-    from ray.data.aggregate import Min
-
     from ..stages.graph_algos import bfs_depth
 
     # read the WRITTEN snapshot back — same bytes the oracle SQL globs.
     # Consumed twice (seed pick + BFS); each consumer re-scans the tiny
     # snapshot parquet, which beats pinning the full adjacency in the
     # object store at scale.
-    snap = _adjacency_snapshot(sf_dir)
+    snap, seeds = _snapshot_seeds(sf_dir)
     edges = ray.data.read_parquet(snap, columns=["src", "dst"])
-    lo = edges.aggregate(Min("src", alias_name="s"), Min("dst", alias_name="d"))
-    seeds = sorted({lo["s"], lo["d"]})
-    return bfs_depth(edges, seeds).sort(["depth", "node"])
+    return bfs_depth(edges, seeds, max_iters=64).sort(["depth", "node"])
 
 
 @register("kg_ppr", None)
@@ -627,20 +655,12 @@ def kg_ppr(sf_dir: str) -> ray.data.Dataset:
     seeds. Top 20 by rank, rounded to 8 decimals."""
     import pyarrow as pa
 
-    from ray.data.aggregate import Min
-
     from ..stages.graph_algos import pagerank
 
-    adj = _graph(sf_dir)["adjacency"]
-
-    def project(b: pa.Table) -> pa.Table:
-        return pa.table({"src": b.column("src"), "dst": b.column("dst")})
-
-    edges = adj.map_batches(
-        project, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    lo = edges.aggregate(Min("src", alias_name="s"), Min("dst", alias_name="d"))
-    seeds = sorted({lo["s"], lo["d"]})
+    # snapshot read shares the seed rule with bfs/sssp and skips a
+    # second execution of the materialize reduce (lazy-branch rule)
+    snap, seeds = _snapshot_seeds(sf_dir)
+    edges = ray.data.read_parquet(snap, columns=["src", "dst"])
     ranks = pagerank(edges, iters=10, personalization=seeds)
 
     def rnd(b: pa.Table) -> pa.Table:
@@ -691,18 +711,14 @@ def kg_shortest_path(sf_dir: str) -> ray.data.Dataset:
     -1 when unreachable. Cross-verified against a DuckDB recursive-CTE
     walk over the written adjacency snapshot; Dijkstra equality and
     regime equivalence live in tests/test_sssp.py."""
-    import pyarrow as pa
-
-    from ray.data.aggregate import Min
-
     from ..stages.graph_algos import shortest_path
 
     # read the WRITTEN snapshot back — same bytes the oracle SQL globs
-    snap = _adjacency_snapshot(sf_dir)
+    snap, seeds = _snapshot_seeds(sf_dir)
     edges = ray.data.read_parquet(snap, columns=["src", "dst", "weight"])
-    lo = edges.aggregate(Min("src", alias_name="s"), Min("dst", alias_name="d"))
-    seeds = sorted({lo["s"], lo["d"]})
-    return shortest_path(edges, seeds, weight_col="weight").sort(["dist", "node"])
+    return shortest_path(edges, seeds, weight_col="weight", max_iters=64).sort(
+        ["dist", "node"]
+    )
 
 
 @register("kg_harmonic", None)
