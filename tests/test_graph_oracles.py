@@ -1,0 +1,182 @@
+"""Template semantics of the round-5 recursive-CTE graph oracles.
+
+The conformance suite runs the registered SQL against the real corpus
+adjacency, which is a SINGLE connected component at every sf — so the
+oracle templates' multi-component labeling, unreachable -1 convention,
+self-loop handling and hop-bound termination are never exercised there.
+This file points the ADJ_ORACLE_PATH symlink at a PLANTED adjacency
+(two components + a self-loop-only node, weighted, one direction per
+edge) and checks the registered SQL strings against an independent
+local reference (union-find / BFS / Dijkstra / brute-force triangles).
+The engine sides are already reference-tested in test_bfs/test_sssp/
+test_invariants; together the two halves pin both legs of the sweep.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+import uuid
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+# planted adjacency: component A = {a, b, c} (a->b w1, b->c w5, a->c w7),
+# component B = {x, y} (x->y w2), plus z with only a self-loop (z->z w9).
+# seeds per the engine rule: min(src)='a', min(dst)='b'.
+EDGES = [
+    ("a", "b", 1),
+    ("b", "c", 5),
+    ("a", "c", 7),
+    ("x", "y", 2),
+    ("z", "z", 9),
+]
+NODES = sorted({u for u, _, _ in EDGES} | {v for _, v, _ in EDGES})
+SEEDS = {"a", "b"}
+
+
+@pytest.fixture(scope="module")
+def planted_link():
+    """Write the planted adjacency and flip the oracle symlink to it;
+    restore the previous link target afterwards so later tests (and the
+    memoized snapshot machinery) see what they expect."""
+    from antnre_ray.pipelines.kg_queries import ADJ_ORACLE_PATH
+
+    snap = f"/tmp/antnre_oracle/test_planted_{uuid.uuid4().hex[:8]}"
+    os.makedirs(snap, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in EDGES], pa.string()),
+                "dst": pa.array([e[1] for e in EDGES], pa.string()),
+                "weight": pa.array([e[2] for e in EDGES], pa.int64()),
+            }
+        ),
+        f"{snap}/part.parquet",
+    )
+    prev = os.readlink(ADJ_ORACLE_PATH) if os.path.islink(ADJ_ORACLE_PATH) else None
+    os.makedirs(os.path.dirname(ADJ_ORACLE_PATH), exist_ok=True)
+    tmp = f"{ADJ_ORACLE_PATH}.lnk.{uuid.uuid4().hex[:8]}"
+    os.symlink(snap, tmp)
+    os.replace(tmp, ADJ_ORACLE_PATH)
+    yield snap
+    if prev is not None:
+        tmp = f"{ADJ_ORACLE_PATH}.lnk.{uuid.uuid4().hex[:8]}"
+        os.symlink(prev, tmp)
+        os.replace(tmp, ADJ_ORACLE_PATH)
+    else:
+        os.unlink(ADJ_ORACLE_PATH)
+
+
+def _sql(name: str) -> str:
+    from antnre_ray.pipelines.registry import load_all
+
+    sql = load_all()[name][1]
+    assert sql is not None
+    return sql
+
+
+def _und():
+    adj: dict[str, list[tuple[str, int]]] = {n: [] for n in NODES}
+    for u, v, w in EDGES:
+        adj[u].append((v, w))
+        adj[v].append((u, w))
+    return adj
+
+
+def test_components_sql_multi_component(planted_link):
+    want = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+    got = dict(duckdb.connect().execute(_sql("kg_components")).fetchall())
+    assert got == want
+
+
+def test_bfs_sql_unreachable_minus_one(planted_link):
+    # BFS from {a, b}: component B and the self-loop node are -1
+    adj = _und()
+    want = {n: -1 for n in NODES}
+    frontier = [(n, 0) for n in sorted(SEEDS)]
+    while frontier:
+        n, d = frontier.pop(0)
+        if want[n] != -1 and want[n] <= d:
+            continue
+        want[n] = d
+        frontier.extend((m, d + 1) for m, _ in adj[n])
+    assert want == {"a": 0, "b": 0, "c": 1, "x": -1, "y": -1, "z": -1}
+    got = dict(duckdb.connect().execute(_sql("kg_bfs_depth")).fetchall())
+    assert got == want
+
+
+def test_sssp_sql_weighted_and_unreachable(planted_link):
+    # Dijkstra from {a, b}: c reached at min(7, 1+5... ) — via b->c = 5
+    adj = _und()
+    dist = {n: float("inf") for n in NODES}
+    h = [(0, s) for s in sorted(SEEDS)]
+    while h:
+        d, n = heapq.heappop(h)
+        if d > dist[n]:
+            continue
+        dist[n] = d
+        for m, w in adj[n]:
+            if d + w < dist[m]:
+                dist[m] = d + w
+                heapq.heappush(h, (d + w, m))
+    want = {n: (int(d) if d != float("inf") else -1) for n, d in dist.items()}
+    assert want == {"a": 0, "b": 0, "c": 5, "x": -1, "y": -1, "z": -1}
+    got = dict(duckdb.connect().execute(_sql("kg_shortest_path")).fetchall())
+    assert got == want
+
+
+def test_triangles_sql_self_loop_dropped(planted_link):
+    # one triangle (a, b, c); the z self-loop and component B add none
+    (got,) = duckdb.connect().execute(_sql("kg_triangles")).fetchone()
+    assert got == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quality_report_sql_planted_violations(tmp_path):
+    """The data_quality_report SQL template must agree with
+    stages/expect.expectations_report ON VIOLATIONS too (the corpus
+    satisfies every rule, so the sweep never exercises failures):
+    plant a null event_id, a duplicated key, a null AND an
+    out-of-range user_id, and compare both legs row-for-row."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from antnre_ray.pipelines.registry import load_all
+    from antnre_ray.stages import expect as ex
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 1, None, 4, 5], pa.int64()),
+            "event_type": pa.array(["a", "b", "c", None, "e"], pa.string()),
+            "user_id": pa.array([10, -3, None, 7, 2 * 10**12], pa.int64()),
+        }
+    )
+    events = tmp_path / "events.parquet"
+    pq.write_table(t, str(events))
+
+    rules = [
+        ex.not_null("event_id"),
+        ex.not_null("event_type"),
+        ex.unique("event_id"),
+        ex.in_range("user_id", 0, 10**12),
+        ex.row_count_between(1, 10**12),
+    ]
+    got = ex.expectations_report(ray.data.read_parquet(str(events)), rules).to_pandas()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{events}')")
+    want = con.execute(_sql("data_quality_report")).fetchdf()
+
+    got = got.sort_values(["rule", "column"]).reset_index(drop=True)
+    want = want.sort_values(["rule", "column"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+    # the planted violations are actually seen: nothing passes except
+    # the row-count rule (rule-name sort order: in_range, not_null x2,
+    # row_count_between, unique)
+    assert list(got.sort_values("rule")["passed"]) == [False, False, False, True, False]
