@@ -216,7 +216,8 @@ def _snapshot_seeds(sf_dir: str) -> tuple[str, list[str]]:
     return snap, sorted({lo["s"], lo["d"]})
 
 
-# ORACLE PRECONDITION (kg_components / kg_bfs_depth / kg_shortest_path):
+# ORACLE PRECONDITION (kg_components / kg_bfs_depth / kg_shortest_path
+# / kg_harmonic):
 # the recursive-CTE oracles below are UNBOUNDED exact computations,
 # while the engine legs run their iterative loops with max_iters=64 and
 # warn (rather than raise) on non-convergence — min-propagation needs
@@ -721,26 +722,70 @@ def kg_shortest_path(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-@register("kg_harmonic", None)
+@register(
+    "kg_harmonic",
+    # exact SQL replica over the engine's OWN written adjacency: the
+    # SAME 8 landmarks (bottom-8 by md5(node) — md5 is the one uniform
+    # hash both engines expose, see harmonic_centrality landmark_key),
+    # one hop-bounded recursive walk carrying the landmark id, min
+    # depth per (landmark, node) = BFS depth, then the estimator
+    # Ĉ(v) = s · ((n−1)/(k − [v∈L])) with the engine's exact op order;
+    # ROUND(…, 6) mirrors the engine's round-half-away (ts_ewma
+    # precedent — a distributed ≤8-term float sum can differ from
+    # DuckDB's in the last ulps, which 6 decimals absorb).
+    f"""WITH RECURSIVE
+        raw AS (SELECT src, dst FROM read_parquet('{ADJ_ORACLE_PATH}/*.parquet')),
+        e AS (SELECT src AS u, dst AS v FROM raw
+              UNION ALL SELECT dst, src FROM raw),
+        nodes AS (SELECT DISTINCT u AS node FROM e),
+        lms AS (SELECT node FROM nodes ORDER BY md5(node), node LIMIT 8),
+        walk(lm, node, depth) AS (
+            SELECT node, node, CAST(0 AS BIGINT) FROM lms
+            UNION
+            SELECT w.lm, e.v, w.depth + 1
+            FROM walk w JOIN e ON e.u = w.node
+            WHERE w.depth + 1 < (SELECT count(*) FROM nodes)),
+        d AS (SELECT lm, node, min(depth) AS dd FROM walk GROUP BY lm, node),
+        s AS (SELECT n.node,
+                     COALESCE(sum(1.0 / dd) FILTER (WHERE dd > 0), 0.0) AS s
+              FROM nodes n LEFT JOIN d USING (node)
+              GROUP BY n.node)
+        SELECT node,
+               ROUND(CASE WHEN kk - lm_flag > 0.0
+                          THEN s * ((nn - 1.0) / (kk - lm_flag))
+                          ELSE 0.0 END, 6) AS centrality
+        FROM (SELECT s.node, s.s,
+                     CAST((SELECT count(*) FROM lms) AS DOUBLE) AS kk,
+                     CAST((SELECT count(*) FROM nodes) AS DOUBLE) AS nn,
+                     CASE WHEN s.node IN (SELECT node FROM lms)
+                          THEN 1.0 ELSE 0.0 END AS lm_flag
+              FROM s)
+        ORDER BY centrality DESC, node
+        LIMIT 20""",
+)
 def kg_harmonic(sf_dir: str) -> ray.data.Dataset:
     """Landmark harmonic centrality over the materialized KG
     (stages/graph_algos.harmonic_centrality, 8 landmarks): the
     distance-based centrality beside PageRank's flow-based one;
     exactness with all-node landmarks is pinned in
-    tests/test_window_distinct.py. Top 20, rounded to 8 decimals."""
-    import pyarrow as pa
-
+    tests/test_window_distinct.py. Landmarks here are the md5 bottom-8
+    and the output rounds half-away to 6 decimals so the DuckDB
+    recursive-CTE oracle over the written adjacency snapshot can
+    re-derive the exact same table (see the ORACLE PRECONDITION note
+    above for the max_iters=64 / diameter bound shared with bfs/sssp).
+    Top 20 by (centrality desc, node)."""
     from ..stages.graph_algos import harmonic_centrality
 
-    adj = _graph(sf_dir)["adjacency"]
-
-    def project(b: pa.Table) -> pa.Table:
-        return pa.table({"src": b.column("src"), "dst": b.column("dst")})
-
-    edges = adj.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
-    return harmonic_centrality(edges, k_landmarks=8).sort(
-        ["centrality", "node"], descending=[True, False]
-    ).limit(20)
+    # read the WRITTEN snapshot back — same bytes the oracle SQL globs
+    snap = _adjacency_snapshot(sf_dir)
+    edges = ray.data.read_parquet(snap, columns=["src", "dst"])
+    return harmonic_centrality(
+        edges,
+        k_landmarks=8,
+        max_iters=64,
+        landmark_key="md5",
+        rounding="half_away6",
+    ).sort(["centrality", "node"], descending=[True, False]).limit(20)
 
 
 @register(

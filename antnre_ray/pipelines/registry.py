@@ -74,9 +74,17 @@ _PREFIX = [
     # 1d — the weighted sampler, exact via a full-splitmix64 DuckDB
     #     replica + QUALIFY top-10 per group (b21_sample precedent)
     "b21d_weighted_sample",
+    # 1e — promoted in the final round-5 session: landmark harmonic
+    #     centrality with md5 bottom-8 landmarks (the one uniform hash
+    #     both engines expose) re-derived by a recursive-CTE walk over
+    #     the written adjacency
+    "kg_harmonic",
     # 2 — re-confirms: oracled queries whose code paths the round-5
     #     commits touched (ADVICE overflow/rounding fixes; the
-    #     tree_fold bounding sweep over reduce paths)
+    #     tree_fold bounding sweep over reduce paths; the composite-key
+    #     packing guard assert→raise in resample/interpolate)
+    "ts_resample_ffill",
+    "ts_interpolate",
     "ts_anomaly_zscore",
     "ts_ewma_halflife",
     "q09_product_profit",
@@ -98,7 +106,10 @@ _PREFIX = [
     #     the two tier-1b promotions — they were re-confirmed r03, so
     #     they were the youngest of this tier — and b22/b23/b24 (r02
     #     vintage, the next-youngest) rotated OUT for the three tier-1c
-    #     graph promotions; b20 likewise for the tier-1d b21d promotion)
+    #     graph promotions; b20 likewise for the tier-1d b21d promotion;
+    #     b15/b17/b19 — r02 vintage, the youngest remaining — rotated
+    #     OUT for the tier-1e kg_harmonic promotion and the two tier-2
+    #     resample/interpolate re-confirms)
     "b06b_regex_extract",
     "b10b_explode_tokens",
     "b15b_quantiles",
@@ -119,9 +130,6 @@ _PREFIX = [
     "b13_semi_join",
     "b13c_anti_join_large",
     "b14_asof_join",
-    "b15_global_agg",
-    "b17_distinct",
-    "b19_sort",
 ]
 
 assert len(_PREFIX) == SWEEP_CAP, len(_PREFIX)

@@ -1646,6 +1646,8 @@ def harmonic_centrality(
     seed: int = 7,
     max_iters: int = 25,
     small_graph_nodes: int = SMALL_GRAPH_NODES,
+    landmark_key: str = "blake2b",
+    rounding: str = "half_even8",
 ) -> ray.data.Dataset:
     """(node, centrality): harmonic centrality C(v) = Σ_{u≠v} 1/d(u, v)
     estimated from ``k_landmarks`` deterministic pseudo-random landmark
@@ -1655,10 +1657,24 @@ def harmonic_centrality(
     the estimator is EXACT (the test pins this); at 100 TB k stays
     small and the cost is k iterative BFS loops — the standard
     accuracy/cost dial for centrality at scale, stated rather than
-    hidden. Landmarks are the k smallest splitmix64(node, seed) values
-    (partition-invariant bottom-k). Unreachable pairs contribute 0
-    (the harmonic convention — why this beats closeness on disconnected
-    graphs)."""
+    hidden. Landmarks are the k smallest hash values over the node set
+    (partition-invariant bottom-k); ``landmark_key`` picks the hash:
+
+    - ``"blake2b"`` (default): splitmix-grade ``stable_u64`` of
+      ``hc|seed|node`` — the engine-native rule.
+    - ``"md5"``: the full md5 hexdigest of the bare node string,
+      compared lexicographically — chosen because DuckDB 1.0 exposes
+      ``md5()``, so an oracle SQL can re-derive the SAME landmark set
+      (``ORDER BY md5(node), node LIMIT k``); used by the oracle-backed
+      kg_harmonic registry query. Both hashes are uniform; the
+      estimator's statistics don't change.
+
+    ``rounding`` fixes the output decimals: ``"half_even8"`` (default,
+    np.round to 8) or ``"half_away6"`` — round-half-away-from-zero to 6
+    decimals, mirroring DuckDB's ROUND bit-for-bit so distributed
+    last-ulp sum divergence can't flip an oracle hash (the ts_ewma
+    precedent). Unreachable pairs contribute 0 (the harmonic
+    convention — why this beats closeness on disconnected graphs)."""
     _check_max_iters(max_iters)
     from ray.data.aggregate import Count, Sum
 
@@ -1689,14 +1705,32 @@ def harmonic_centrality(
 
     k = min(k_landmarks, n_nodes)
 
+    if landmark_key not in ("blake2b", "md5"):
+        raise ValueError(f"unknown landmark_key {landmark_key!r}")
+
     def bottomk_partial(b: pa.Table) -> pa.Table:
         names = b.column("node").to_pylist()
+        if landmark_key == "md5":
+            import hashlib
+
+            hx = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in names]
+            order = sorted(range(len(names)), key=lambda i: (hx[i], names[i]))[:k]
+            return pa.table(
+                {
+                    "node": pa.array([names[i] for i in order], pa.string()),
+                    "h": pa.array([hx[i] for i in order], pa.string()),
+                }
+            )
         h = np.array([int(stable_u64(f"hc|{seed}|{x}")) for x in names], dtype=np.uint64)
         order = np.argsort(h, kind="stable")[:k]
+        # keep UNSIGNED through the merge: an int64 reinterpretation
+        # sorts hashes >= 2^63 negative-first, so the merged bottom-k
+        # would disagree with the per-block uint64 rule (and with it,
+        # the landmark set would depend on the block layout)
         return pa.table(
             {
                 "node": pa.array([names[i] for i in order], pa.string()),
-                "h": pa.array(h[order].astype(np.int64), pa.int64()),
+                "h": pa.array(h[order], pa.uint64()),
             }
         )
 
@@ -1752,10 +1786,19 @@ def harmonic_centrality(
 
     out = sums.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
+    if rounding not in ("half_even8", "half_away6"):
+        raise ValueError(f"unknown rounding {rounding!r}")
+
     def rnd(b: pa.Table) -> pa.Table:
         c = b.column("centrality").to_numpy(zero_copy_only=False)
+        if rounding == "half_away6":
+            from ..functions.rounding import round_half_away
+
+            c = round_half_away(c, 6)
+        else:
+            c = np.round(c, 8)
         return pa.table(
-            {"node": b.column("node"), "centrality": pa.array(np.round(c, 8), pa.float64())}
+            {"node": b.column("node"), "centrality": pa.array(c, pa.float64())}
         )
 
     return out.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True)

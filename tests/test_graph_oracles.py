@@ -134,6 +134,110 @@ def test_triangles_sql_self_loop_dropped(planted_link):
     assert got == 1
 
 
+def _harmonic_ref(edges, k=8):
+    """Independent reference for the kg_harmonic contract: md5 bottom-k
+    landmarks, BFS depths, Ĉ(v) = (n−1)/|L∖{v}| · Σ 1/d, rounded
+    half-away to 6."""
+    import hashlib
+    from collections import deque
+
+    nodes = sorted({u for u, v in edges} | {v for u, v in edges})
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    lms = sorted(nodes, key=lambda n: (hashlib.md5(n.encode()).hexdigest(), n))[: min(k, len(nodes))]
+    inv = {n: 0.0 for n in nodes}
+    for lm in lms:
+        depth = {lm: 0}
+        q = deque([lm])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in depth:
+                    depth[w] = depth[u] + 1
+                    q.append(w)
+        for n, d in depth.items():
+            if d > 0:
+                inv[n] += 1.0 / d
+    n_nodes, kk = len(nodes), len(lms)
+    out = {}
+    for n in nodes:
+        denom = float(kk) - (1.0 if n in lms else 0.0)
+        scale = float(n_nodes - 1) / denom if denom > 0 else 0.0
+        import numpy as np
+
+        from antnre_ray.functions.rounding import round_half_away
+
+        out[n] = float(round_half_away(np.array([inv[n] * scale]), 6)[0])
+    top = sorted(out.items(), key=lambda t: (-t[1], t[0]))[:20]
+    return dict(top)
+
+
+def test_harmonic_sql_multi_component_exact(planted_link):
+    # 6 nodes → LIMIT 8 selects ALL nodes as landmarks → the estimator
+    # is exact: triangle nodes 2.0 each, the x-y pair 1.0, self-loop-only
+    # z contributes/receives 0 (unreachable convention)
+    got = dict(duckdb.connect().execute(_sql("kg_harmonic")).fetchall())
+    want = {"a": 2.0, "b": 2.0, "c": 2.0, "x": 1.0, "y": 1.0, "z": 0.0}
+    assert got == want
+    assert got == _harmonic_ref([(u, v) for u, v, _ in EDGES])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_harmonic_md5_landmark_subset_three_way(tmp_path):
+    """>8 nodes so the md5 bottom-8 landmark rule actually SELECTS a
+    subset: registered SQL, engine leg (landmark_key='md5',
+    rounding='half_away6'), and the local reference must agree."""
+    import ray
+    import ray.data
+
+    from antnre_ray.pipelines.kg_queries import ADJ_ORACLE_PATH
+    from antnre_ray.stages.graph_algos import harmonic_centrality
+
+    # 12-node path p00—p01—…—p11 plus a detached pair (q0—q1)
+    path = [(f"p{i:02d}", f"p{i+1:02d}") for i in range(11)]
+    edges = path + [("q0", "q1")]
+    snap = f"/tmp/antnre_oracle/test_harmonic_{uuid.uuid4().hex[:8]}"
+    os.makedirs(snap, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.string()),
+                "dst": pa.array([e[1] for e in edges], pa.string()),
+                "weight": pa.array([1] * len(edges), pa.int64()),
+            }
+        ),
+        f"{snap}/part.parquet",
+    )
+    prev = os.readlink(ADJ_ORACLE_PATH) if os.path.islink(ADJ_ORACLE_PATH) else None
+    tmp = f"{ADJ_ORACLE_PATH}.lnk.{uuid.uuid4().hex[:8]}"
+    os.makedirs(os.path.dirname(ADJ_ORACLE_PATH), exist_ok=True)
+    os.symlink(snap, tmp)
+    os.replace(tmp, ADJ_ORACLE_PATH)
+    try:
+        ref = _harmonic_ref(edges, k=8)
+        got_sql = dict(duckdb.connect().execute(_sql("kg_harmonic")).fetchall())
+        assert got_sql == ref
+        eng = harmonic_centrality(
+            ray.data.read_parquet(snap, columns=["src", "dst"]),
+            k_landmarks=8,
+            max_iters=64,
+            landmark_key="md5",
+            rounding="half_away6",
+        ).sort(["centrality", "node"], descending=[True, False]).limit(20)
+        got_eng = {r["node"]: r["centrality"] for r in eng.take_all()}
+        assert got_eng == ref
+    finally:
+        if prev is not None:
+            tmp = f"{ADJ_ORACLE_PATH}.lnk.{uuid.uuid4().hex[:8]}"
+            os.symlink(prev, tmp)
+            os.replace(tmp, ADJ_ORACLE_PATH)
+        else:
+            os.unlink(ADJ_ORACLE_PATH)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_quality_report_sql_planted_violations(tmp_path):
     """The data_quality_report SQL template must agree with
