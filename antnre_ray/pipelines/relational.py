@@ -5192,10 +5192,17 @@ def ts_resample_ffill(sf_dir: str) -> ray.data.Dataset:
         val = group.column("value").combine_chunks().to_numpy(zero_copy_only=False)
         eid = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
         ts_s = ts // 1_000_000
-        if not ((uid < (1 << 29)).all() and (ts_s >= 0).all() and (ts_s < (1 << 34)).all()):
+        if not (
+            (uid >= 0).all()
+            and (uid < (1 << 29)).all()
+            and (ts_s >= 0).all()
+            and (ts_s < (1 << 34)).all()
+        ):
             # load-bearing for the composite (uid << 34 | ts_s) key below;
             # raise (not assert) so `python -O` cannot silently mis-pack
-            raise ValueError("user_id must be < 2^29 and ts within [1970, ~2514)")
+            # (negative uids would wrap the int64 shift positive and
+            # break the searchsorted ordering silently)
+            raise ValueError("user_id must be in [0, 2^29) and ts within [1970, ~2514)")
         # event_id breaks exact-(user, ts) ties: without it the filled
         # value would follow shuffle delivery order (layout-dependent).
         order = np.lexsort((eid, ts, uid))
@@ -5977,10 +5984,17 @@ def ts_interpolate(sf_dir: str) -> ray.data.Dataset:
         val = group.column("value").combine_chunks().to_numpy(zero_copy_only=False)
         eid = group.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
         ts_s = ts // 1_000_000
-        if not ((uid < (1 << 29)).all() and (ts_s >= 0).all() and (ts_s < (1 << 34)).all()):
+        if not (
+            (uid >= 0).all()
+            and (uid < (1 << 29)).all()
+            and (ts_s >= 0).all()
+            and (ts_s < (1 << 34)).all()
+        ):
             # load-bearing for the composite (uid << 34 | ts_s) key below;
             # raise (not assert) so `python -O` cannot silently mis-pack
-            raise ValueError("user_id must be < 2^29 and ts within [1970, ~2514)")
+            # (negative uids would wrap the int64 shift positive and
+            # break the searchsorted ordering silently)
+            raise ValueError("user_id must be in [0, 2^29) and ts within [1970, ~2514)")
         # event_id tie-break keeps equal-(user, ts) neighbor choice
         # deterministic regardless of shuffle delivery order.
         order = np.lexsort((eid, ts, uid))

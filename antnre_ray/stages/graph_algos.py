@@ -1676,6 +1676,12 @@ def harmonic_centrality(
     precedent). Unreachable pairs contribute 0 (the harmonic
     convention — why this beats closeness on disconnected graphs)."""
     _check_max_iters(max_iters)
+    # pure argument validation up front — before the eager node
+    # materialize / count / bottom-k merge / k BFS loops pay real work
+    if landmark_key not in ("blake2b", "md5"):
+        raise ValueError(f"unknown landmark_key {landmark_key!r}")
+    if rounding not in ("half_even8", "half_away6"):
+        raise ValueError(f"unknown rounding {rounding!r}")
     from ray.data.aggregate import Count, Sum
 
     from ..functions.hashing import stable_u64
@@ -1704,9 +1710,6 @@ def harmonic_centrality(
         )
 
     k = min(k_landmarks, n_nodes)
-
-    if landmark_key not in ("blake2b", "md5"):
-        raise ValueError(f"unknown landmark_key {landmark_key!r}")
 
     def bottomk_partial(b: pa.Table) -> pa.Table:
         names = b.column("node").to_pylist()
@@ -1785,9 +1788,6 @@ def harmonic_centrality(
         return pa.table({"node": b.column("node"), "centrality": c})
 
     out = sums.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
-
-    if rounding not in ("half_even8", "half_away6"):
-        raise ValueError(f"unknown rounding {rounding!r}")
 
     def rnd(b: pa.Table) -> pa.Table:
         c = b.column("centrality").to_numpy(zero_copy_only=False)

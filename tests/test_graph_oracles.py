@@ -16,7 +16,9 @@ from __future__ import annotations
 
 import heapq
 import os
+import shutil
 import uuid
+from contextlib import contextmanager
 
 import duckdb
 import pyarrow as pa
@@ -37,21 +39,24 @@ NODES = sorted({u for u, _, _ in EDGES} | {v for _, v, _ in EDGES})
 SEEDS = {"a", "b"}
 
 
-@pytest.fixture(scope="module")
-def planted_link():
-    """Write the planted adjacency and flip the oracle symlink to it;
-    restore the previous link target afterwards so later tests (and the
-    memoized snapshot machinery) see what they expect."""
+@contextmanager
+def _flipped_adjacency(edges, tag):
+    """Write a planted (src, dst, weight) adjacency under /tmp, flip the
+    ADJ_ORACLE_PATH symlink to it atomically (symlink-to-temp +
+    os.replace, the same protocol kg_queries._adjacency_snapshot uses),
+    and on exit restore the previous link target — so later tests and
+    the memoized snapshot machinery see what they expect — then remove
+    the planted dir (no /tmp accumulation across pytest runs)."""
     from antnre_ray.pipelines.kg_queries import ADJ_ORACLE_PATH
 
-    snap = f"/tmp/antnre_oracle/test_planted_{uuid.uuid4().hex[:8]}"
+    snap = f"/tmp/antnre_oracle/test_{tag}_{uuid.uuid4().hex[:8]}"
     os.makedirs(snap, exist_ok=True)
     pq.write_table(
         pa.table(
             {
-                "src": pa.array([e[0] for e in EDGES], pa.string()),
-                "dst": pa.array([e[1] for e in EDGES], pa.string()),
-                "weight": pa.array([e[2] for e in EDGES], pa.int64()),
+                "src": pa.array([e[0] for e in edges], pa.string()),
+                "dst": pa.array([e[1] for e in edges], pa.string()),
+                "weight": pa.array([e[2] for e in edges], pa.int64()),
             }
         ),
         f"{snap}/part.parquet",
@@ -61,13 +66,23 @@ def planted_link():
     tmp = f"{ADJ_ORACLE_PATH}.lnk.{uuid.uuid4().hex[:8]}"
     os.symlink(snap, tmp)
     os.replace(tmp, ADJ_ORACLE_PATH)
-    yield snap
-    if prev is not None:
-        tmp = f"{ADJ_ORACLE_PATH}.lnk.{uuid.uuid4().hex[:8]}"
-        os.symlink(prev, tmp)
-        os.replace(tmp, ADJ_ORACLE_PATH)
-    else:
-        os.unlink(ADJ_ORACLE_PATH)
+    try:
+        yield snap
+    finally:
+        if prev is not None:
+            tmp = f"{ADJ_ORACLE_PATH}.lnk.{uuid.uuid4().hex[:8]}"
+            os.symlink(prev, tmp)
+            os.replace(tmp, ADJ_ORACLE_PATH)
+        else:
+            os.unlink(ADJ_ORACLE_PATH)
+        shutil.rmtree(snap, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def planted_link():
+    """The two-component planted adjacency, flipped in for the module."""
+    with _flipped_adjacency(EDGES, "planted") as snap:
+        yield snap
 
 
 def _sql(name: str) -> str:
@@ -193,31 +208,13 @@ def test_harmonic_md5_landmark_subset_three_way(tmp_path):
     import ray
     import ray.data
 
-    from antnre_ray.pipelines.kg_queries import ADJ_ORACLE_PATH
     from antnre_ray.stages.graph_algos import harmonic_centrality
 
     # 12-node path p00—p01—…—p11 plus a detached pair (q0—q1)
     path = [(f"p{i:02d}", f"p{i+1:02d}") for i in range(11)]
-    edges = path + [("q0", "q1")]
-    snap = f"/tmp/antnre_oracle/test_harmonic_{uuid.uuid4().hex[:8]}"
-    os.makedirs(snap, exist_ok=True)
-    pq.write_table(
-        pa.table(
-            {
-                "src": pa.array([e[0] for e in edges], pa.string()),
-                "dst": pa.array([e[1] for e in edges], pa.string()),
-                "weight": pa.array([1] * len(edges), pa.int64()),
-            }
-        ),
-        f"{snap}/part.parquet",
-    )
-    prev = os.readlink(ADJ_ORACLE_PATH) if os.path.islink(ADJ_ORACLE_PATH) else None
-    tmp = f"{ADJ_ORACLE_PATH}.lnk.{uuid.uuid4().hex[:8]}"
-    os.makedirs(os.path.dirname(ADJ_ORACLE_PATH), exist_ok=True)
-    os.symlink(snap, tmp)
-    os.replace(tmp, ADJ_ORACLE_PATH)
-    try:
-        ref = _harmonic_ref(edges, k=8)
+    edges = [(u, v, 1) for u, v in path] + [("q0", "q1", 1)]
+    with _flipped_adjacency(edges, "harmonic") as snap:
+        ref = _harmonic_ref([(u, v) for u, v, _ in edges], k=8)
         got_sql = dict(duckdb.connect().execute(_sql("kg_harmonic")).fetchall())
         assert got_sql == ref
         eng = harmonic_centrality(
@@ -229,13 +226,6 @@ def test_harmonic_md5_landmark_subset_three_way(tmp_path):
         ).sort(["centrality", "node"], descending=[True, False]).limit(20)
         got_eng = {r["node"]: r["centrality"] for r in eng.take_all()}
         assert got_eng == ref
-    finally:
-        if prev is not None:
-            tmp = f"{ADJ_ORACLE_PATH}.lnk.{uuid.uuid4().hex[:8]}"
-            os.symlink(prev, tmp)
-            os.replace(tmp, ADJ_ORACLE_PATH)
-        else:
-            os.unlink(ADJ_ORACLE_PATH)
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -284,3 +274,15 @@ def test_quality_report_sql_planted_violations(tmp_path):
     # the row-count rule (rule-name sort order: in_range, not_null x2,
     # row_count_between, unique)
     assert list(got.sort_values("rule")["passed"]) == [False, False, False, True, False]
+
+
+def test_harmonic_arg_validation_is_eager():
+    """Bad landmark_key / rounding must raise at function entry — before
+    any distributed work (edges=None would explode later if validation
+    were deferred, which is exactly what this pins)."""
+    from antnre_ray.stages.graph_algos import harmonic_centrality
+
+    with pytest.raises(ValueError, match="landmark_key"):
+        harmonic_centrality(None, landmark_key="sha1")
+    with pytest.raises(ValueError, match="rounding"):
+        harmonic_centrality(None, rounding="half_away_6")

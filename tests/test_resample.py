@@ -98,3 +98,34 @@ def test_resample_ffill_breaks_exact_ts_ties_by_event_id(tmp_path):
         got = _collect_df(fn(str(d)))
         assert len(got) == 1
         assert got["value"].iloc[0] == 111.0  # event_id 11 wins both times
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("qname", ["ts_resample_ffill", "ts_interpolate"])
+def test_packing_guard_rejects_negative_user_id(tmp_path, qname):
+    """A negative user_id would wrap the (uid << 34 | ts_s) composite key
+    positive and silently break the searchsorted ordering — the guard
+    must RAISE, not mis-pack (review finding: the original bound checked
+    only uid < 2^29, letting uid <= -(2^29)-1 through)."""
+    import pyarrow.parquet as pq
+
+    from antnre_ray.pipelines.registry import load_all
+
+    ts = pd.Timestamp("2025-06-01 10:15:00")
+    tbl = pa.table(
+        {
+            "user_id": pa.array([-(2**29) - 1, 7], pa.int64()),
+            "ts": pa.array([ts, ts], pa.timestamp("us")),
+            "event_id": pa.array([1, 2], pa.int64()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    d = tmp_path / "neg"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+    fn, _ = load_all()[qname]
+    import ray.exceptions
+
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)) as ei:
+        _collect_df(fn(str(d)))
+    assert "user_id" in str(ei.value)
