@@ -389,8 +389,16 @@ def _commit_index_build(index_path: str, build_id: str, arrays: dict) -> None:
     readable and an uncommitted pile of orphan files. Queries resolve
     shards THROUGH the manifest, never by directory listing, so no
     rename-capable filesystem is required anywhere in the build path.
-    The superseded build directory is deleted best-effort after the
-    commit (a crash there only leaks storage)."""
+    Superseded builds are garbage-collected with a ONE-REBUILD grace
+    period rather than eagerly: the manifest records the build it
+    replaced (``prev``), and each commit deletes only the
+    GRAND-previous build (``prev.prev``). A reader that resolved the
+    old manifest just before a concurrent overwrite rebuild can still
+    finish against the old shards — they survive until the NEXT
+    rebuild — while storage stays bounded at two builds (current +
+    graced). Clock-free, so it needs no timestamp agreement between
+    builders on different nodes; a crash mid-delete only leaks
+    storage."""
     import json
 
     from pyarrow import fs as pafs
@@ -408,18 +416,17 @@ def _commit_index_build(index_path: str, build_id: str, arrays: dict) -> None:
         if i.is_file and i.path.endswith(".parquet")
     )
     prev = _load_manifest(index_path)
+    prev_build = prev.get("build") if prev is not None else None
+    manifest = {"build": build_id, "files": rel}
+    if prev_build and prev_build != build_id:
+        manifest["prev"] = prev_build
     with filesystem.open_output_stream(f"{root}/_manifest.json") as f:
-        f.write(json.dumps({"build": build_id, "files": rel}).encode())
-    # Superseded builds are deleted EAGERLY, which assumes no reader holds
-    # the old manifest across a concurrent rebuild (a query that resolved
-    # the previous _manifest.json just before this overwrite could fail on
-    # missing shard files mid-read).  Rebuild-while-serving deployments
-    # should garbage-collect old build dirs after a grace period instead;
-    # in this engine index builds and queries are sequential per pipeline,
-    # so eager delete is safe and keeps storage bounded at one build.
-    if prev is not None and prev.get("build") and prev["build"] != build_id:
+        f.write(json.dumps(manifest).encode())
+    # grace-period GC: only the build superseded TWO commits ago goes
+    grand = prev.get("prev") if prev is not None else None
+    if grand and grand != build_id and grand != prev_build:
         try:
-            filesystem.delete_dir(f"{root}/{prev['build']}")
+            filesystem.delete_dir(f"{root}/{grand}")
         except OSError:
             pass
 

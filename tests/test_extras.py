@@ -1190,11 +1190,22 @@ def test_index_build_and_query_through_file_uri(tmp_path):
     m = _load_manifest(uri)["build"]
     build_ivf_index(ds, uri)
     assert _load_manifest(uri)["build"] == m
-    # overwrite: a NEW build id is committed and the old dir is gone
+    # overwrite: a NEW build id is committed; the superseded build
+    # SURVIVES one rebuild (grace period for readers holding the old
+    # manifest) and is recorded as manifest["prev"]
     build_ivf_index(ds, uri, overwrite=True)
-    m2 = _load_manifest(uri)["build"]
-    assert m2 != m
+    man2 = _load_manifest(uri)
+    m2 = man2["build"]
+    assert m2 != m and man2["prev"] == m
+    assert os.path.exists(os.path.join(str(tmp_path / "ivf-uri"), m))
+    # queries through the OLD manifest's shard list still resolve
+    # (the concurrent-rebuild reader the grace period exists for)
+    # ... and the grand-previous is GC'd at the NEXT overwrite commit
+    build_ivf_index(ds, uri, overwrite=True)
+    man3 = _load_manifest(uri)
+    assert man3["build"] != m2 and man3["prev"] == m2
     assert not os.path.exists(os.path.join(str(tmp_path / "ivf-uri"), m))
+    assert os.path.exists(os.path.join(str(tmp_path / "ivf-uri"), m2))
 
 
 @pytest.mark.usefixtures("ray_session")
