@@ -5494,8 +5494,10 @@ def q16_supplier_part_count(sf_dir: str) -> ray.data.Dataset:
     # composite-key headroom: attr = type_idx*64 + size needs size < 64
     # (TPC-H p_size ≤ 50 by spec) and suppkey < 2^32 — fail LOUDLY if a
     # future corpus breaks the packing instead of corrupting keys.
-    assert int(pc.max(part.column("p_size")).as_py()) < 64, "p_size ≥ 64 breaks attr packing"
-    assert int(sk.max()) < (1 << 32), "s_suppkey ≥ 2^32 breaks composite packing"
+    if int(pc.max(part.column("p_size")).as_py()) >= 64:
+        raise ValueError("p_size ≥ 64 breaks attr packing")
+    if int(sk.max()) >= (1 << 32):
+        raise ValueError("s_suppkey ≥ 2^32 breaks composite packing")
     ref = ray.put((brand_ok, attr, supp_ok))
 
     def pre(b: pa.Table, ref=ref) -> pa.Table:
@@ -5587,9 +5589,10 @@ def q20_top_quantity_suppliers(sf_dir: str) -> pa.Table:
     # comp = pk << 22 | sk needs suppkeys < 2^22 (TPC-H: 10k·SF, safe to
     # SF≈420) and partkeys < 2^41 — fail loudly past the packing limit.
     supp_max = _read_small(sf_dir, "supplier", ["s_suppkey"])
-    assert int(pc.max(supp_max.column("s_suppkey")).as_py()) < (1 << 22), (
-        "s_suppkey ≥ 2^22 breaks the (part, supp) composite; widen the shift"
-    )
+    if int(pc.max(supp_max.column("s_suppkey")).as_py()) >= (1 << 22):
+        raise ValueError(
+            "s_suppkey ≥ 2^22 breaks the (part, supp) composite; widen the shift"
+        )
     ref = ray.put(promo)
 
     def pre(b: pa.Table, ref=ref) -> pa.Table:

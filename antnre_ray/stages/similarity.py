@@ -734,7 +734,8 @@ def build_ivfpq_index(
     (per batch: one matmul per subspace via the ‖r−c‖² = ‖r‖²−2r·c+‖c‖²
     expansion, never an n×256×d temp). Same deployment constraint and
     manifest-commit build as :func:`build_ann_index`."""
-    assert dim % m == 0, (dim, m)
+    if dim % m != 0:
+        raise ValueError(f"PQ needs dim divisible by m, got dim={dim}, m={m}")
     sub = dim // m
     if _index_is_built(index_path) and not overwrite:
         return index_path
