@@ -507,8 +507,6 @@ def query_minhash_index(
     signature agreement — the whole corpus is never touched."""
     import os
 
-    import pyarrow.compute as pc
-
     ids = new_docs.column("doc_id").to_numpy(zero_copy_only=False)
     sigs = minhash_signatures(new_docs.column("text").to_pylist())
     keys = band_keys(sigs)  # [n, BANDS] uint64
@@ -531,25 +529,38 @@ def query_minhash_index(
 
     a_out, b_out, j_out = [], [], []
     seen: set[tuple[int, int]] = set()
-    probe_arr = pa.array(probe, pa.int64())
+    # Sorted-unique probe table with per-value member lists: TWO new
+    # docs can share a (band, key) bucket, and each matching corpus row
+    # must pair with EVERY one of them — a first-match lookup
+    # (pc.index_in) would silently admit the later docs as novel.
+    order = np.argsort(probe, kind="stable")
+    uq, uq_start, uq_cnt = np.unique(probe[order], return_index=True, return_counts=True)
     for fpath in files:
         t = pq.read_table(fpath, columns=["band", "key", "doc_id", "sig"], filesystem=filesystem)
         if t.num_rows == 0:
             continue
         ib = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
         ik = t.column("key").to_numpy(zero_copy_only=False)
-        idx_key = pa.array((ib << np.int64(48)) ^ ik, pa.int64())
-        pos = pc.index_in(idx_key, value_set=probe_arr)
-        hit = pc.is_valid(pos)
-        if not pc.any(hit).as_py():
+        idx_key = (ib << np.int64(48)) ^ ik
+        pos = np.searchsorted(uq, idx_key)
+        pos_c = np.minimum(pos, len(uq) - 1)
+        rows_hit = np.nonzero(uq[pos_c] == idx_key)[0]
+        if rows_hit.size == 0:
             continue
-        rows_hit = np.nonzero(hit.to_numpy(zero_copy_only=False))[0]
-        probe_pos = pos.to_numpy(zero_copy_only=False)[rows_hit]
-        new_i = (probe_pos // BANDS).astype(np.int64)  # probe row → new doc
-        corpus_ids = t.column("doc_id").to_numpy(zero_copy_only=False)[rows_hit]
+        # Expand each hit corpus row to all new docs in its bucket via
+        # repeat + range arithmetic (the b46/set-join expansion shape).
+        g = pos_c[rows_hit]
+        c = uq_cnt[g]
+        total = int(c.sum())
+        rows_rep = np.repeat(rows_hit, c)
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            np.r_[np.int64(0), np.cumsum(c)[:-1]], c
+        )
+        new_i = (order[np.repeat(uq_start[g], c) + intra] // BANDS).astype(np.int64)
+        corpus_ids = t.column("doc_id").to_numpy(zero_copy_only=False)[rows_rep]
         sig_col = t.column("sig").combine_chunks()
         corpus_sigs = (
-            sig_col.flatten().to_numpy(zero_copy_only=False).reshape(t.num_rows, NUM_PERM)[rows_hit]
+            sig_col.flatten().to_numpy(zero_copy_only=False).reshape(t.num_rows, NUM_PERM)[rows_rep]
         )
         est = (sigs[new_i].view(np.int64) == corpus_sigs).mean(axis=1)
         for ni, ci, e in zip(new_i, corpus_ids, est):

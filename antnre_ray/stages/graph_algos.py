@@ -326,10 +326,14 @@ def connected_components(
     from ..config import shuffle_width
 
     nparts = shuffle_width()
-    if checkpoint_dir is not None and round0:
-        # checkpointed labels come back as raw parquet blocks — restore
-        # the shuffle-friendly layout (and the zero-column-block guard)
-        labels = labels.repartition(nparts).materialize()
+    # Ray 2.49 hash aggregates emit zero-COLUMN blocks for empty hash
+    # partitions and a later join rejects them ("no match for key
+    # field") — repartition BOTH join inputs to concatenate blocks and
+    # restore the schema (the same load-bearing guard as bfs_depth /
+    # shortest_path; also restores checkpointed labels' raw parquet
+    # blocks to the shuffle-friendly layout).
+    labels = labels.repartition(nparts).materialize()
+    und = und.repartition(nparts).materialize()
 
     def checksum(ds: ray.data.Dataset) -> int:
         """EXACT arbitrary-precision label sum (one cheap aggregate).
@@ -376,7 +380,12 @@ def connected_components(
             return t.group_by(["node"]).aggregate([("label", "min")]).rename_columns(["node", "label"])
 
         both = labels.union(msgs.map_batches(to_msgs, batch_format="pyarrow"))
-        labels = both.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+        labels = (
+            both.groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .repartition(nparts)  # zero-column-block guard (see above)
+            .materialize()
+        )
         if checkpoint_dir is not None:
             _ckpt_write(checkpoint_dir, round0 + it + 1, labels, {"n_nodes": n_nodes})
         cur = checksum(labels)
@@ -543,6 +552,10 @@ def pagerank(
             msgs.map_batches(contrib, batch_format="pyarrow")
             .groupby("cnode")
             .aggregate(Sum("c", alias_name="c"))
+            # zero-column-block guard: this hash-aggregate output is the
+            # RIGHT side of the join below; an empty hash partition's
+            # schemaless block would fail the key-field lookup.
+            .repartition(nparts)
         )
         # per-row base: teleport + dangling mass land on r0 (uniform →
         # the classic scalar; personalized → only on seeds)
@@ -1112,6 +1125,10 @@ def label_propagation(
         und.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("node")
         .aggregate(Min("label", alias_name="label"))
+        # zero-column-block guard: these initial labels are the RIGHT
+        # side of round 1's join (later rounds flow through _pick_shard,
+        # whose empty-group table carries the full schema).
+        .repartition(nparts)
         .materialize()
     )
 

@@ -521,6 +521,26 @@ def test_dedup_clusters_match_union_find(sf001):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_incremental_dedup_shared_bucket_all_new_docs(tmp_path):
+    """When TWO new docs land in the same (band, key) bucket, BOTH must
+    pair with the matching corpus doc — regression for the index_in
+    mapping that only ever returned the FIRST probe position, silently
+    admitting every later same-bucket new doc as 'novel'."""
+    import ray
+
+    from antnre_ray.stages.dedup import build_minhash_index, query_minhash_index
+
+    text = "the quick brown fox jumps over the lazy dog " * 5
+    base = ray.data.from_arrow(pa.table({"doc_id": [9], "text": [text]}))
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(base, idx)
+    new = pa.table({"doc_id": [1, 2], "text": [text, text]})
+    got = query_minhash_index(idx, new, threshold=0.5)
+    pairs = set(zip(got.column("doc_a").to_pylist(), got.column("doc_b").to_pylist()))
+    assert pairs == {(1, 9), (2, 9)}, pairs
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_incremental_dedup_finds_planted_sources(sf001):
     """Every planted mutated twin (the 'new ingest batch') must match
     its base-corpus source through the persisted index, and a second
