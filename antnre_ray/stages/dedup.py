@@ -205,7 +205,18 @@ def ngram_jaccard_pairs(
         cands.groupby(["doc_a", "doc_b"])
         .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
         .select_columns(["doc_a", "doc_b"])
+        # zero-column-block guard: the pair aggregate's key cardinality
+        # is the number of CANDIDATE PAIRS — small for a low-duplicate
+        # corpus, while its hash-partition count equals the upstream
+        # block count, so empty (schemaless) partitions are likely at
+        # scale and the text join below rejects them. The pair list is
+        # tiny by design, so this repartition is cheap; the count()
+        # early-exit covers the all-empty case repartition can't heal.
+        .repartition(nparts)
+        .materialize()
     )
+    if cands.count() == 0:
+        return ray.data.from_arrow(_pairs_schema("jaccard").empty_table())
 
     # ONE text join, not two: each pair explodes to its two (role, key)
     # rows, joins docs once, then a per-pair group reassembles both
@@ -430,8 +441,22 @@ def apply_drop_list(docs: ray.data.Dataset, drops: ray.data.Dataset) -> ray.data
     def drop_keys(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b.column("doc_id")})
 
+    # zero-column-block guard: drops is typically drop_list()'s grouped
+    # aggregate, whose key cardinality (docs to drop) can sit far below
+    # its hash-partition count (= upstream block count) — empty
+    # partitions emit schemaless blocks the anti join rejects. The
+    # repartition heals the sparse case; the count() early-exit covers
+    # the ZERO-duplicates case (all-empty datasets lose their schema
+    # through repartition too, and "nothing to drop" is exactly docs).
+    keys = (
+        drops.map_batches(drop_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(shuffle_width())
+        .materialize()
+    )
+    if keys.count() == 0:
+        return docs
     return docs.join(
-        drops.map_batches(drop_keys, batch_format="pyarrow", zero_copy_batch=True),
+        keys,
         join_type="left_anti",
         num_partitions=shuffle_width(),
         on=("doc_id",),
@@ -502,11 +527,10 @@ def query_minhash_index(
     corpus_doc_id, est_jaccard ≥ threshold).
 
     Reads ONLY the key-shard directories the new docs' band keys hash
-    into (≤ BANDS·|new| of 251), filters to exact (band, key) bucket
-    matches with one vectorized index_in, and estimates Jaccard by
-    signature agreement — the whole corpus is never touched."""
-    import os
-
+    into (≤ BANDS·|new| of 251), matches exact (band, key) buckets via
+    a sorted-unique searchsorted probe table (every new doc sharing a
+    bucket pairs with each matching corpus row), and estimates Jaccard
+    by signature agreement — the whole corpus is never touched."""
     ids = new_docs.column("doc_id").to_numpy(zero_copy_only=False)
     sigs = minhash_signatures(new_docs.column("text").to_pylist())
     keys = band_keys(sigs)  # [n, BANDS] uint64
@@ -1096,6 +1120,17 @@ def set_similarity_join(
         .groupby("token")
         .aggregate(Sum("df", alias_name="df"))
     )
+    # zero-column-block guard on df (the join's right side): its hash-
+    # partition count equals the upstream block count, and a partition
+    # with no tokens emits a schemaless block the join rejects. The
+    # vocabulary table is the same magnitude as the already-materialized
+    # `sets` (≤16 B per distinct shingle), so one repartition +
+    # materialize is within the plan's existing memory budget; the
+    # count() early-exit covers the no-shingles corpus (all docs shorter
+    # than k words), where repartition cannot restore the schema.
+    df = df.repartition(shuffle_width()).materialize()
+    if df.count() == 0:
+        return ray.data.from_arrow(_pairs_schema("jaccard").empty_table())
     with_df = exploded.join(
         df, join_type="inner", num_partitions=shuffle_width(), on=("token",)
     )
@@ -1184,7 +1219,15 @@ def set_similarity_join(
         .groupby(["doc_a", "doc_b"])
         .aggregate(Sum("doc_a", alias_name="_n"))
         .select_columns(["doc_a", "doc_b"])
+        # zero-column-block guard + all-empty early exit: see
+        # ngram_jaccard_pairs — candidate-pair cardinality can be far
+        # below the aggregate's hash-partition count (= upstream block
+        # count), and the set join below rejects schemaless blocks.
+        .repartition(shuffle_width())
+        .materialize()
     )
+    if cands.count() == 0:
+        return ray.data.from_arrow(_pairs_schema("jaccard").empty_table())
 
     def explode_roles(b: pa.Table) -> pa.Table:
         def arr(col):

@@ -464,6 +464,13 @@ def pagerank(
     from ..config import shuffle_width
 
     nparts = shuffle_width()
+    # zero-column-block guard: nodes and degrees are hash-aggregate
+    # outputs and BOTH sides of the rank-init join below — empty hash
+    # partitions emit schemaless blocks that only a full repartition
+    # concatenation heals (aggregates/map_groups tolerate them; joins
+    # do not — measured, see connected_components).
+    nodes = nodes.repartition(nparts).materialize()
+    degrees = degrees.repartition(nparts).materialize()
     if personalization is None:
         seed_ref = None
         n_seeds = n_nodes
@@ -936,7 +943,10 @@ def kcore(
     from ..config import shuffle_width
 
     nparts = shuffle_width()
-    E = und
+    # zero-column-block guard: und is a hash-aggregate output and the
+    # LEFT side of iteration 1's join (joins choke on the schemaless
+    # blocks empty hash partitions emit; filter/aggregate tolerate them).
+    E = und.repartition(nparts).materialize()
     n_alive = n_nodes
     converged = False
     for _ in range(max_iters):
@@ -945,6 +955,9 @@ def kcore(
             .aggregate(Count(alias_name="_d"))
             .filter(expr=f"_d >= {int(k)}")
             .select_columns(["u"])
+            # zero-column-block guard: alive is the RIGHT side of both
+            # induced-subgraph joins below.
+            .repartition(nparts)
             .materialize()
         )
         cur = alive.count()
@@ -957,6 +970,11 @@ def kcore(
         # induced subgraph: keep edges whose BOTH endpoints survive
         E = (
             E.join(alive, join_type="inner", num_partitions=nparts, on=("u",))
+            # zero-column-block guard: the first join's output is the
+            # LEFT side of the second (join→join chains fail the same
+            # way — measured), and the chain's output is next
+            # iteration's join input.
+            .repartition(nparts)
             .join(
                 alive.rename_columns({"u": "v"}),
                 join_type="inner",
@@ -964,6 +982,7 @@ def kcore(
                 on=("v",),
             )
             .select_columns(["u", "v"])
+            .repartition(nparts)
             .materialize()
         )
     if not converged:
@@ -1116,6 +1135,9 @@ def label_propagation(
     from ..config import shuffle_width
 
     nparts = shuffle_width()
+    # zero-column-block guard: und is a hash-aggregate output and the
+    # LEFT side of every round's join; repartition once (loop-invariant).
+    und = und.repartition(nparts).materialize()
 
     def init_labels(b: pa.Table) -> pa.Table:
         ids = b.column("u").to_pylist()
@@ -1222,7 +1244,12 @@ def label_propagation(
             for t in ray.get(picked.select_columns(["changed"]).to_arrow_refs())
             if t.num_columns > 0 and t.num_rows > 0
         )
-        labels = picked.select_columns(["node", "label"]).materialize()
+        # zero-column-block guard: picked is a map_groups output whose
+        # key cardinality is capped at SHARDS (251) while its partition
+        # count equals the upstream block count — at cluster block
+        # counts empty (schemaless) partitions are guaranteed, and
+        # labels is the RIGHT side of next round's join.
+        labels = picked.select_columns(["node", "label"]).repartition(nparts).materialize()
         if n_changed == 0:
             converged = True
             break
