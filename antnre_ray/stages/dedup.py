@@ -445,16 +445,21 @@ def apply_drop_list(docs: ray.data.Dataset, drops: ray.data.Dataset) -> ray.data
     # aggregate, whose key cardinality (docs to drop) can sit far below
     # its hash-partition count (= upstream block count) — empty
     # partitions emit schemaless blocks the anti join rejects. The
-    # repartition heals the sparse case; the count() early-exit covers
-    # the ZERO-duplicates case (all-empty datasets lose their schema
-    # through repartition too, and "nothing to drop" is exactly docs).
-    keys = (
-        drops.map_batches(drop_keys, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(shuffle_width())
-        .materialize()
-    )
-    if keys.count() == 0:
+    # count() early-exit covers the ZERO-duplicates case (all-empty
+    # datasets lose their schema even through repartition, and "nothing
+    # to drop" is exactly docs); the healing repartition is paid ONLY
+    # when empty hash partitions are plausible (< 64 keys per block —
+    # beyond that, P(any empty) ≤ blocks·e^-64 ≈ 0), so the dense 30 %-
+    # of-corpus drop lists the docstring designs for stream into the
+    # anti join's own shuffle with just the one materialize pass.
+    keys = drops.map_batches(
+        drop_keys, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_keys = keys.count()
+    if n_keys == 0:
         return docs
+    if n_keys < 64 * keys.num_blocks():
+        keys = keys.repartition(shuffle_width()).materialize()
     return docs.join(
         keys,
         join_type="left_anti",

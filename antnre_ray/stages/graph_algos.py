@@ -945,8 +945,11 @@ def kcore(
     nparts = shuffle_width()
     # zero-column-block guard: und is a hash-aggregate output and the
     # LEFT side of iteration 1's join (joins choke on the schemaless
-    # blocks empty hash partitions emit; filter/aggregate tolerate them).
-    E = und.repartition(nparts).materialize()
+    # blocks empty hash partitions emit; filter/aggregate tolerate
+    # them). Rebind und so the superseded materialized copy is GC'd
+    # instead of pinning a second full edge list for the whole loop.
+    und = und.repartition(nparts).materialize()
+    E = und
     n_alive = n_nodes
     converged = False
     for _ in range(max_iters):
@@ -1237,6 +1240,13 @@ def label_propagation(
             .map_groups(
                 lambda g: _pick_shard(g.drop_columns(["nshard"])), batch_format="pyarrow"
             )
+            # zero-column-block guard: map_groups key cardinality is
+            # capped at SHARDS (251) while its partition count equals
+            # the upstream block count — at cluster block counts empty
+            # (schemaless) partitions are guaranteed. Heal ONCE here for
+            # both consumers: the changed-count fold below and next
+            # round's join right side (labels).
+            .repartition(nparts)
             .materialize()
         )
         n_changed = sum(
@@ -1244,12 +1254,7 @@ def label_propagation(
             for t in ray.get(picked.select_columns(["changed"]).to_arrow_refs())
             if t.num_columns > 0 and t.num_rows > 0
         )
-        # zero-column-block guard: picked is a map_groups output whose
-        # key cardinality is capped at SHARDS (251) while its partition
-        # count equals the upstream block count — at cluster block
-        # counts empty (schemaless) partitions are guaranteed, and
-        # labels is the RIGHT side of next round's join.
-        labels = picked.select_columns(["node", "label"]).repartition(nparts).materialize()
+        labels = picked.select_columns(["node", "label"]).materialize()
         if n_changed == 0:
             converged = True
             break
