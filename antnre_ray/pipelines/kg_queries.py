@@ -372,33 +372,105 @@ def kg_components(sf_dir: str) -> ray.data.Dataset:
     return out.select_columns(["node", "component"]).sort(["component", "node"])
 
 
-@register("kg_pagerank", None)
+def _pagerank_sql(iters: int, personalized: bool) -> str:
+    """Exact DuckDB replica of the engine PageRank as an UNROLLED CTE
+    chain — one (dangling, contribs, rank) CTE triple per power
+    iteration, over the engine's OWN written adjacency snapshot.
+
+    SURVEY 8.12 previously ruled the pagerank family out of oracle
+    reach because a DuckDB 1.0 recursive CTE cannot re-aggregate per
+    round; an unrolled chain sidesteps that — the iteration count is a
+    FIXED query parameter (iters=10), so the replica is a plain static
+    query. Float caveat: contribution/dangling SUM association differs
+    between engines (numpy bincount/np.add.at vs DuckDB's aggregate
+    order), so ranks agree only to last-ulp wobble — both legs round
+    half-away to 8 decimals (established float-oracle rule), which
+    absorbs ~1e-14 divergence on ~1e-2 ranks with 1e-8 resolution.
+    Every arithmetic step mirrors the engine update rule
+    (graph_algos.pagerank/_pagerank_small):
+      rank' = ((1-d) + d*dangling) * r0 + d * contribs
+    with IEEE-identical literals (0.85 spelled once, both parsers
+    produce the same double).
+
+    Every per-iteration CTE is AS MATERIALIZED: DuckDB 1.0 otherwise
+    INLINES each reference, and r{i} referencing r{i-1} twice (via d{i}
+    and c{i}) makes the inlined plan 2^iters wide — measured: 3 rounds
+    plan in 0.19 s, 10 rounds never finish planning. Materialization
+    makes the chain linear (10 tiny intermediate tables)."""
+    if personalized:
+        # seeds = lexicographic min src / min dst of the adjacency —
+        # the shared _snapshot_seeds rule; r0 is uniform over seeds
+        seed_ctes = """
+        seeds AS MATERIALIZED (SELECT min(src) AS s FROM raw UNION SELECT min(dst) AS s FROM raw),
+        ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),"""
+        r0_expr = (
+            "CASE WHEN n.node IN (SELECT s FROM seeds) "
+            "THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END"
+        )
+    else:
+        seed_ctes = ""
+        r0_expr = "1.0 / (SELECT n FROM nn)"
+    parts = [
+        f"""WITH
+        raw AS MATERIALIZED (SELECT src, dst FROM read_parquet('{ADJ_ORACLE_PATH}/*.parquet')),
+        e AS MATERIALIZED (SELECT src AS u, dst AS v FROM raw),
+        nodes AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v AS node FROM e),
+        nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),{seed_ctes}
+        dgt AS MATERIALIZED (SELECT u AS node, CAST(count(*) AS DOUBLE) AS dg FROM e GROUP BY u),
+        base AS MATERIALIZED (SELECT n.node, COALESCE(d.dg, 0.0) AS dg, {r0_expr} AS r0
+                 FROM nodes n LEFT JOIN dgt d ON n.node = d.node),
+        r0t AS MATERIALIZED (SELECT node, dg, r0, r0 AS rank FROM base)"""
+    ]
+    prev = "r0t"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+        d{i} AS MATERIALIZED (SELECT COALESCE(sum(CASE WHEN dg = 0.0 THEN rank ELSE 0.0 END), 0.0) AS m
+                 FROM {prev}),
+        c{i} AS MATERIALIZED (SELECT e.v AS node, sum(p.rank / p.dg) AS c
+                 FROM e JOIN {prev} p ON e.u = p.node
+                 WHERE p.dg > 0.0 GROUP BY e.v),
+        r{i} AS MATERIALIZED (SELECT b.node, b.dg, b.r0,
+                        ((1.0 - 0.85) + (0.85 * (SELECT m FROM d{i}))) * b.r0
+                        + 0.85 * COALESCE(c.c, 0.0) AS rank
+                 FROM base b LEFT JOIN c{i} c ON b.node = c.node)"""
+        )
+        prev = f"r{i}"
+    parts.append(
+        f"""
+        SELECT node, ROUND(rank, 8) AS rank FROM {prev}
+        ORDER BY rank DESC, node LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@register("kg_pagerank", _pagerank_sql(iters=10, personalized=False))
 def kg_pagerank(sf_dir: str) -> ray.data.Dataset:
     """PageRank over the materialized KG (10 power iterations, d=0.85):
-    top 20 entities by rank, rank rounded to 8 decimals (float shuffle
-    sums wobble in the last ulps)."""
+    top 20 entities by rank, rank rounded half-away to 8 decimals (the
+    oracle-mirroring rule; float shuffle sums wobble in the last ulps).
+    Cross-verified against an unrolled-CTE DuckDB replica over the
+    written adjacency snapshot (_pagerank_sql)."""
     import pyarrow as pa
 
     from ..stages.graph_algos import pagerank
 
-    adj = _graph(sf_dir)["adjacency"]
-
-    def project(b: pa.Table) -> pa.Table:
-        return pa.table({"src": b.column("src"), "dst": b.column("dst")})
+    # read the WRITTEN snapshot back — same bytes the oracle SQL globs,
+    # and the materialize reduce runs once (lazy-branch rule)
+    snap = _adjacency_snapshot(sf_dir)
+    adj = ray.data.read_parquet(snap, columns=["src", "dst"])
 
     # The KG at harness scale takes the broadcast small-graph regime
     # (graph_algos.SMALL_GRAPH_NODES), so the full 10 iterations cost
     # ~one edge pass each instead of two join actor-pool spin-ups.
-    ranks = pagerank(
-        adj.map_batches(project, batch_format="pyarrow", zero_copy_batch=True), iters=10
-    )
+    ranks = pagerank(adj, iters=10)
 
     def rnd(b: pa.Table) -> pa.Table:
-        import numpy as np
+        from ..functions.rounding import round_half_away
 
         r = b.column("rank").to_numpy(zero_copy_only=False)
         return pa.table(
-            {"node": b.column("node"), "rank": pa.array(np.round(r, 8), pa.float64())}
+            {"node": b.column("node"), "rank": pa.array(round_half_away(r, 8), pa.float64())}
         )
 
     return ranks.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True).sort(
@@ -426,24 +498,61 @@ def kg_label_prop(sf_dir: str) -> ray.data.Dataset:
     ).sort("node")
 
 
-@register("kg_kcore", None)
+def _kcore_sql(rounds: int, k: int) -> str:
+    """Exact DuckDB replica of the engine k-core as an UNROLLED peel
+    chain: round i recomputes degrees over the subgraph induced by the
+    round-(i-1) survivors and keeps nodes with degree >= k — precisely
+    the engine's parallel-peeling update (graph_algos.kcore). INTEGER
+    dynamics, so the replica is bit-exact (no rounding rule needed).
+
+    ``rounds`` mirrors the engine's max_iters: peeling strictly shrinks
+    the alive set until the fixpoint (<= |nodes| productive rounds) and
+    is idempotent afterwards, so an unrolled chain of exactly max_iters
+    rounds equals the engine output in BOTH the converged and the
+    iteration-capped case. Same normalization as the engine: self loops
+    dropped, parallel edges collapsed (UNION dedups the symmetrized
+    pairs).
+
+    Every CTE is AS MATERIALIZED — d{{i}} references a{{i-1}} twice, so
+    DuckDB 1.0's default inlining would make the plan 2^rounds wide
+    (see _pagerank_sql; measured hang at 10 rounds there, and this
+    chain is 50 deep). Materialization keeps it linear."""
+    parts = [
+        f"""WITH
+        raw AS MATERIALIZED (SELECT src, dst FROM read_parquet('{ADJ_ORACLE_PATH}/*.parquet')),
+        e AS MATERIALIZED (SELECT src AS u, dst AS v FROM raw WHERE src <> dst
+              UNION
+              SELECT dst AS u, src AS v FROM raw WHERE src <> dst),
+        a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM e)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+        d{i} AS MATERIALIZED (SELECT e.u AS node, count(*) AS dg
+                 FROM e JOIN a{i - 1} x ON e.u = x.node
+                        JOIN a{i - 1} y ON e.v = y.node
+                 GROUP BY e.u),
+        a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE dg >= {k})"""
+        )
+    parts.append(f"""
+        SELECT node FROM a{rounds} ORDER BY node""")
+    return "".join(parts)
+
+
+@register("kg_kcore", _kcore_sql(rounds=50, k=2))
 def kg_kcore(sf_dir: str) -> ray.data.Dataset:
     """2-core of the materialized KG (stages/graph_algos.kcore): the
-    densely connected entity backbone after peeling degree-1 fringe —
-    rows-only driver check; both peeling regimes are verified against a
-    sequential reference in tests/test_invariants.py."""
+    densely connected entity backbone after peeling degree-1 fringe.
+    Both peeling regimes are verified against a sequential reference in
+    tests/test_invariants.py; cross-verified against an unrolled-CTE
+    DuckDB peel (_kcore_sql, 50 rounds = the engine's max_iters) over
+    the written adjacency snapshot."""
     from ..stages.graph_algos import kcore
 
-    adj = _graph(sf_dir)["adjacency"]
-
-    def project(b):
-        import pyarrow as pa
-
-        return pa.table({"src": b.column("src"), "dst": b.column("dst")})
-
-    return kcore(
-        adj.map_batches(project, batch_format="pyarrow", zero_copy_batch=True), k=2
-    ).sort("node")
+    # read the WRITTEN snapshot back — same bytes the oracle SQL globs
+    snap = _adjacency_snapshot(sf_dir)
+    edges = ray.data.read_parquet(snap, columns=["src", "dst"])
+    return kcore(edges, k=2).sort("node")
 
 
 @register("kg_adjacency_incremental", None)
@@ -646,14 +755,17 @@ def kg_bfs_depth(sf_dir: str) -> ray.data.Dataset:
     return bfs_depth(edges, seeds, max_iters=64).sort(["depth", "node"])
 
 
-@register("kg_ppr", None)
+@register("kg_ppr", _pagerank_sql(iters=10, personalized=True))
 def kg_ppr(sf_dir: str) -> ray.data.Dataset:
     """Personalized PageRank over the materialized KG: proximity of
     every entity to two deterministic seed entities (lexicographic min
     src / min dst of the adjacency) — the KG-relevance primitive
     (which entities matter *to these*?). Same Pregel loop as
     kg_pagerank with the restart distribution concentrated on the
-    seeds. Top 20 by rank, rounded to 8 decimals."""
+    seeds. Top 20 by rank, rounded half-away to 8 decimals.
+    Cross-verified against the personalized variant of the unrolled-CTE
+    DuckDB replica (_pagerank_sql; its `seeds` CTE is the
+    _snapshot_seeds rule — min(src) UNION min(dst))."""
     import pyarrow as pa
 
     from ..stages.graph_algos import pagerank
@@ -665,11 +777,11 @@ def kg_ppr(sf_dir: str) -> ray.data.Dataset:
     ranks = pagerank(edges, iters=10, personalization=seeds)
 
     def rnd(b: pa.Table) -> pa.Table:
-        import numpy as np
+        from ..functions.rounding import round_half_away
 
         r = b.column("rank").to_numpy(zero_copy_only=False)
         return pa.table(
-            {"node": b.column("node"), "rank": pa.array(np.round(r, 8), pa.float64())}
+            {"node": b.column("node"), "rank": pa.array(round_half_away(r, 8), pa.float64())}
         )
 
     return ranks.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True).sort(

@@ -79,6 +79,14 @@ _PREFIX = [
     #     both engines expose) re-derived by a recursive-CTE walk over
     #     the written adjacency
     "kg_harmonic",
+    # 1f — last tranche: PageRank / personalized PageRank as UNROLLED
+    #     power-iteration CTE chains (10 fixed rounds sidestep the
+    #     recursive-CTE re-aggregation limit; both legs round half-away
+    #     to 8 decimals) and k-core as an unrolled 50-round integer
+    #     peel — all over the written adjacency snapshot
+    "kg_pagerank",
+    "kg_ppr",
+    "kg_kcore",
     # 2 — re-confirms: oracled queries whose code paths the round-5
     #     commits touched (ADVICE overflow/rounding fixes; the
     #     tree_fold bounding sweep over reduce paths; the composite-key
@@ -127,10 +135,11 @@ _PREFIX = [
     "b10_list_funcs",
     "b11_hash_join",
     "b12_broadcast_join",
-    "b13_semi_join",
-    "b13c_anti_join_large",
-    "b14_asof_join",
 ]
+# (b13_semi_join / b13c_anti_join_large / b14_asof_join — r02-vintage,
+# the youngest of the rotation-fill tier — rotated OUT for the three
+# tier-1f pagerank/ppr/kcore promotions; they stay gated by the sf0.001
+# conformance test every pytest run.)
 
 assert len(_PREFIX) == SWEEP_CAP, len(_PREFIX)
 

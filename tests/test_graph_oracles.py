@@ -286,3 +286,66 @@ def test_harmonic_arg_validation_is_eager():
         harmonic_centrality(None, landmark_key="sha1")
     with pytest.raises(ValueError, match="rounding"):
         harmonic_centrality(None, rounding="half_away_6")
+
+
+def _pagerank_ref(edges, seeds=None, iters=10, d=0.85):
+    """Dense local PageRank mirroring graph_algos._pagerank_small:
+    rank' = ((1-d) + d*dangling)*r0 + d*contribs, dangling/teleport
+    mass to the restart distribution r0."""
+    import numpy as np
+
+    nodes = sorted({u for u, v, _ in edges} | {v for _, v, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for u, _, _ in edges:
+        deg[idx[u]] += 1.0
+    if seeds is None:
+        r0 = np.full(n, 1.0 / n)
+    else:
+        r0 = np.zeros(n)
+        for s in seeds:
+            r0[idx[s]] = 1.0 / len(seeds)
+    rank = r0.copy()
+    for _ in range(iters):
+        dangling = rank[deg == 0.0].sum()
+        acc = np.zeros(n)
+        for u, v, _ in edges:
+            ui = idx[u]
+            if deg[ui] > 0:
+                acc[idx[v]] += rank[ui] / deg[ui]
+        rank = (1.0 - d + d * dangling) * r0 + d * acc
+    return {nodes[i]: round(float(rank[i]), 8) for i in range(n)}
+
+
+def test_pagerank_sql_planted_exact(planted_link):
+    """The unrolled 10-round CTE chain on the planted graph (dangling
+    nodes c and y, a self-loop on z — self loops are KEPT by pagerank
+    semantics, unlike kcore) must match a dense local power iteration
+    to the registered 8-decimal rounding."""
+    got = dict(duckdb.connect().execute(_sql("kg_pagerank")).fetchall())
+    want = _pagerank_ref(EDGES)
+    assert set(got) == set(want)
+    for n2, r in want.items():
+        assert abs(got[n2] - r) <= 1e-8, (n2, got[n2], r)
+
+
+def test_ppr_sql_planted_seeds_exact(planted_link):
+    """Personalized variant: the seeds CTE must resolve to the engine
+    rule (min(src)='a' UNION min(dst)='b') and the restart mass must be
+    confined to them — component B and z receive rank ONLY via the
+    (1-d)*r0 term, i.e. zero."""
+    got = dict(duckdb.connect().execute(_sql("kg_ppr")).fetchall())
+    want = _pagerank_ref(EDGES, seeds=sorted(SEEDS))
+    assert set(got) == set(want)
+    for n2, r in want.items():
+        assert abs(got[n2] - r) <= 1e-8, (n2, got[n2], r)
+    assert got["x"] == 0.0 and got["y"] == 0.0 and got["z"] == 0.0
+
+
+def test_kcore_sql_planted_peel(planted_link):
+    """2-core of the planted graph: the a-b-c triangle survives, the
+    x-y pendant pair peels (degree 1), and z peels because its only
+    edge is a self-loop (dropped by simple-graph normalization)."""
+    got = [r[0] for r in duckdb.connect().execute(_sql("kg_kcore")).fetchall()]
+    assert got == ["a", "b", "c"]
