@@ -54,6 +54,22 @@ def stable_u64_array(values: Iterable[str]) -> np.ndarray:
     )
 
 
+def md5_u64_array(values: Iterable[str]) -> np.ndarray:
+    """u64 per string as the LITTLE-ENDIAN read of bytes 8..16 of the
+    md5 digest — numerically identical to DuckDB 1.0's
+    ``md5_number_lower()`` (verified value-equal in the sandbox), the
+    one 64-bit string hash both engines expose. Exists so operators
+    whose only oracle blocker is a label/landmark hash can offer an
+    oracle-replicable mode (the kg_harmonic md5-landmark precedent;
+    used by label_propagation's ``label_key="md5"``). Same C-level
+    hashlib loop cost class as :func:`stable_u64_array`."""
+    m = hashlib.md5
+    return np.fromiter(
+        (int.from_bytes(m(v.encode("utf-8", "surrogatepass")).digest()[8:], "little") for v in values),
+        dtype=np.uint64,
+    )
+
+
 def mix64(x: np.ndarray, seed: int = 0) -> np.ndarray:
     """Vectorized splitmix64 finalizer over int64/uint64 arrays —
     cross-run-stable (pure arithmetic, no library hash), uniform enough

@@ -478,24 +478,62 @@ def kg_pagerank(sf_dir: str) -> ray.data.Dataset:
     ).limit(20)
 
 
-@register("kg_label_prop", None)
+def _labelprop_sql(iters: int) -> str:
+    """Exact DuckDB replica of the engine label propagation as an
+    UNROLLED round chain over the written adjacency: round i counts
+    each node's neighbor labels over the (symmetrized, self-loop-free,
+    deduped) edge list and adopts the most frequent one, ties broken on
+    the SMALLEST label — precisely the engine's deterministic
+    synchronous update (graph_algos.label_propagation). INTEGER
+    dynamics, so the replica is bit-exact.
+
+    Initial labels use the md5 hash both engines expose:
+    md5_number_lower(node) >> 1 here == functions/hashing.md5_u64_array
+    >> 1 on the engine side (label_key="md5" — the kg_harmonic
+    landmark_key precedent; blake2b, the default, has no DuckDB
+    equivalent). ``iters`` mirrors the engine's max_iters: the update
+    is idempotent at a fixpoint, so a fixed-round chain equals the
+    engine output in both the converged and the iteration-capped case
+    (including period-2 oscillation — both legs apply exactly the same
+    number of synchronous updates). Every CTE is AS MATERIALIZED (the
+    2^rounds inlining landmine — see _pagerank_sql)."""
+    parts = [
+        f"""WITH
+        raw AS MATERIALIZED (SELECT src, dst FROM read_parquet('{ADJ_ORACLE_PATH}/*.parquet')),
+        e AS MATERIALIZED (SELECT src AS u, dst AS v FROM raw WHERE src <> dst
+              UNION
+              SELECT dst AS u, src AS v FROM raw WHERE src <> dst),
+        l0 AS MATERIALIZED (SELECT DISTINCT u AS node,
+                 CAST(md5_number_lower(u) >> 1 AS BIGINT) AS label FROM e)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+        v{i} AS MATERIALIZED (SELECT e.u AS node, p.label, count(*) AS c
+                 FROM e JOIN l{i - 1} p ON e.v = p.node GROUP BY e.u, p.label),
+        l{i} AS MATERIALIZED (SELECT node, label FROM v{i}
+                 QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label) = 1)"""
+        )
+    parts.append(f"""
+        SELECT node, label FROM l{iters} ORDER BY node""")
+    return "".join(parts)
+
+
+@register("kg_label_prop", _labelprop_sql(iters=10))
 def kg_label_prop(sf_dir: str) -> ray.data.Dataset:
     """Communities of the materialized KG by deterministic label
-    propagation (stages/graph_algos.label_propagation) — rows-only
-    driver check; regime equivalence and community structure are
-    verified in tests/test_labelprop.py."""
+    propagation (stages/graph_algos.label_propagation, label_key="md5"
+    so the initial labels are DuckDB-replicable); regime equivalence
+    and community structure are verified in tests/test_labelprop.py,
+    and the registered query is cross-verified against an unrolled
+    10-round CTE replica (_labelprop_sql) over the written adjacency
+    snapshot."""
     from ..stages.graph_algos import label_propagation
 
-    adj = _graph(sf_dir)["adjacency"]
-
-    def project(b):
-        import pyarrow as pa
-
-        return pa.table({"src": b.column("src"), "dst": b.column("dst")})
-
-    return label_propagation(
-        adj.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
-    ).sort("node")
+    # read the WRITTEN snapshot back — same bytes the oracle SQL globs
+    snap = _adjacency_snapshot(sf_dir)
+    edges = ray.data.read_parquet(snap, columns=["src", "dst"])
+    return label_propagation(edges, label_key="md5").sort("node")
 
 
 def _kcore_sql(rounds: int, k: int) -> str:

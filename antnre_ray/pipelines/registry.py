@@ -82,11 +82,15 @@ _PREFIX = [
     # 1f — last tranche: PageRank / personalized PageRank as UNROLLED
     #     power-iteration CTE chains (10 fixed rounds sidestep the
     #     recursive-CTE re-aggregation limit; both legs round half-away
-    #     to 8 decimals) and k-core as an unrolled 50-round integer
-    #     peel — all over the written adjacency snapshot
+    #     to 8 decimals), k-core as an unrolled 50-round integer peel,
+    #     and label propagation as an unrolled 10-round vote chain with
+    #     md5_number_lower initial labels (label_key="md5", the
+    #     kg_harmonic precedent) — all over the written adjacency
+    #     snapshot
     "kg_pagerank",
     "kg_ppr",
     "kg_kcore",
+    "kg_label_prop",
     # 2 — re-confirms: oracled queries whose code paths the round-5
     #     commits touched (ADVICE overflow/rounding fixes; the
     #     tree_fold bounding sweep over reduce paths; the composite-key
@@ -134,12 +138,12 @@ _PREFIX = [
     "b09_json_extract",
     "b10_list_funcs",
     "b11_hash_join",
-    "b12_broadcast_join",
 ]
-# (b13_semi_join / b13c_anti_join_large / b14_asof_join — r02-vintage,
-# the youngest of the rotation-fill tier — rotated OUT for the three
-# tier-1f pagerank/ppr/kcore promotions; they stay gated by the sf0.001
-# conformance test every pytest run.)
+# (b12_broadcast_join / b13_semi_join / b13c_anti_join_large /
+# b14_asof_join — r02-vintage, the youngest of the rotation-fill tier —
+# rotated OUT for the four tier-1f pagerank/ppr/kcore/label_prop
+# promotions; they stay gated by the sf0.001 conformance test every
+# pytest run.)
 
 assert len(_PREFIX) == SWEEP_CAP, len(_PREFIX)
 

@@ -52,9 +52,16 @@ from ..functions.hashing import stable_u64_array
 SMALL_GRAPH_NODES = 1_000_000
 
 
-def _label_of(ids: list[str]) -> np.ndarray:
+def _label_of(ids: list[str], key: str = "blake2b") -> np.ndarray:
     # int64-positive stable hash: min() over these is a deterministic
     # component representative (collision odds ~n^2/2^63 — negligible).
+    # key="md5" selects the DuckDB-replicable hash (md5_number_lower
+    # >> 1; see functions/hashing.md5_u64_array) so label_propagation
+    # can run under an exact SQL oracle.
+    if key == "md5":
+        from ..functions.hashing import md5_u64_array
+
+        return (md5_u64_array(ids) >> np.uint64(1)).astype(np.int64)
     return (stable_u64_array(ids) >> np.uint64(1)).astype(np.int64)
 
 
@@ -996,14 +1003,14 @@ def kcore(
 # ------------------------------------------------- label propagation (LPA)
 
 def _labelprop_small(
-    und: ray.data.Dataset, nodes_arr: pa.Array, max_iters: int
+    und: ray.data.Dataset, nodes_arr: pa.Array, max_iters: int, label_key: str = "blake2b"
 ) -> tuple[np.ndarray, bool]:
     """Small regime: the label vector broadcasts per round; one
     map_batches over the index-encoded edges emits sparse per-batch
     (dst, neighbor-label, count) vote partials; the driver merges them
     with one lexsort + reduceat and picks each node's winner (max
     count, tie-broken on min label) fully vectorized."""
-    labels = _label_of(nodes_arr.to_pylist())
+    labels = _label_of(nodes_arr.to_pylist(), key=label_key)
     E_idx = _indexed_edges(und, nodes_arr)
     for _ in range(max_iters):
         lab_ref = ray.put(labels)
@@ -1067,6 +1074,7 @@ def label_propagation(
     dst_col: str = "dst",
     max_iters: int = 10,
     small_graph_nodes: int = SMALL_GRAPH_NODES,
+    label_key: str = "blake2b",
 ) -> ray.data.Dataset:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007, arXiv:0709.2938), made DETERMINISTIC: every node
@@ -1096,8 +1104,17 @@ def label_propagation(
       stream with count = -1, so the pick also emits a per-node
       ``changed`` bit and convergence is an exact Sum(changed) == 0 —
       no extra join, no checksum heuristics.
+
+    ``label_key`` selects the initial-label hash: ``"blake2b"``
+    (default, stable_u64_array) or ``"md5"`` — md5_number_lower >> 1,
+    the DuckDB-replicable hash, used by the oracle-backed kg_label_prop
+    (the kg_harmonic landmark_key precedent). The dynamics are
+    identical; only the arbitrary initial labels (and hence community
+    REPRESENTATIVES, not membership structure) differ.
     """
     _check_max_iters(max_iters)
+    if label_key not in ("blake2b", "md5"):
+        raise ValueError(f"label_propagation: unknown label_key {label_key!r}")
     from ray.data.aggregate import Count, Min, Sum
 
     def undirect_simple(b: pa.Table) -> pa.Table:
@@ -1128,7 +1145,7 @@ def label_propagation(
     nodes_arr = nodes_tbl.column("u").combine_chunks()
 
     if n_nodes <= small_graph_nodes:
-        labels, converged = _labelprop_small(und, nodes_arr, max_iters)
+        labels, converged = _labelprop_small(und, nodes_arr, max_iters, label_key)
         if not converged:
             _warn_not_converged("label_propagation", max_iters)
         return ray.data.from_arrow(
@@ -1144,7 +1161,9 @@ def label_propagation(
 
     def init_labels(b: pa.Table) -> pa.Table:
         ids = b.column("u").to_pylist()
-        return pa.table({"node": b.column("u"), "label": pa.array(_label_of(ids), pa.int64())})
+        return pa.table(
+            {"node": b.column("u"), "label": pa.array(_label_of(ids, key=label_key), pa.int64())}
+        )
 
     labels = (
         und.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)

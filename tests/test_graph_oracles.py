@@ -349,3 +349,60 @@ def test_kcore_sql_planted_peel(planted_link):
     edge is a self-loop (dropped by simple-graph normalization)."""
     got = [r[0] for r in duckdb.connect().execute(_sql("kg_kcore")).fetchall()]
     assert got == ["a", "b", "c"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_labelprop_sql_planted_three_way():
+    """kg_label_prop's unrolled vote chain: registered SQL, engine leg
+    (label_key='md5') and a local synchronous-LPA reference must agree
+    on a planted graph chosen to NOT converge in 10 rounds (two
+    triangles bridged by an edge + a pendant pair + a self-loop-only
+    node) — the iteration-capped case both legs must cap identically."""
+    from collections import Counter
+
+    import numpy as np
+    import ray
+    import ray.data
+
+    from antnre_ray.functions.hashing import md5_u64_array
+    from antnre_ray.stages.graph_algos import label_propagation
+
+    edges = [
+        ("a", "b", 1), ("b", "c", 1), ("a", "c", 1), ("c", "d", 1),
+        ("d", "e", 1), ("e", "f", 1), ("d", "f", 1), ("x", "y", 1),
+        ("z", "z", 1),
+    ]
+    with _flipped_adjacency(edges, "labelprop") as snap:
+        nodes = sorted(
+            {u for u, v, _ in edges if u != v} | {v for u, v, _ in edges if u != v}
+        )
+        lab = {n: int(md5_u64_array([n])[0] >> np.uint64(1)) for n in nodes}
+        adj: dict[str, set] = {n: set() for n in nodes}
+        for u, v, _ in edges:
+            if u != v:
+                adj[u].add(v)
+                adj[v].add(u)
+        for _ in range(10):
+            new = {
+                n: sorted(
+                    Counter(lab[m] for m in adj[n]).items(),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[0][0]
+                for n in nodes
+            }
+            if new == lab:
+                break
+            lab = new
+        got_sql = dict(duckdb.connect().execute(_sql("kg_label_prop")).fetchall())
+        assert got_sql == lab
+        eng = label_propagation(
+            ray.data.read_parquet(snap, columns=["src", "dst"]), label_key="md5"
+        ).sort("node")
+        assert {r["node"]: r["label"] for r in eng.take_all()} == lab
+
+
+def test_labelprop_label_key_validation_is_eager():
+    from antnre_ray.stages.graph_algos import label_propagation
+
+    with pytest.raises(ValueError, match="label_key"):
+        label_propagation(None, label_key="sha256")

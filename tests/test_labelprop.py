@@ -62,7 +62,8 @@ def test_registry_entry_runs(ray_session, sf001):
     from antnre_ray.pipelines.registry import load_all
 
     fn, sql = load_all()["kg_label_prop"]
-    assert sql is None
+    # oracle-promoted in round 5 (label_key="md5" unrolled vote chain)
+    assert sql is not None and "md5_number_lower" in sql
     rows = fn(sf001).take_all()
     assert rows and set(rows[0]) == {"node", "label"}
     # communities partition the node set: every node labeled exactly once
