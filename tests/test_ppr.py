@@ -87,7 +87,8 @@ def test_registry_entry_runs(ray_session, sf001):
     from antnre_ray.pipelines.registry import load_all
 
     fn, sql = load_all()["kg_ppr"]
-    assert sql is None
+    # oracle-promoted in round 5 (personalized unrolled-CTE replica)
+    assert sql is not None and "seeds" in sql
     rows = fn(sf001).take_all()
     assert rows and set(rows[0]) == {"node", "rank"}
     ranks = [r["rank"] for r in rows]
