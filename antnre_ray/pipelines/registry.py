@@ -137,13 +137,22 @@ _PREFIX = [
     "b08_math_funcs",
     "b09_json_extract",
     "b10_list_funcs",
-    "b11_hash_join",
+    # 4 — STANDING slot (round-3 ask #8, judged closed in r04): the
+    #     flagship triple-accuracy gate (P/R/F1 vs the deterministic
+    #     golden extraction, hard gate >= 0.95) as a 1-row table. The
+    #     driver's CORRECTNESS sweep is this row's ONLY external
+    #     consumer — the sf0.001 conformance test cannot substitute
+    #     because P/R is self-computed, not SQL-replicable — so it
+    #     holds its slot every round rather than rotating.
+    "kg_eval_prf",
 ]
 # (b12_broadcast_join / b13_semi_join / b13c_anti_join_large /
 # b14_asof_join — r02-vintage, the youngest of the rotation-fill tier —
 # rotated OUT for the four tier-1f pagerank/ppr/kcore/label_prop
-# promotions; they stay gated by the sf0.001 conformance test every
-# pytest run.)
+# promotions, and b11_hash_join for kg_eval_prf's standing slot (b11
+# was driver-verified r02 and its b11b-e variants r03/r04; it is also
+# in the BENCH timed set); all stay gated by the sf0.001 conformance
+# test every pytest run.)
 
 assert len(_PREFIX) == SWEEP_CAP, len(_PREFIX)
 
