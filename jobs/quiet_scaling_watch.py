@@ -43,6 +43,12 @@ def main() -> int:
     ap.add_argument("--solo-gate", type=float, default=0.45, help="max clean solo-burn seconds")
     ap.add_argument("--interval", type=float, default=75.0, help="seconds between probes")
     ap.add_argument("--out-dir", default="/tmp")
+    ap.add_argument(
+        "--query",
+        default=None,
+        help="fire `bench.py --scaling-query QUERY` instead of the flagship "
+        "pair (set GRAFT_SF_DIR to the scaled input first)",
+    )
     args = ap.parse_args()
 
     from bench import cpu_contention_probe
@@ -62,8 +68,11 @@ def main() -> int:
         fires += 1
         print(f"FIRING pair #{fires}", flush=True)
         subprocess.run(["ray", "stop", "--force"], capture_output=True)
+        cmd = [sys.executable, bench] + (
+            ["--scaling-query", args.query] if args.query else ["--scaling"]
+        )
         out = subprocess.run(
-            [sys.executable, bench, "--scaling"],
+            cmd,
             capture_output=True, text=True, timeout=1800,
             cwd=os.path.dirname(bench),
         )
